@@ -1,0 +1,144 @@
+"""DELTA_LENGTH_BYTE_ARRAY and DELTA_BYTE_ARRAY codecs, vectorized.
+
+Reference wire formats:
+  * DELTA_LENGTH (``type_bytearray.go:98-187``): one DELTA_BINARY_PACKED
+    int32 stream of all lengths (blockSize=128, miniBlocks=4,
+    ``type_bytearray.go:174-187``), then the concatenated raw bytes.
+  * DELTA (incremental, ``type_bytearray.go:189-292``): one delta-BP int32
+    stream of shared-prefix lengths vs the previous value (first value's
+    prefix vs the empty string = 0, ``helpers.go:234-246``), then the
+    DELTA_LENGTH encoding of the suffixes.
+
+Columns arrive as ``(lengths, data)`` flat arrays (Arrow layout), so the
+prefix computation is a single segmented numpy compare of each value
+against its predecessor — no per-row Python.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import deltabp
+
+__all__ = [
+    "encode_delta_length",
+    "decode_delta_length",
+    "common_prefix_lengths",
+    "encode_delta",
+    "decode_delta",
+]
+
+
+def encode_delta_length(lengths: np.ndarray, data: np.ndarray) -> bytes:
+    lens = deltabp.encode(lengths.astype(np.int32, copy=False), 32)
+    return lens + np.ascontiguousarray(data, dtype=np.uint8).tobytes()
+
+
+def decode_delta_length(buf, pos: int = 0) -> tuple[np.ndarray, np.ndarray, int]:
+    """-> (lengths, data, new_pos)."""
+    lengths, pos = deltabp.decode(buf, pos, 32)
+    lengths = lengths.astype(np.int64)
+    total = int(lengths.sum())
+    data = np.frombuffer(buf, np.uint8, total, pos)
+    return lengths, data, pos + total
+
+
+def common_prefix_lengths(lengths: np.ndarray, data: np.ndarray) -> np.ndarray:
+    """prefix[i] = shared prefix length of value i with value i-1 (prefix[0]=0).
+
+    Segmented compare: value i's first ``min(len[i-1], len[i])`` bytes are
+    compared elementwise with value i-1's; the first mismatch position is
+    found with ``np.minimum.reduceat``.
+    """
+    n = len(lengths)
+    out = np.zeros(n, dtype=np.int64)
+    if n <= 1:
+        return out
+    starts = np.concatenate([[0], np.cumsum(lengths)[:-1]])
+    cmp_len = np.minimum(lengths[:-1], lengths[1:])  # for pairs (i-1, i)
+    total = int(cmp_len.sum())
+    if total == 0:
+        return out
+    seg_starts_flat = np.concatenate([[0], np.cumsum(cmp_len)[:-1]])
+    within = np.arange(total) - np.repeat(seg_starts_flat, cmp_len)
+    prev_idx = np.repeat(starts[:-1], cmp_len) + within
+    cur_idx = np.repeat(starts[1:], cmp_len) + within
+    neq = data[prev_idx] != data[cur_idx]
+    # first mismatch index per segment (or cmp_len if none)
+    miss = np.where(neq, within, np.iinfo(np.int64).max)
+    nonempty = cmp_len > 0
+    red = np.minimum.reduceat(miss, seg_starts_flat[nonempty]) if nonempty.any() else miss[:0]
+    pref = cmp_len.copy()
+    pref_ne = np.minimum(red, cmp_len[nonempty])
+    pref[nonempty] = pref_ne
+    out[1:] = pref
+    return out
+
+
+def encode_delta(lengths: np.ndarray, data: np.ndarray) -> bytes:
+    """DELTA_BYTE_ARRAY: prefix lens (delta-BP) + suffixes (delta-length)."""
+    n = len(lengths)
+    prefixes = common_prefix_lengths(lengths, data)
+    suffix_lens = lengths - prefixes
+    # gather suffix bytes
+    starts = np.concatenate([[0], np.cumsum(lengths)[:-1]])
+    total = int(suffix_lens.sum())
+    src = np.repeat(starts + prefixes, suffix_lens) + (
+        np.arange(total)
+        - np.repeat(np.concatenate([[0], np.cumsum(suffix_lens)[:-1]]), suffix_lens)
+    )
+    suffix_data = data[src] if total else np.empty(0, dtype=np.uint8)
+    head = deltabp.encode(prefixes.astype(np.int32), 32)
+    return head + encode_delta_length(suffix_lens, suffix_data)
+
+
+def decode_delta(buf, pos: int = 0) -> tuple[np.ndarray, np.ndarray, int]:
+    """-> (lengths, data, new_pos). Sequential prefix chains resolved in
+    O(n) total work by materializing values front-to-back per "carry depth"
+    is unnecessary: each output byte is either copied from the suffix
+    stream or transitively from an earlier suffix byte. We resolve the
+    indirection with pointer-chasing over at most ``log2(n)`` rounds."""
+    prefixes, pos = deltabp.decode(buf, pos, 32)
+    prefixes = prefixes.astype(np.int64)
+    suffix_lens, suffix_data, pos = decode_delta_length(buf, pos)
+    n = len(prefixes)
+    if n == 0:
+        return np.empty(0, np.int64), np.empty(0, np.uint8), pos
+    if len(suffix_lens) != n:
+        raise ValueError("delta byte array: prefix/suffix count mismatch")
+    lengths = prefixes + suffix_lens
+    out_starts = np.concatenate([[0], np.cumsum(lengths)[:-1]])
+    total = int(lengths.sum())
+    # source index per output byte: suffix bytes map to the suffix stream,
+    # prefix bytes map to the previous value's bytes (same offset).
+    src = np.empty(total, dtype=np.int64)  # index into `out` (negative-1 means filled)
+    filled = np.zeros(total, dtype=bool)
+    out = np.empty(total, dtype=np.uint8)
+    # fill suffix bytes directly
+    suf_src = np.concatenate([[0], np.cumsum(suffix_lens)[:-1]])
+    tgt = np.repeat(out_starts + prefixes, suffix_lens) + (
+        np.arange(int(suffix_lens.sum())) - np.repeat(suf_src, suffix_lens)
+    )
+    out[tgt] = suffix_data
+    filled[tgt] = True
+    # prefix bytes point at previous value's identical offset
+    prev_starts = np.concatenate([[0], out_starts[:-1]])
+    ptgt = np.repeat(out_starts, prefixes) + (
+        np.arange(int(prefixes.sum())) - np.repeat(np.concatenate([[0], np.cumsum(prefixes)[:-1]]), prefixes)
+    )
+    within = ptgt - np.repeat(out_starts, prefixes)
+    src[ptgt] = np.repeat(prev_starts, prefixes) + within
+    # resolve pointer chains to their suffix-byte roots by jump doubling:
+    # chain depth halves every round -> log2(max depth) passes.
+    pending = ptgt
+    while len(pending):
+        hop = src[pending]
+        not_root = ~filled[hop]
+        if not not_root.any():
+            break
+        upd = pending[not_root]
+        src[upd] = src[hop[not_root]]
+        pending = upd
+    if len(ptgt):
+        out[ptgt] = out[src[ptgt]]
+    return lengths, out, pos
