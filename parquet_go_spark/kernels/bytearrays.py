@@ -78,6 +78,10 @@ def common_prefix_lengths(lengths: np.ndarray, data: np.ndarray) -> np.ndarray:
 def encode_delta(lengths: np.ndarray, data: np.ndarray) -> bytes:
     """DELTA_BYTE_ARRAY: prefix lens (delta-BP) + suffixes (delta-length)."""
     n = len(lengths)
+    if n == 0:
+        return deltabp.encode(np.empty(0, np.int32), 32) + encode_delta_length(
+            np.empty(0, np.int64), np.empty(0, np.uint8)
+        )
     prefixes = common_prefix_lengths(lengths, data)
     suffix_lens = lengths - prefixes
     # gather suffix bytes
