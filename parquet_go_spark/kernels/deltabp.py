@@ -147,9 +147,16 @@ def decode(buf, pos: int, bits: int) -> tuple[np.ndarray, int]:
     if count == 0:
         return np.empty(0, dtype=sdt), pos
     nd = count - 1
-    out_deltas = []
+    if nd == 0:
+        # single value: consume the empty flush block (minDelta + widths)
+        _, pos = read_varint(mv, pos)
+        pos += mini_blocks
+        return np.array([first], dtype=sdt), pos
+    # pass 1: walk block headers, record (width, offset) per present miniblock
     min_deltas = []
     counts = []
+    mb_widths = []
+    mb_offsets = []
     got = 0
     while got < nd:
         mind, pos = read_varint(mv, pos)
@@ -157,24 +164,42 @@ def decode(buf, pos: int, bits: int) -> tuple[np.ndarray, int]:
         pos += mini_blocks
         in_block = min(nd - got, block_size)
         present = -(-in_block // mbv)
-        vals = np.empty(present * mbv, dtype=np.uint64)
         for m in range(present):
             w = int(widths[m])
-            nb = w * (mbv // 8)
-            vals[m * mbv : (m + 1) * mbv] = bitpack.unpack(
-                np.frombuffer(mv, np.uint8, nb, pos), w, mbv
-            )
-            pos += nb
-        out_deltas.append(vals[:in_block])
+            mb_widths.append(w)
+            mb_offsets.append(pos)
+            pos += w * (mbv // 8)
         min_deltas.append(mind)
         counts.append(in_block)
         got += in_block
-    if nd == 0:
-        # single value: consume the empty flush block (minDelta + widths)
-        _, pos = read_varint(mv, pos)
-        pos += mini_blocks
-        return np.array([first], dtype=sdt), pos
-    adj = np.concatenate(out_deltas)
+    # pass 2: batch-unpack miniblocks grouped by width
+    raw = np.frombuffer(mv, np.uint8)
+    mbw = np.array(mb_widths, dtype=np.int64)
+    mbo = np.array(mb_offsets, dtype=np.int64)
+    n_mb = len(mbw)
+    adj_mb = np.empty((n_mb, mbv), dtype=np.uint64)
+    for w in np.unique(mbw):
+        w = int(w)
+        sel = np.flatnonzero(mbw == w)
+        if w == 0:
+            adj_mb[sel] = 0
+            continue
+        seg = w * (mbv // 8)
+        src = mbo[sel][:, None] + np.arange(seg)
+        packed = raw[src.ravel()]
+        vals = bitpack.unpack(packed, w, len(sel) * mbv)
+        adj_mb[sel] = vals.reshape(len(sel), mbv)
+    # drop per-block tail padding: block b contributes counts[b] deltas
+    counts_arr = np.array(counts, dtype=np.int64)
+    present_per_block = -(-counts_arr // mbv)
+    mb_block = np.repeat(np.arange(len(counts_arr)), present_per_block)
+    mb_start_in_block = (
+        np.arange(n_mb) - np.repeat(np.concatenate([[0], np.cumsum(present_per_block)[:-1]]), present_per_block)
+    ) * mbv
+    flat = adj_mb.reshape(-1)
+    pos_in_block = mb_start_in_block[:, None] + np.arange(mbv)
+    keep = (pos_in_block < counts_arr[mb_block][:, None]).reshape(-1)
+    adj = flat[keep]
     with np.errstate(over="ignore"):
         deltas = adj.astype(np.uint64) + np.repeat(
             np.array(min_deltas, dtype=np.int64).astype(np.uint64), counts

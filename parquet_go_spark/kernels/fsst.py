@@ -1,0 +1,256 @@
+"""FSST (Fast Static Symbol Table) string compression, numpy-vectorized.
+
+No reference implementation exists in fraugster/parquet-go (README.md:44
+region lists only the standard encodings); this follows the published FSST
+design (Boncz, Neumann, Leis: "FSST: Fast Random Access String
+Compression", VLDB 2020): a table of up to 255 symbols of 1-8 bytes, each
+replaced by a 1-byte code; byte 255 escapes a literal. The table is
+trained bottom-up over a sample in a few generations by pairing adjacent
+parsed symbols and keeping the top candidates by gain = count * length.
+
+Everything is vectorized:
+  * candidate matching uses 8-byte little-endian windows (`uint64` keys)
+    against per-length sorted key tables (np.searchsorted);
+  * the inherently sequential greedy parse (next token starts where the
+    previous match ended) is resolved with pointer doubling: the "visited"
+    set of the jump chain is computed in O(log n) numpy passes;
+  * symbols never cross string boundaries, so one global parse handles the
+    whole concatenated column and per-string lengths fall out of a
+    bincount.
+
+Column wire format (this engine's own, FSST has no Parquet layout):
+  uvarint(symbol_count) | per symbol: 1 byte len + bytes
+  | DELTA_BINARY_PACKED int32 stream of per-string compressed lengths
+  | compressed bytes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import deltabp
+from .varint import read_uvarint, uvarint
+
+__all__ = ["train", "encode_column", "decode_column", "SymbolTable"]
+
+ESCAPE = 255
+MAX_SYMBOLS = 255
+MAX_LEN = 8
+_POW = np.array([1 << (8 * i) for i in range(8)], dtype=np.uint64)
+_MASKS = [np.uint64(0)] + [np.uint64((1 << (8 * l)) - 1) for l in range(1, 8)] + [np.uint64(0xFFFFFFFFFFFFFFFF)]
+
+
+class SymbolTable:
+    """Sorted per-length key tables + code lookup + decode matrix."""
+
+    def __init__(self, symbols: list[bytes]):
+        self.symbols = symbols[:MAX_SYMBOLS]
+        self.keys_by_len: dict[int, np.ndarray] = {}
+        self.codes_by_len: dict[int, np.ndarray] = {}
+        by_len: dict[int, list[tuple[int, int]]] = {}
+        for code, s in enumerate(self.symbols):
+            k = int.from_bytes(s.ljust(8, b"\0"), "little")
+            by_len.setdefault(len(s), []).append((k, code))
+        for l, pairs in by_len.items():
+            pairs.sort()
+            self.keys_by_len[l] = np.array([p[0] for p in pairs], dtype=np.uint64)
+            self.codes_by_len[l] = np.array([p[1] for p in pairs], dtype=np.int32)
+        # decode side
+        n = len(self.symbols)
+        self.sym_matrix = np.zeros((n + 1, MAX_LEN), dtype=np.uint8)
+        self.sym_lens = np.ones(n + 1, dtype=np.int64)
+        for code, s in enumerate(self.symbols):
+            self.sym_matrix[code, : len(s)] = np.frombuffer(s, np.uint8)
+            self.sym_lens[code] = len(s)
+
+    def serialize(self) -> bytes:
+        out = bytearray(uvarint(len(self.symbols)))
+        for s in self.symbols:
+            out.append(len(s))
+            out += s
+        return bytes(out)
+
+    @classmethod
+    def deserialize(cls, buf, pos: int) -> tuple["SymbolTable", int]:
+        n, pos = read_uvarint(buf, pos)
+        syms = []
+        for _ in range(n):
+            l = buf[pos]
+            pos += 1
+            syms.append(bytes(memoryview(buf)[pos : pos + l]))
+            pos += l
+        return cls(syms), pos
+
+
+def _windows64(data: np.ndarray) -> np.ndarray:
+    """uint64 little-endian 8-byte window starting at each position."""
+    n = len(data)
+    padded = np.concatenate([data, np.zeros(8, dtype=np.uint8)])
+    acc = np.zeros(n, dtype=np.uint64)
+    for j in range(8):
+        acc |= padded[j : j + n].astype(np.uint64) << np.uint64(8 * j)
+    return acc
+
+
+def _boundary_dist(lengths: np.ndarray) -> np.ndarray:
+    """nb[i] = bytes remaining in i's string (so matches don't cross)."""
+    total = int(lengths.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    ends = np.cumsum(lengths)
+    out = np.repeat(ends, lengths) - np.arange(total)
+    return out
+
+
+def _match(data: np.ndarray, nb: np.ndarray, table: SymbolTable) -> tuple[np.ndarray, np.ndarray]:
+    """Longest-match per position -> (match_len, code); code -1 = literal."""
+    n = len(data)
+    match_len = np.ones(n, dtype=np.int64)
+    code = np.full(n, -1, dtype=np.int32)
+    if n == 0:
+        return match_len, code
+    win = _windows64(data)
+    for L in range(MAX_LEN, 0, -1):
+        keys = table.keys_by_len.get(L)
+        if keys is None or len(keys) == 0:
+            continue
+        kL = win & _MASKS[L]
+        idx = np.searchsorted(keys, kL)
+        idx_c = np.minimum(idx, len(keys) - 1)
+        hit = (keys[idx_c] == kL) & (nb >= L) & (code == -1)
+        match_len[hit] = L
+        code[hit] = table.codes_by_len[L][idx_c[hit]]
+    return match_len, code
+
+
+def _orbit(step: np.ndarray) -> np.ndarray:
+    """Positions visited from 0 following i -> i + step[i] (pointer doubling)."""
+    n = len(step)
+    visited = np.zeros(n + 1, dtype=bool)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    visited[0] = True
+    jump = np.empty(n + 1, dtype=np.int64)
+    jump[:n] = np.minimum(np.arange(n) + step, n)
+    jump[n] = n
+    rounds = max(1, int(np.ceil(np.log2(n + 1))) + 1)
+    for _ in range(rounds):
+        visited[jump[visited]] = True
+        jump = jump[jump]
+    return np.flatnonzero(visited[:n])
+
+
+def train(lengths: np.ndarray, data: np.ndarray, sample_bytes: int = 1 << 16, generations: int = 5) -> SymbolTable:
+    """Build a symbol table from a prefix sample of the column."""
+    total = int(lengths.sum())
+    if total == 0:
+        return SymbolTable([])
+    # sample whole strings up to sample_bytes
+    ends = np.cumsum(lengths)
+    k = int(np.searchsorted(ends, min(sample_bytes, total)))
+    k = max(1, min(k + 1, len(lengths)))
+    s_lens = lengths[:k]
+    s_data = data[: int(s_lens.sum())]
+    nb = _boundary_dist(s_lens)
+    win = _windows64(s_data)
+    table = SymbolTable([])
+    for _ in range(generations):
+        mlen, _code = _match(s_data, nb, table)
+        tokens = _orbit(mlen)
+        tlens = mlen[tokens]
+        # candidates: current parsed symbols + merged adjacent pairs + single bytes
+        cand_keys = []
+        cand_lens = []
+        # current tokens as candidates
+        cand_keys.append(win[tokens] & np.take(np.array([_MASKS[i] for i in range(9)]), tlens))
+        cand_lens.append(tlens)
+        # merged pairs
+        if len(tokens) > 1:
+            plen = tlens[:-1] + tlens[1:]
+            ok = (plen <= MAX_LEN) & (nb[tokens[:-1]] >= plen)
+            ppos = tokens[:-1][ok]
+            pl = plen[ok]
+            cand_keys.append(win[ppos] & np.take(np.array([_MASKS[i] for i in range(9)]), pl))
+            cand_lens.append(pl)
+        # single bytes (ensures coverage of frequent literals)
+        cand_keys.append(s_data.astype(np.uint64))
+        cand_lens.append(np.ones(len(s_data), dtype=np.int64))
+        ck = np.concatenate(cand_keys)
+        cl = np.concatenate(cand_lens)
+        # composite (len, key) count
+        comp = np.stack([cl.astype(np.uint64), ck])
+        uniq, counts = np.unique(comp, axis=1, return_counts=True)
+        ulen = uniq[0].astype(np.int64)
+        ukey = uniq[1]
+        gain = counts * ulen
+        order = np.argsort(-gain, kind="stable")[: MAX_SYMBOLS]
+        syms = [
+            int(ukey[i]).to_bytes(8, "little")[: int(ulen[i])] for i in order if gain[i] > 1
+        ]
+        table = SymbolTable(syms)
+    return table
+
+
+def _parse_tokens(lengths: np.ndarray, data: np.ndarray, table: SymbolTable):
+    nb = _boundary_dist(lengths)
+    mlen, code = _match(data, nb, table)
+    tokens = _orbit(mlen)
+    return tokens, mlen, code
+
+
+def encode_column(lengths: np.ndarray, data: np.ndarray, table: SymbolTable | None = None) -> bytes:
+    if table is None:
+        table = train(lengths, data)
+    head = table.serialize()
+    n_str = len(lengths)
+    if int(lengths.sum()) == 0:
+        comp_lens = np.zeros(n_str, dtype=np.int32)
+        return head + deltabp.encode(comp_lens, 32)
+    tokens, mlen, code = _parse_tokens(lengths, data, table)
+    tcode = code[tokens]
+    is_lit = tcode < 0
+    out_len = np.where(is_lit, 2, 1)
+    starts = np.concatenate([[0], np.cumsum(out_len)[:-1]])
+    out = np.empty(int(out_len.sum()), dtype=np.uint8)
+    out[starts[~is_lit]] = tcode[~is_lit].astype(np.uint8)
+    lit_starts = starts[is_lit]
+    out[lit_starts] = ESCAPE
+    out[lit_starts + 1] = data[tokens[is_lit]]
+    # per-string compressed lengths
+    str_starts = np.concatenate([[0], np.cumsum(lengths)[:-1]])
+    seg_of_token = np.searchsorted(str_starts, tokens, side="right") - 1
+    comp_lens = np.bincount(seg_of_token, weights=out_len, minlength=n_str).astype(np.int64)
+    return head + deltabp.encode(comp_lens.astype(np.int32), 32) + out.tobytes()
+
+
+def decode_column(buf, pos: int = 0) -> tuple[np.ndarray, np.ndarray, int]:
+    """-> (lengths, data, new_pos)."""
+    table, pos = SymbolTable.deserialize(buf, pos)
+    comp_lens32, pos = deltabp.decode(buf, pos, 32)
+    comp_lens = comp_lens32.astype(np.int64)
+    total_c = int(comp_lens.sum())
+    cdata = np.frombuffer(buf, np.uint8, total_c, pos)
+    pos += total_c
+    n_str = len(comp_lens)
+    if total_c == 0:
+        return np.zeros(n_str, dtype=np.int64), np.empty(0, dtype=np.uint8), pos
+    step = np.where(cdata == ESCAPE, 2, 1)
+    tokens = _orbit(step)
+    tbyte = cdata[tokens]
+    is_esc = tbyte == ESCAPE
+    sym = np.where(is_esc, len(table.symbols), tbyte).astype(np.int64)
+    if (~is_esc & (tbyte >= len(table.symbols))).any():
+        raise ValueError("fsst: code out of range")
+    out_lens_tok = np.where(is_esc, 1, table.sym_lens[sym])
+    # build output bytes: per token a row of up to 8 bytes
+    rows = table.sym_matrix[sym]
+    if is_esc.any():
+        rows = rows.copy()
+        rows[is_esc, 0] = cdata[tokens[is_esc] + 1]
+    mask = np.arange(MAX_LEN) < out_lens_tok[:, None]
+    out = rows[mask]
+    # per-string original lengths
+    seg_starts = np.concatenate([[0], np.cumsum(comp_lens)[:-1]])
+    seg_of_token = np.searchsorted(seg_starts, tokens, side="right") - 1
+    lengths = np.bincount(seg_of_token, weights=out_lens_tok, minlength=n_str).astype(np.int64)
+    return lengths, out, pos

@@ -1,0 +1,103 @@
+"""FSST and BYTE_STREAM_SPLIT tests (north-star codecs, spec-driven,
+self-round-trip per SURVEY.md §7 step 2)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from parquet_go_spark.kernels import bytestreamsplit as bss
+from parquet_go_spark.kernels import fsst
+
+RNG = np.random.default_rng(7)
+
+WORDS = (
+    "the quick brown fox jumps over lazy dog http www com org html page "
+    "content web site data click here terms privacy policy copyright"
+).split()
+
+
+def make_texts(n, min_words=5, max_words=60):
+    texts = []
+    for _ in range(n):
+        k = RNG.integers(min_words, max_words)
+        texts.append((" ".join(RNG.choice(WORDS, size=k)) + ".").encode())
+    return texts
+
+
+def to_flat(values):
+    lens = np.array([len(v) for v in values], dtype=np.int64)
+    data = np.frombuffer(b"".join(values), dtype=np.uint8) if values else np.empty(0, np.uint8)
+    return lens, data
+
+
+@pytest.mark.parametrize("n", [0, 1, 3, 500])
+def test_fsst_roundtrip(n):
+    texts = make_texts(n) if n else []
+    lens, data = to_flat(texts)
+    enc = fsst.encode_column(lens, data)
+    ol, od, pos = fsst.decode_column(enc)
+    assert pos == len(enc)
+    np.testing.assert_array_equal(ol, lens)
+    np.testing.assert_array_equal(od, data)
+
+
+def test_fsst_compresses_web_text():
+    texts = make_texts(2000)
+    lens, data = to_flat(texts)
+    enc = fsst.encode_column(lens, data)
+    ratio = len(enc) / int(lens.sum())
+    assert ratio < 0.55, f"FSST ratio {ratio:.2f} too weak on wordy text"
+    ol, od, _ = fsst.decode_column(enc)
+    np.testing.assert_array_equal(od, data)
+
+
+def test_fsst_handles_escape_heavy_binary():
+    # random bytes: almost everything escapes (incl. 0xff literals)
+    lens = np.full(50, 64, dtype=np.int64)
+    data = RNG.integers(0, 256, size=int(lens.sum()), dtype=np.uint8)
+    enc = fsst.encode_column(lens, data)
+    ol, od, _ = fsst.decode_column(enc)
+    np.testing.assert_array_equal(ol, lens)
+    np.testing.assert_array_equal(od, data)
+
+
+def test_fsst_empty_and_zero_length_strings():
+    vals = [b"", b"aaa", b"", b"aaaaaa", b""]
+    lens, data = to_flat(vals)
+    enc = fsst.encode_column(lens, data)
+    ol, od, _ = fsst.decode_column(enc)
+    np.testing.assert_array_equal(ol, lens)
+    np.testing.assert_array_equal(od, data)
+
+
+def test_fsst_symbols_never_cross_string_boundaries():
+    # "abab|abab" must not produce a symbol spanning the boundary; decoded
+    # per-string lengths prove boundaries survived
+    vals = [b"abababab"] * 100 + [b"babababa"] * 100
+    lens, data = to_flat(vals)
+    enc = fsst.encode_column(lens, data)
+    ol, od, _ = fsst.decode_column(enc)
+    np.testing.assert_array_equal(ol, lens)
+    np.testing.assert_array_equal(od, data)
+
+
+@pytest.mark.parametrize("dt", [np.float32, np.float64, np.int32, np.int64])
+def test_bss_roundtrip(dt):
+    if np.issubdtype(dt, np.floating):
+        vals = RNG.normal(scale=1e6, size=1001).astype(dt)
+    else:
+        vals = RNG.integers(-(2**20), 2**20, size=1001).astype(dt)
+    enc = bss.encode(vals)
+    out, pos = bss.decode(enc, len(vals), np.dtype(dt))
+    assert pos == len(enc)
+    np.testing.assert_array_equal(out, vals)
+
+
+def test_bss_improves_compressibility():
+    import zlib
+
+    vals = (np.arange(10000, dtype=np.float64) * 1.5 + 1e9).astype(np.float64)
+    plain = vals.tobytes()
+    split = bss.encode(vals)
+    assert len(zlib.compress(split)) < len(zlib.compress(plain))
