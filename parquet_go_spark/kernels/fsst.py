@@ -62,6 +62,20 @@ class SymbolTable:
         for code, s in enumerate(self.symbols):
             self.sym_matrix[code, : len(s)] = np.frombuffer(s, np.uint8)
             self.sym_lens[code] = len(s)
+        # match accelerators: direct tables for L=1/2, and a 2-byte-prefix
+        # gate giving the max symbol length starting with those two bytes
+        # (so the per-length searches only touch gated positions).
+        self.code1 = np.full(256, -1, dtype=np.int32)
+        self.code2 = np.full(65536, -1, dtype=np.int32)
+        self.gate2 = np.zeros(65536, dtype=np.uint8)
+        for code, s in enumerate(self.symbols):
+            if len(s) == 1:
+                self.code1[s[0]] = code
+            else:
+                f2 = s[0] | (s[1] << 8)
+                if len(s) == 2:
+                    self.code2[f2] = code
+                self.gate2[f2] = max(self.gate2[f2], len(s))
 
     def serialize(self) -> bytes:
         out = bytearray(uvarint(len(self.symbols)))
@@ -102,38 +116,78 @@ def _boundary_dist(lengths: np.ndarray) -> np.ndarray:
     return out
 
 
+_MATCH_CHUNK = 1 << 19  # keep temporaries cache-resident (memory-bound box)
+
+
 def _match(data: np.ndarray, nb: np.ndarray, table: SymbolTable) -> tuple[np.ndarray, np.ndarray]:
-    """Longest-match per position -> (match_len, code); code -1 = literal."""
+    """Longest-match per position -> (match_len, code); code -1 = literal.
+
+    Chunked so the ~20 intermediate arrays stay in LLC instead of DRAM."""
     n = len(data)
-    match_len = np.ones(n, dtype=np.int64)
-    code = np.full(n, -1, dtype=np.int32)
+    match_len = np.ones(n, dtype=np.int8)
+    code = np.full(n, -1, dtype=np.int16)
+    for lo in range(0, n, _MATCH_CHUNK):
+        hi = min(lo + _MATCH_CHUNK, n)
+        # overlap 7 bytes so windows at the tail see the next chunk
+        dslice = data[lo : min(hi + 7, n)]
+        ml, cd = _match_block(dslice, hi - lo, nb[lo:hi], table)
+        match_len[lo:hi] = ml
+        code[lo:hi] = cd
+    return match_len.astype(np.int64), code.astype(np.int32)
+
+
+def _match_block(data: np.ndarray, n: int, nb: np.ndarray, table: SymbolTable):
+    match_len = np.ones(n, dtype=np.int8)
+    code = np.full(n, -1, dtype=np.int16)
     if n == 0:
         return match_len, code
-    win = _windows64(data)
-    for L in range(MAX_LEN, 0, -1):
+    win = _windows64(data)[:n]
+    # gated candidates for symbols of length >= 3
+    f2 = (win & _MASKS[2]).astype(np.uint32)
+    gate = table.gate2[f2]
+    cand = np.flatnonzero((gate >= 3) & (nb >= 3))
+    for L in range(MAX_LEN, 2, -1):
         keys = table.keys_by_len.get(L)
-        if keys is None or len(keys) == 0:
+        if keys is None or len(keys) == 0 or len(cand) == 0:
             continue
-        kL = win & _MASKS[L]
-        idx = np.searchsorted(keys, kL)
-        idx_c = np.minimum(idx, len(keys) - 1)
-        hit = (keys[idx_c] == kL) & (nb >= L) & (code == -1)
-        match_len[hit] = L
-        code[hit] = table.codes_by_len[L][idx_c[hit]]
+        sub = cand[(gate[cand] >= L) & (nb[cand] >= L) & (code[cand] == -1)]
+        if len(sub) == 0:
+            continue
+        kL = win[sub] & _MASKS[L]
+        idx = np.minimum(np.searchsorted(keys, kL), len(keys) - 1)
+        hit = keys[idx] == kL
+        hs = sub[hit]
+        match_len[hs] = L
+        code[hs] = table.codes_by_len[L][idx[hit]]
+    # L=2 / L=1 via direct tables
+    c2 = table.code2[f2]
+    hit2 = (c2 >= 0) & (nb >= 2) & (code == -1)
+    match_len[hit2] = 2
+    code[hit2] = c2[hit2]
+    c1 = table.code1[data[:n]]
+    hit1 = (c1 >= 0) & (code == -1)
+    code[hit1] = c1[hit1]
     return match_len, code
 
 
-def _orbit(step: np.ndarray) -> np.ndarray:
-    """Positions visited from 0 following i -> i + step[i] (pointer doubling)."""
+def _orbit(step: np.ndarray, starts: np.ndarray | None = None, max_chain: int | None = None) -> np.ndarray:
+    """Positions visited following i -> i + step[i] from each start
+    (pointer doubling). Token chains never cross string boundaries, so
+    seeding every string start bounds the chain depth by the longest
+    string, not the column size: rounds = ceil(log2(max_chain))+1."""
     n = len(step)
-    visited = np.zeros(n + 1, dtype=bool)
     if n == 0:
         return np.empty(0, dtype=np.int64)
-    visited[0] = True
-    jump = np.empty(n + 1, dtype=np.int64)
-    jump[:n] = np.minimum(np.arange(n) + step, n)
+    visited = np.zeros(n + 1, dtype=bool)
+    if starts is None:
+        visited[0] = True
+    else:
+        visited[starts] = True
+    jump = np.empty(n + 1, dtype=np.int32)
+    jump[:n] = np.minimum(np.arange(n, dtype=np.int32) + step.astype(np.int32, copy=False), n)
     jump[n] = n
-    rounds = max(1, int(np.ceil(np.log2(n + 1))) + 1)
+    depth = max_chain if max_chain is not None else n
+    rounds = max(1, int(np.ceil(np.log2(max(depth, 2)))) + 1)
     for _ in range(rounds):
         visited[jump[visited]] = True
         jump = jump[jump]
@@ -194,7 +248,10 @@ def train(lengths: np.ndarray, data: np.ndarray, sample_bytes: int = 1 << 16, ge
 def _parse_tokens(lengths: np.ndarray, data: np.ndarray, table: SymbolTable):
     nb = _boundary_dist(lengths)
     mlen, code = _match(data, nb, table)
-    tokens = _orbit(mlen)
+    nz = lengths > 0
+    starts = np.concatenate([[0], np.cumsum(lengths)[:-1]])[nz]
+    max_chain = int(lengths.max()) if len(lengths) else 1
+    tokens = _orbit(mlen, starts=starts, max_chain=max_chain)
     return tokens, mlen, code
 
 
@@ -235,7 +292,9 @@ def decode_column(buf, pos: int = 0) -> tuple[np.ndarray, np.ndarray, int]:
     if total_c == 0:
         return np.zeros(n_str, dtype=np.int64), np.empty(0, dtype=np.uint8), pos
     step = np.where(cdata == ESCAPE, 2, 1)
-    tokens = _orbit(step)
+    nz = comp_lens > 0
+    starts = np.concatenate([[0], np.cumsum(comp_lens)[:-1]])[nz]
+    tokens = _orbit(step, starts=starts, max_chain=int(comp_lens.max()))
     tbyte = cdata[tokens]
     is_esc = tbyte == ESCAPE
     sym = np.where(is_esc, len(table.symbols), tbyte).astype(np.int64)
