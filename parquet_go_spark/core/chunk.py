@@ -1,0 +1,421 @@
+"""Column-chunk encoder/decoder: the engine's analogue of the reference's
+``writeChunk`` (``chunk_writer.go:154-317``) — page cutting, the exact
+dictionary-vs-fallback decision, the extended codec auto-selector, and a
+compact binary chunk container (our stand-in for thrift page headers;
+stats and lineage live in the manifest instead of the footer).
+
+Chunk container layout (little-endian, all varints = LEB128):
+  magic "PGSC" | version u8 | ptype u8 | encoding u8 | compression u8
+  | flags u8 (bit0 = has dict) | uvarint num_rows | uvarint null_count
+  [ if dict: uvarint dict_count | uvarint raw_len | uvarint comp_len
+             | compressed PLAIN-encoded uniques ]
+  | uvarint num_pages
+  | per page: uvarint rows | uvarint nulls | uvarint raw_len
+              | uvarint comp_len | compressed (def-levels V1 + values)
+
+The per-page payload byte layout (def levels with 4-byte size prefix, then
+the value stream) matches the reference's uncompressed page-V1 block
+(``page_v1.go:162-222``), so the size gate compares like for like.
+"""
+
+from __future__ import annotations
+
+import zlib
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+
+from ..kernels import bitpack  # noqa: F401  (re-exported for selectors)
+from ..kernels import bytearrays, bytestreamsplit, deltabp, dictenc, fsst, hybrid, levels, plain
+from ..kernels.varint import read_uvarint, uvarint
+from .columns import ColumnData, gather_segments
+
+__all__ = ["encode_chunk", "decode_chunk", "ENCODINGS", "DICT_MAX", "ChunkMeta"]
+
+MAGIC = b"PGSC"
+VERSION = 1
+DICT_MAX = 32767  # math.MaxInt16, type_dict.go:101 / chunk_writer.go:188,200
+DEFAULT_PAGE = 1 << 20  # data_store.go:149-154
+
+PTYPES = {"bool": 0, "int32": 1, "int64": 2, "float": 3, "double": 4, "bytes": 5}
+PTYPES_R = {v: k for k, v in PTYPES.items()}
+
+ENCODINGS = {
+    "plain": 0,
+    "rle_dict": 1,  # dict page + hybrid index stream
+    "delta_bp": 3,
+    "delta_length": 4,
+    "delta_bytes": 5,
+    "fsst": 6,
+    "bss": 7,
+    "rle_bool": 8,
+}
+ENCODINGS_R = {v: k for k, v in ENCODINGS.items()}
+
+COMPRESSIONS = {"none": 0, "zlib": 1, "snappy": 2, "zstd": 3, "lz4": 4}
+COMPRESSIONS_R = {v: k for k, v in COMPRESSIONS.items()}
+
+_FIXED_KIND = {"int32": "int32", "int64": "int64", "float": "float", "double": "double"}
+
+
+def _compress(payload: bytes, compression: str) -> bytes:
+    if compression == "none":
+        return payload
+    if compression == "zlib":
+        return zlib.compress(payload, 6)
+    codec = pa.Codec(compression)
+    return codec.compress(payload, asbytes=True)
+
+
+def _decompress(payload: bytes, compression: str, raw_len: int) -> bytes:
+    if compression == "none":
+        return payload
+    if compression == "zlib":
+        return zlib.decompress(payload)
+    return pa.Codec(compression).decompress(payload, raw_len, asbytes=True)
+
+
+@dataclass
+class ChunkMeta:
+    ptype: str
+    encoding: str
+    compression: str
+    num_rows: int
+    null_count: int
+    distinct: int
+    raw_bytes: int
+    encoded_bytes: int
+    num_pages: int
+    crc32: int
+    min_value: object = None
+    max_value: object = None
+
+    def as_dict(self) -> dict:
+        return {
+            "ptype": self.ptype,
+            "encoding": self.encoding,
+            "compression": self.compression,
+            "num_rows": self.num_rows,
+            "null_count": self.null_count,
+            "distinct": self.distinct,
+            "raw_bytes": self.raw_bytes,
+            "encoded_bytes": self.encoded_bytes,
+            "num_pages": self.num_pages,
+            "crc32": self.crc32,
+        }
+
+
+# --------------------------------------------------------------- factorize
+def _factorize(col: ColumnData) -> tuple[np.ndarray, ColumnData | np.ndarray, int]:
+    """First-occurrence factorization (reference dict order,
+    chunk_writer.go:191-209). Returns (codes_int32, uniques, n_distinct)."""
+    if col.ptype == "bytes":
+        offsets = np.concatenate([[0], np.cumsum(col.lengths)]).astype(np.int64)
+        arr = pa.LargeBinaryArray.from_buffers(
+            pa.large_binary(),
+            len(col.lengths),
+            [None, pa.py_buffer(offsets), pa.py_buffer(np.ascontiguousarray(col.data))],
+        )
+        d = arr.dictionary_encode()
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int32)
+        uq = d.dictionary
+        uq_l = uq.cast(pa.large_binary())
+        uoff = np.frombuffer(uq_l.buffers()[1], dtype=np.int64, count=len(uq_l) + 1)
+        ubuf = uq_l.buffers()[2]
+        udata = np.frombuffer(ubuf, dtype=np.uint8, count=int(uoff[-1])) if ubuf else np.empty(0, np.uint8)
+        uniques = ColumnData("bytes", np.ones(len(uq), bool), lengths=np.diff(uoff), data=udata)
+        return codes, uniques, len(uq)
+    import pandas as pd
+
+    view = col.values
+    if col.ptype in ("float", "double"):
+        view = view.view(np.int32 if col.ptype == "float" else np.int64)
+    codes, uq_view = pd.factorize(view, use_na_sentinel=False)
+    uniques = np.asarray(uq_view).view(col.values.dtype)
+    return codes.astype(np.int32), uniques, len(uniques)
+
+
+def _encode_dict_values(uniques, ptype: str) -> bytes:
+    if ptype == "bytes":
+        return plain.encode_byte_array(uniques.lengths, uniques.data)
+    return plain.encode_fixed(uniques, _FIXED_KIND[ptype])
+
+
+# -------------------------------------------------------------- page logic
+def _page_boundaries(col: ColumnData, max_page: int) -> list[tuple[int, int]]:
+    """Row ranges per page, cutting at ~max_page estimated bytes
+    (estimateSize semantics, data_store.go:138-154: plain value bytes +
+    level bytes)."""
+    n = col.num_rows
+    if n == 0:
+        return [(0, 0)]
+    if col.ptype == "bytes":
+        per_value = np.zeros(n, dtype=np.int64)
+        per_value[col.validity] = col.lengths + 4
+    else:
+        itemsize = {"bool": 1, "int32": 4, "int64": 8, "float": 4, "double": 8}[col.ptype]
+        per_value = np.where(col.validity, itemsize, 0).astype(np.int64)
+    est = np.cumsum(per_value + 1)  # +1 ~ level byte overhead upper bound /8 rounded
+    bounds = []
+    start = 0
+    base = 0
+    while start < n:
+        cut = int(np.searchsorted(est, base + max_page, side="left")) + 1
+        cut = min(max(cut, start + 1), n)
+        bounds.append((start, cut))
+        base = est[cut - 1]
+        start = cut
+    return bounds
+
+
+def _value_slice(col: ColumnData, row_lo: int, row_hi: int, vstart: int):
+    """Slice non-null values for a row range; returns (slice_repr, vend)."""
+    nvals = int(col.validity[row_lo:row_hi].sum())
+    vend = vstart + nvals
+    if col.ptype == "bytes":
+        lens = col.lengths[vstart:vend]
+        dstart = int(col.lengths[:vstart].sum())  # cached below by caller
+        return (lens, None), vend
+    return col.values[vstart:vend], vend
+
+
+# ------------------------------------------------------------ value codecs
+def _encode_values(enc: str, col: ColumnData, vlo: int, vhi: int, dlo: int, dhi: int, codes, dict_size: int, index_mode: str) -> bytes:
+    if enc == "rle_dict":
+        return dictenc.encode_indices(codes[vlo:vhi].astype(np.uint64), dict_size, mode=index_mode)
+    if col.ptype == "bytes":
+        lens = col.lengths[vlo:vhi]
+        data = col.data[dlo:dhi]
+        if enc == "plain":
+            return plain.encode_byte_array(lens, data)
+        if enc == "delta_length":
+            return bytearrays.encode_delta_length(lens, data)
+        if enc == "delta_bytes":
+            return bytearrays.encode_delta(lens, data)
+        if enc == "fsst":
+            return fsst.encode_column(lens, data)
+        raise ValueError(f"bad bytes encoding {enc}")
+    vals = col.values[vlo:vhi]
+    if enc == "plain":
+        if col.ptype == "bool":
+            return plain.encode_bool(vals)
+        return plain.encode_fixed(vals, _FIXED_KIND[col.ptype])
+    if enc == "rle_bool":
+        return hybrid.with_size_prefix(hybrid.encode_auto(vals.astype(np.uint64), 1), 1)
+    if enc == "delta_bp":
+        return deltabp.encode(vals, 32 if col.ptype == "int32" else 64)
+    if enc == "bss":
+        return bytestreamsplit.encode(vals)
+    raise ValueError(f"bad encoding {enc} for {col.ptype}")
+
+
+def _decode_values(enc: str, ptype: str, payload: bytes, pos: int, nvals: int, dict_vals):
+    """-> (values_repr, pos). values_repr: ndarray or (lengths, data)."""
+    if enc == "rle_dict":
+        bw = payload[pos]
+        pos += 1
+        idx = hybrid.decode(bytes(memoryview(payload)[pos:]), bw, nvals).astype(np.int64)
+        if ptype == "bytes":
+            u_lens, u_data = dict_vals
+            if len(idx) == 0:
+                return (np.empty(0, np.int64), np.empty(0, np.uint8)), len(payload)
+            starts = np.concatenate([[0], np.cumsum(u_lens)[:-1]]) if len(u_lens) else u_lens
+            lens = u_lens[idx]
+            return (lens, gather_segments(u_data, starts[idx], lens)), len(payload)
+        return dict_vals[idx], len(payload)
+    if ptype == "bytes":
+        if enc == "plain":
+            lens, data, pos = plain.decode_byte_array(payload, nvals, pos)
+        elif enc == "delta_length":
+            lens, data, pos = bytearrays.decode_delta_length(payload, pos)
+        elif enc == "delta_bytes":
+            lens, data, pos = bytearrays.decode_delta(payload, pos)
+        elif enc == "fsst":
+            lens, data, pos = fsst.decode_column(payload, pos)
+        else:
+            raise ValueError(enc)
+        return (lens, data), pos
+    if enc == "plain":
+        if ptype == "bool":
+            vals, pos = plain.decode_bool(payload, nvals, pos)
+        else:
+            vals, pos = plain.decode_fixed(payload, nvals, _FIXED_KIND[ptype], pos)
+        return vals, pos
+    if enc == "rle_bool":
+        vals, pos = hybrid.decode_sized(payload, 1, nvals, pos)
+        return vals.astype(bool), pos
+    if enc == "delta_bp":
+        vals, pos = deltabp.decode(payload, pos, 32 if ptype == "int32" else 64)
+        return vals, pos
+    if enc == "bss":
+        dt = {"int32": np.int32, "int64": np.int64, "float": np.float32, "double": np.float64}[ptype]
+        vals, pos = bytestreamsplit.decode(payload, nvals, np.dtype(dt), pos)
+        return vals, pos
+    raise ValueError(enc)
+
+
+# ------------------------------------------------------------------ encode
+def encode_chunk(
+    col: ColumnData,
+    profile: str = "auto",
+    compression: str = "none",
+    max_page: int = DEFAULT_PAGE,
+    level_mode: str | None = None,
+) -> tuple[bytes, ChunkMeta]:
+    """Encode one column chunk. ``profile``:
+    * ``"reference"`` — the exact reference decision (chunk_writer.go:
+      174-227): dictionary unless boolean or distinct > 32767, else the
+      column's fallback PLAIN; BP-only hybrid streams everywhere.
+    * ``"auto"`` — extended selector (selector.py): sampled-size choice
+      among all applicable codecs; RLE hybrid runs where smaller.
+    """
+    from .selector import choose_encoding  # local import to avoid cycle
+
+    if level_mode is None:
+        level_mode = "bp" if profile == "reference" else "auto"
+    index_mode = "bp" if profile == "reference" else "auto"
+
+    codes = dict_size = None
+    uniques = None
+    distinct = -1
+    enc = None
+    if profile == "reference":
+        if col.ptype != "bool" and col.num_values > 0:
+            codes, uniques, distinct = _factorize(col)
+            if distinct <= DICT_MAX:
+                enc = "rle_dict"
+                dict_size = distinct
+            else:
+                enc = "plain"
+        else:
+            if col.ptype == "bool":
+                enc = "plain"
+            else:
+                # all-null non-bool chunk stays on the dict path with an
+                # empty dictionary (TestWriteEmptyDict, readwrite_test.go:534)
+                enc = "rle_dict"
+                codes = np.empty(0, dtype=np.int32)
+                uniques, distinct, dict_size = None, 0, 0
+    else:
+        enc, codes, uniques, distinct, dict_size = choose_encoding(col, compression)
+
+    bounds = _page_boundaries(col, max_page)
+
+    out = bytearray()
+    out += MAGIC
+    flags = 1 if enc == "rle_dict" else 0
+    out += bytes([VERSION, PTYPES[col.ptype], ENCODINGS[enc], COMPRESSIONS[compression], flags])
+    out += uvarint(col.num_rows)
+    out += uvarint(col.num_rows - col.num_values)
+    if enc == "rle_dict":
+        dict_payload = (
+            _encode_dict_values(uniques, col.ptype) if uniques is not None and dict_size else b""
+        )
+        dcomp = _compress(dict_payload, compression)
+        out += uvarint(dict_size)
+        out += uvarint(len(dict_payload))
+        out += uvarint(len(dcomp))
+        out += dcomp
+    out += uvarint(len(bounds))
+
+    # precompute byte offsets for bytes-typed pages
+    if col.ptype == "bytes":
+        vcum = np.concatenate([[0], np.cumsum(col.lengths)]).astype(np.int64)
+    vstart = 0
+    for row_lo, row_hi in bounds:
+        validity = col.validity[row_lo:row_hi]
+        nvals = int(validity.sum())
+        vend = vstart + nvals
+        if col.ptype == "bytes":
+            dlo, dhi = int(vcum[vstart]), int(vcum[vend])
+        else:
+            dlo = dhi = 0
+        lvl = levels.encode_def_levels(validity, mode=level_mode)
+        vals = _encode_values(enc, col, vstart, vend, dlo, dhi, codes, dict_size or 0, index_mode)
+        payload = lvl + vals
+        comp = _compress(payload, compression)
+        out += uvarint(row_hi - row_lo)
+        out += uvarint((row_hi - row_lo) - nvals)
+        out += uvarint(len(payload))
+        out += uvarint(len(comp))
+        out += comp
+        vstart = vend
+
+    blob = bytes(out)
+    meta = ChunkMeta(
+        ptype=col.ptype,
+        encoding=enc,
+        compression=compression,
+        num_rows=col.num_rows,
+        null_count=col.num_rows - col.num_values,
+        distinct=distinct,
+        raw_bytes=col.raw_bytes,
+        encoded_bytes=len(blob),
+        num_pages=len(bounds),
+        crc32=zlib.crc32(blob),
+    )
+    return blob, meta
+
+
+# ------------------------------------------------------------------ decode
+def decode_chunk(blob, logical: str = "") -> ColumnData:
+    mv = memoryview(blob)
+    if bytes(mv[:4]) != MAGIC:
+        raise ValueError("bad chunk magic")
+    version, pt, en, cp, flags = mv[4], mv[5], mv[6], mv[7], mv[8]
+    if version != VERSION:
+        raise ValueError(f"bad chunk version {version}")
+    ptype = PTYPES_R[pt]
+    enc = ENCODINGS_R[en]
+    compression = COMPRESSIONS_R[cp]
+    pos = 9
+    num_rows, pos = read_uvarint(mv, pos)
+    null_count, pos = read_uvarint(mv, pos)
+    dict_vals = None
+    if flags & 1:
+        dict_size, pos = read_uvarint(mv, pos)
+        raw_len, pos = read_uvarint(mv, pos)
+        comp_len, pos = read_uvarint(mv, pos)
+        dict_payload = _decompress(bytes(mv[pos : pos + comp_len]), compression, raw_len)
+        pos += comp_len
+        if ptype == "bytes":
+            u_lens, u_data, _ = plain.decode_byte_array(dict_payload, dict_size)
+            dict_vals = (u_lens, u_data)
+        else:
+            dict_vals, _ = plain.decode_fixed(dict_payload, dict_size, _FIXED_KIND[ptype])
+    num_pages, pos = read_uvarint(mv, pos)
+    validity_parts = []
+    value_parts = []
+    len_parts = []
+    data_parts = []
+    for _ in range(num_pages):
+        rows, pos = read_uvarint(mv, pos)
+        nulls, pos = read_uvarint(mv, pos)
+        raw_len, pos = read_uvarint(mv, pos)
+        comp_len, pos = read_uvarint(mv, pos)
+        payload = _decompress(bytes(mv[pos : pos + comp_len]), compression, raw_len)
+        pos += comp_len
+        validity, ppos = levels.decode_def_levels(payload, rows, 0)
+        validity_parts.append(validity)
+        nvals = rows - nulls
+        repr_, _ = _decode_values(enc, ptype, payload, ppos, nvals, dict_vals)
+        if ptype == "bytes":
+            len_parts.append(repr_[0])
+            data_parts.append(repr_[1])
+        else:
+            value_parts.append(repr_)
+    validity = np.concatenate(validity_parts) if validity_parts else np.empty(0, bool)
+    if ptype == "bytes":
+        lengths = np.concatenate(len_parts) if len_parts else np.empty(0, np.int64)
+        data = np.concatenate(data_parts) if data_parts else np.empty(0, np.uint8)
+        return ColumnData(ptype, validity, lengths=lengths.astype(np.int64), data=data, logical=logical or "binary")
+    dt = {"bool": np.bool_, "int32": np.int32, "int64": np.int64, "float": np.float32, "double": np.float64}[ptype]
+    values = (
+        np.concatenate([v.astype(dt, copy=False).view(dt) if v.dtype != dt else v for v in value_parts])
+        if value_parts
+        else np.empty(0, dt)
+    )
+    if values.dtype != dt:
+        values = values.view(dt) if values.dtype.itemsize == np.dtype(dt).itemsize else values.astype(dt)
+    return ColumnData(ptype, validity, values=values, logical=logical or ptype)

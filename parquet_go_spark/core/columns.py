@@ -1,0 +1,176 @@
+"""Column representation bridging Arrow/pandas batches and the codec
+kernels: every column becomes (validity, values) where values are either a
+fixed-width numpy array or a (lengths, data) flat byte pair — the same
+"non-null values + def levels" split the reference's ColumnStore keeps
+(``data_store.go:96-136``: nulls only append levels, never values).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+
+__all__ = ["ColumnData", "from_arrow", "to_arrow", "PHYSICAL", "gather_segments"]
+
+
+def gather_segments(src: np.ndarray, starts: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    """Concatenate src[starts[i] : starts[i]+lengths[i]] segments (vectorized)."""
+    total = int(lengths.sum())
+    if total == 0 or len(lengths) == 0:
+        return np.empty(0, dtype=src.dtype)
+    idx = np.repeat(starts, lengths) + (
+        np.arange(total) - np.repeat(np.concatenate([[0], np.cumsum(lengths)[:-1]]), lengths)
+    )
+    return src[idx]
+
+# physical types (SURVEY.md §1.2); int96 kept only as a decode-compat shim
+PHYSICAL = ("bool", "int32", "int64", "float", "double", "bytes")
+
+_ARROW_TO_PHYS = {
+    pa.bool_(): "bool",
+    pa.int8(): "int32",
+    pa.int16(): "int32",
+    pa.int32(): "int32",
+    pa.date32(): "int32",
+    pa.int64(): "int64",
+    pa.float32(): "float",
+    pa.float64(): "double",
+    pa.string(): "bytes",
+    pa.large_string(): "bytes",
+    pa.binary(): "bytes",
+    pa.large_binary(): "bytes",
+}
+
+_NUMPY_OF = {
+    "bool": np.bool_,
+    "int32": np.int32,
+    "int64": np.int64,
+    "float": np.float32,
+    "double": np.float64,
+}
+
+
+@dataclass
+class ColumnData:
+    """Flat, null-stripped column: the unit the chunk encoder consumes."""
+
+    ptype: str  # physical type
+    validity: np.ndarray  # bool[n_rows]; True = non-null
+    values: np.ndarray | None = None  # fixed kinds: non-null values
+    lengths: np.ndarray | None = None  # bytes kind: per-value byte lengths
+    data: np.ndarray | None = None  # bytes kind: concatenated bytes
+    logical: str = ""  # original Arrow type string (for reassembly)
+
+    @property
+    def num_rows(self) -> int:
+        return len(self.validity)
+
+    @property
+    def num_values(self) -> int:
+        return int(self.validity.sum())
+
+    @property
+    def raw_bytes(self) -> int:
+        """Uncompressed payload size (the GB measured by the bench)."""
+        if self.ptype == "bytes":
+            return int(self.lengths.sum()) + len(self.validity) // 8
+        return self.num_values * np.dtype(_NUMPY_OF[self.ptype]).itemsize
+
+
+def _phys_of(t: pa.DataType) -> str:
+    if t in _ARROW_TO_PHYS:
+        return _ARROW_TO_PHYS[t]
+    if pa.types.is_timestamp(t):
+        return "int64"
+    if pa.types.is_decimal(t):
+        return "bytes"
+    if pa.types.is_dictionary(t):
+        return _phys_of(t.value_type)
+    raise TypeError(f"unsupported arrow type {t}")
+
+
+def from_arrow(arr: pa.Array | pa.ChunkedArray) -> ColumnData:
+    """Arrow array -> ColumnData (vectorized, zero-copy where possible)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if pa.types.is_dictionary(arr.type):
+        arr = arr.cast(arr.type.value_type)
+    ptype = _phys_of(arr.type)
+    n = len(arr)
+    validity = np.ones(n, dtype=bool) if arr.null_count == 0 else arr.is_valid().to_numpy(zero_copy_only=False)
+    logical = str(arr.type)
+    if ptype == "bytes":
+        # normalize to large_binary for 64-bit offsets, then strip nulls
+        target = pa.large_binary()
+        barr = arr.cast(target)
+        offsets = np.frombuffer(barr.buffers()[1], dtype=np.int64, count=n + 1 + barr.offset)[
+            barr.offset :
+        ]
+        dbuf = barr.buffers()[2]
+        data_all = (
+            np.frombuffer(dbuf, dtype=np.uint8, count=len(dbuf)) if dbuf is not None else np.empty(0, np.uint8)
+        )
+        lens_all = np.diff(offsets)
+        lens = lens_all[validity]
+        if validity.all():
+            data = data_all[offsets[0] : offsets[-1]]
+        else:
+            data = gather_segments(data_all, offsets[:-1][validity], lens)
+        return ColumnData(ptype, validity, lengths=lens.astype(np.int64), data=data, logical=logical)
+    if pa.types.is_timestamp(arr.type):
+        arr = arr.cast(pa.timestamp("us"))
+        logical = "timestamp[us]"
+        arr = arr.cast(pa.int64())
+    elif pa.types.is_date32(arr.type):
+        arr = arr.cast(pa.int32())
+    if arr.null_count:
+        zero = False if ptype == "bool" else 0
+        vals = arr.fill_null(zero).to_numpy(zero_copy_only=False)
+    else:
+        vals = arr.to_numpy(zero_copy_only=False)
+    vals = np.asarray(vals).astype(_NUMPY_OF[ptype], copy=False)
+    values = np.ascontiguousarray(vals[validity])
+    return ColumnData(ptype, validity, values=values, logical=logical)
+
+
+def to_arrow(col: ColumnData) -> pa.Array:
+    """ColumnData -> Arrow array of the original logical type."""
+    n = col.num_rows
+    mask = ~col.validity  # pyarrow mask: True = null
+    if col.ptype == "bytes":
+        lens_all = np.zeros(n, dtype=np.int64)
+        lens_all[col.validity] = col.lengths
+        offsets = np.concatenate([[0], np.cumsum(lens_all)])
+        arr = pa.LargeBinaryArray.from_buffers(
+            pa.large_binary(),
+            n,
+            [
+                pa.py_buffer(np.packbits(col.validity, bitorder="little")),
+                pa.py_buffer(offsets.astype(np.int64)),
+                pa.py_buffer(np.ascontiguousarray(col.data)),
+            ],
+        )
+        if col.logical in ("string", "large_string"):
+            return arr.cast(pa.large_string()).cast(pa.string() if col.logical == "string" else pa.large_string())
+        if col.logical == "binary":
+            return arr.cast(pa.binary())
+        return arr
+    vals_all = np.zeros(n, dtype=_NUMPY_OF[col.ptype])
+    vals_all[col.validity] = col.values
+    if col.logical.startswith("timestamp"):
+        return pa.array(vals_all, mask=mask).cast(pa.int64()).cast(pa.timestamp("us"))
+    if col.logical == "date32[day]":
+        return pa.array(vals_all.astype(np.int32), mask=mask).cast(pa.date32())
+    pa_type = {
+        "bool": pa.bool_(),
+        "int32": pa.int32(),
+        "int64": pa.int64(),
+        "float": pa.float32(),
+        "double": pa.float64(),
+    }[col.ptype]
+    if col.logical in ("int8", "int16"):
+        pa_type = {"int8": pa.int8(), "int16": pa.int16()}[col.logical]
+        vals_all = vals_all.astype(col.logical)
+    return pa.array(vals_all, type=pa_type, mask=mask)

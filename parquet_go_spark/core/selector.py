@@ -1,0 +1,149 @@
+"""Per-column-chunk codec auto-selection.
+
+The reference's only decision is dictionary-vs-fallback at 32,767 distinct
+values (``chunk_writer.go:174-227``, ``type_dict.go:101-103``). The north
+star extends it: choose among {RLE_DICTIONARY (BP or RLE index runs),
+plain RLE, FSST, DELTA_BINARY_PACKED (frame-of-reference on deltas),
+DELTA_LENGTH/DELTA_BYTE_ARRAY, BYTE_STREAM_SPLIT, PLAIN} using sampled
+cardinality / run-length / prefix statistics and sample encodings.
+
+The selection is cost-aware: each candidate's estimated output bytes are
+scaled by a relative CPU-cost penalty so an expensive codec (FSST) only
+wins when its size advantage is real. The reference decision is the
+strict special case ``profile="reference"`` in chunk.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..kernels import bytearrays, deltabp, dictenc, hybrid
+from .columns import ColumnData
+
+__all__ = ["choose_encoding", "COST_PENALTY"]
+
+DICT_MAX = 32767
+SAMPLE_VALUES = 1 << 16
+SAMPLE_BYTES = 1 << 20
+
+# relative CPU-cost penalty per codec (fraction of size advantage it must
+# beat); tuned for the vectorized kernels' measured MB/s on this engine.
+COST_PENALTY = {
+    "plain": 0.0,
+    "rle_bool": 0.0,
+    "rle_dict": 0.03,
+    "delta_bp": 0.03,
+    "delta_length": 0.02,
+    "delta_bytes": 0.08,
+    "bss": 0.02,
+    "fsst": 0.60,
+}
+
+
+def _sample_distinct_ratio(col: ColumnData, k: int = 4096) -> float:
+    n = col.num_values
+    if n == 0:
+        return 0.0
+    k = min(k, n)
+    if col.ptype == "bytes":
+        # hash lengths+first/last bytes as a cheap distinct proxy
+        lens = col.lengths[:k]
+        starts = np.concatenate([[0], np.cumsum(col.lengths)[:-1]])[:k]
+        first = col.data[starts] if len(col.data) else np.zeros(k, np.uint8)
+        h = lens * 1000003 + first
+        return len(np.unique(h)) / k  # over-merges -> underestimates distinct
+    return len(np.unique(col.values[:k])) / k
+
+
+def choose_encoding(col: ColumnData, compression: str = "none"):
+    """-> (encoding, codes, uniques, distinct, dict_size)."""
+    from .chunk import _compress, _encode_dict_values, _factorize
+
+    n = col.num_values
+    if n == 0:
+        if col.ptype == "bool":
+            return "plain", None, None, 0, 0
+        return "rle_dict", np.empty(0, np.int32), None, 0, 0
+
+    if col.ptype == "bool":
+        u = col.values.astype(np.uint64)
+        rle = hybrid.rle_size(u, 1) + 4
+        plain_sz = (n + 7) // 8
+        return ("rle_bool" if rle < plain_sz else "plain"), None, None, min(2, n), 0
+
+    # dictionary candidacy: skip the full factorize when a sample shows
+    # near-unique data (the reference pays the map anyway; we don't)
+    codes = uniques = None
+    distinct = -1
+    dict_size = 0
+    est: dict[str, float] = {}
+    sample_ratio = _sample_distinct_ratio(col)
+    if sample_ratio < 0.9 or n <= 8192:
+        codes, uniques, distinct = _factorize(col)
+        if distinct <= DICT_MAX:
+            dict_size = distinct
+            bw = dictenc.index_bit_width(dict_size)
+            idx_u = codes.astype(np.uint64)
+            idx_stream = min(hybrid.bp_size(n, bw), hybrid.rle_size(idx_u, bw)) + 1
+            dict_page = len(_encode_dict_values(uniques, col.ptype)) if uniques is not None else 0
+            est["rle_dict"] = dict_page + idx_stream
+
+    if col.ptype == "bytes":
+        total = int(col.lengths.sum())
+        est["plain"] = total + 4 * n
+        # delta_length: lengths stream is cheap to encode exactly
+        lens_enc = deltabp.encode(col.lengths.astype(np.int32), 32)
+        est["delta_length"] = total + len(lens_enc)
+        # delta_bytes: exact prefix savings (one vectorized pass)
+        prefixes = bytearrays.common_prefix_lengths(col.lengths, col.data)
+        saved = int(prefixes.sum())
+        if saved > total // 20:
+            est["delta_bytes"] = (total - saved) + 2 * len(lens_enc)
+        # fsst: sample-encode
+        if total >= 4096:
+            k = int(np.searchsorted(np.cumsum(col.lengths), SAMPLE_BYTES)) + 1
+            k = min(k, len(col.lengths))
+            s_lens = col.lengths[:k]
+            s_total = int(s_lens.sum())
+            if s_total > 0:
+                from ..kernels import fsst as _fsst
+
+                s_enc = _fsst.encode_column(s_lens, col.data[:s_total])
+                est["fsst"] = len(s_enc) / s_total * total
+    else:
+        itemsize = 4 if col.ptype in ("int32", "float") else 8
+        est["plain"] = n * itemsize
+        if col.ptype in ("int32", "int64"):
+            k = min(n, SAMPLE_VALUES)
+            s_enc = deltabp.encode(col.values[:k], 32 if col.ptype == "int32" else 64)
+            est["delta_bp"] = len(s_enc) / max(k * itemsize, 1) * n * itemsize
+        if compression != "none" and col.ptype in ("float", "double", "int64", "int32"):
+            est["bss"] = n * itemsize * 0.999  # wins only via compression, below
+
+    if compression != "none":
+        # re-estimate the top candidates on compressed sample encodings
+        from .chunk import _encode_values
+
+        ranked = sorted(est, key=est.get)[:3]
+        if col.ptype in ("float", "double", "int32", "int64") and "bss" not in ranked and "bss" in est:
+            ranked.append("bss")
+        for e in ranked:
+            try:
+                k = min(n, 8192)
+                if col.ptype == "bytes":
+                    dhi = int(col.lengths[:k].sum())
+                    enc_s = _encode_values(e, col, 0, k, 0, dhi, codes, dict_size, "auto")
+                    raw_s = dhi + 4 * k
+                else:
+                    enc_s = _encode_values(e, col, 0, k, 0, 0, codes, dict_size, "auto")
+                    raw_s = k * (4 if col.ptype in ("int32", "float") else 8)
+                comp_s = len(_compress(enc_s, compression))
+                est[e] = comp_s / max(raw_s, 1) * est.get("plain", raw_s)
+            except Exception:
+                pass
+
+    best = min(est, key=lambda e: est[e] * (1.0 + COST_PENALTY[e]))
+    if best != "rle_dict":
+        codes = uniques = None
+        dict_size = 0
+    return best, codes, uniques, distinct, dict_size
