@@ -1,0 +1,62 @@
+"""Distributed decode job: read partition files -> Arrow batches.
+
+Column projection mirrors the reference's read-side SELECT
+(``file_reader.go:112-130`` / ``skipChunk``): unselected chunks are seeked
+past in the partition file and never decoded.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+import pyarrow as pa
+from pyspark.sql import DataFrame, SparkSession
+
+from ..core.chunk import decode_chunk
+from ..core.columns import to_arrow
+from . import manifest as mf
+from .encode_job import parse_partition_file
+
+_DDL_LOGICAL = {
+    "string": "string",
+    "binary": "binary",
+    "timestamp": "timestamp[us]",
+    "bigint": "int64",
+    "int": "int32",
+    "smallint": "int16",
+    "tinyint": "int8",
+    "double": "double",
+    "float": "float",
+    "boolean": "bool",
+    "date": "date32[day]",
+}
+
+
+def decode_table(spark: SparkSession, enc_dir: str, columns: list[str] | None = None) -> DataFrame:
+    fields = mf.read_table_schema(enc_dir)
+    by_name = {f["name"]: f for f in fields}
+    cols = columns or [f["name"] for f in fields]
+    out_ddl = ", ".join(f"`{c}` {by_name[c]['ddl']}" for c in cols)
+    files = spark.read.format("binaryFile").load(f"{enc_dir}/part-*.bin").select("content")
+
+    def decode_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        want = set(cols)
+        for b in batches:
+            for content in b["content"]:
+                blobs = parse_partition_file(content, want)
+                if not blobs:
+                    continue
+                arrays = {}
+                n_rows = None
+                for c in cols:
+                    logical = _DDL_LOGICAL.get(by_name[c]["ddl"], "binary")
+                    cd = decode_chunk(blobs[c], logical=logical)
+                    arrays[c] = to_arrow(cd)
+                    n_rows = cd.num_rows
+                if not n_rows:
+                    continue
+                tbl = pa.table(arrays)
+                yield tbl.to_pandas(types_mapper=None)
+
+    return files.mapInPandas(decode_partition, schema=out_ddl)

@@ -1,0 +1,138 @@
+"""Distributed encode job: the engine's write path.
+
+Dataflow (SURVEY.md §2.3): scan -> salted repartition on the key hash
+(defuses domain skew; explicit per the north star) -> ``mapInPandas``
+encode (vectorized kernels over Arrow batches, zero per-row Python) ->
+one partition file + atomic manifest commit per task -> manifest rows as
+the job output. Resume: committed partitions (manifest present) skip the
+encode+write and replay their manifest rows.
+
+Partition file layout:
+  magic "PGSF" | uvarint n_chunks
+  | per chunk: uvarint name_len | name | uvarint blob_len | chunk blob
+The per-chunk blob is the container from core/chunk.py. Column projection
+on read seeks past unselected chunks without decoding (reference O7,
+``chunk_reader.go:271-297``).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from pyspark import TaskContext
+from pyspark.sql import DataFrame, functions as F
+
+from ..core.chunk import encode_chunk
+from ..core.columns import from_arrow
+from ..kernels.varint import read_uvarint, uvarint
+from . import manifest as mf
+
+FILE_MAGIC = b"PGSF"
+
+
+def write_partition_file(path: str, named_blobs: list[tuple[str, bytes]]):
+    tmp = path + f".tmp.{os.getpid()}"
+    with open(tmp, "wb") as f:
+        f.write(FILE_MAGIC)
+        f.write(uvarint(len(named_blobs)))
+        for name, blob in named_blobs:
+            nb = name.encode()
+            f.write(uvarint(len(nb)))
+            f.write(nb)
+            f.write(uvarint(len(blob)))
+            f.write(blob)
+    os.replace(tmp, path)
+
+
+def parse_partition_file(buf, columns: set[str] | None = None) -> dict[str, memoryview]:
+    """-> {column: chunk blob}; unselected chunks are seeked past."""
+    mv = memoryview(buf)
+    if bytes(mv[:4]) != FILE_MAGIC:
+        raise ValueError("bad partition file magic")
+    pos = 4
+    n, pos = read_uvarint(mv, pos)
+    out = {}
+    for _ in range(n):
+        nl, pos = read_uvarint(mv, pos)
+        name = bytes(mv[pos : pos + nl]).decode()
+        pos += nl
+        bl, pos = read_uvarint(mv, pos)
+        if columns is None or name in columns:
+            out[name] = mv[pos : pos + bl]
+        pos += bl
+    return out
+
+
+def encode_table(
+    df: DataFrame,
+    out_dir: str,
+    key_col: str | None = None,
+    columns: list[str] | None = None,
+    profile: str = "auto",
+    compression: str = "none",
+    partitions: int | None = None,
+    salt: int = 0x5A17,
+    resume: bool = True,
+) -> DataFrame:
+    """Encode ``df`` into ``out_dir``; returns the manifest DataFrame.
+
+    The returned DataFrame is the job: nothing runs until it is acted on
+    (``.count()`` / ``.write`` / ``collect``).
+    """
+    spark = df.sparkSession
+    cols = columns or df.columns
+    df = df.select(*cols)
+    os.makedirs(out_dir, exist_ok=True)
+    mf.write_table_schema(
+        out_dir,
+        [{"name": f.name, "ddl": f.dataType.simpleString()} for f in df.schema.fields],
+    )
+    sc_parallelism = spark.sparkContext.defaultParallelism
+    partitions = partitions or max(sc_parallelism * 2, 8)
+    if key_col is not None:
+        # explicit salted repartition on the key hash: xxhash64(key, salt)
+        df = df.repartition(partitions, F.pmod(F.xxhash64(F.col(key_col), F.lit(salt)), F.lit(partitions)))
+    else:
+        df = df.repartition(partitions)
+
+    def encode_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pid = TaskContext.get().partitionId()
+        fpath = os.path.join(out_dir, f"part-{pid:05d}.bin")
+        if resume and os.path.exists(mf.part_manifest_path(out_dir, pid)) and os.path.exists(fpath):
+            rows = mf.read_partition_manifest(out_dir, pid)
+            for _ in batches:  # drain
+                pass
+            if rows:
+                yield pd.DataFrame(rows)[[f.name for f in mf.MANIFEST_SCHEMA]]
+            return
+        tables = [pa.Table.from_pandas(b, preserve_index=False) for b in batches]
+        named_blobs: list[tuple[str, bytes]] = []
+        rows: list[dict] = []
+        if tables:
+            table = pa.concat_tables(tables)
+            del tables
+            offset = 5  # magic + n_chunks varint (recomputed below)
+            for name in cols:
+                col = from_arrow(table.column(name))
+                blob, meta = encode_chunk(col, profile=profile, compression=compression)
+                named_blobs.append((name, blob))
+                rows.append(
+                    {
+                        "partition": pid,
+                        "column": name,
+                        **meta.as_dict(),
+                        "file": fpath,
+                        "offset": -1,
+                        "length": len(blob),
+                    }
+                )
+        write_partition_file(fpath, named_blobs)
+        mf.commit_partition(out_dir, pid, rows)
+        if rows:
+            yield pd.DataFrame(rows)[[f.name for f in mf.MANIFEST_SCHEMA]]
+
+    return df.mapInPandas(encode_partition, schema=mf.MANIFEST_DDL)

@@ -1,0 +1,96 @@
+"""Parquet-backed manifest directory with atomic per-partition commits —
+the Iceberg-metadata-table analogue for this sandbox (no Iceberg jars):
+each task writes ``_manifest/part-<id>.parquet`` via tmp+rename, so a
+partition is committed iff its manifest file exists; resume anti-joins
+pending partitions against the committed set (the reference analogue is
+row-group skipping, ``chunk_reader.go:271-297``).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+MANIFEST_SCHEMA = pa.schema(
+    [
+        ("partition", pa.int32()),
+        ("column", pa.string()),
+        ("ptype", pa.string()),
+        ("encoding", pa.string()),
+        ("compression", pa.string()),
+        ("num_rows", pa.int64()),
+        ("null_count", pa.int64()),
+        ("distinct", pa.int64()),
+        ("raw_bytes", pa.int64()),
+        ("encoded_bytes", pa.int64()),
+        ("num_pages", pa.int32()),
+        ("crc32", pa.int64()),
+        ("file", pa.string()),
+        ("offset", pa.int64()),
+        ("length", pa.int64()),
+    ]
+)
+
+MANIFEST_DDL = (
+    "partition int, column string, ptype string, encoding string, "
+    "compression string, num_rows long, null_count long, distinct long, "
+    "raw_bytes long, encoded_bytes long, num_pages int, crc32 long, "
+    "file string, offset long, length long"
+)
+
+
+def manifest_dir(out_dir: str) -> str:
+    # no leading underscore: Spark's file index treats _*/.*-prefixed paths
+    # as hidden, and the manifest must be readable as a Spark table
+    return os.path.join(out_dir, "manifest")
+
+
+def part_manifest_path(out_dir: str, pid: int) -> str:
+    return os.path.join(manifest_dir(out_dir), f"part-{pid:05d}.parquet")
+
+
+def commit_partition(out_dir: str, pid: int, rows: list[dict]):
+    """Atomically write one partition's manifest rows (tmp + rename)."""
+    os.makedirs(manifest_dir(out_dir), exist_ok=True)
+    path = part_manifest_path(out_dir, pid)
+    tmp = path + f".tmp.{os.getpid()}"
+    cols = {f.name: [r[f.name] for r in rows] for f in MANIFEST_SCHEMA}
+    table = pa.Table.from_pydict(cols, schema=MANIFEST_SCHEMA)
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+
+
+def committed_partitions(out_dir: str) -> set[int]:
+    out = set()
+    for p in glob.glob(os.path.join(manifest_dir(out_dir), "part-*.parquet")):
+        name = os.path.basename(p)
+        try:
+            out.add(int(name[len("part-") : -len(".parquet")]))
+        except ValueError:
+            continue
+    return out
+
+
+def read_partition_manifest(out_dir: str, pid: int) -> list[dict]:
+    return pq.read_table(part_manifest_path(out_dir, pid)).to_pylist()
+
+
+def read_manifest(spark, out_dir: str):
+    return spark.read.schema(MANIFEST_DDL).parquet(os.path.join(manifest_dir(out_dir)))
+
+
+def write_table_schema(out_dir: str, fields: list[dict]):
+    os.makedirs(out_dir, exist_ok=True)
+    tmp = os.path.join(out_dir, "_schema.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"fields": fields}, f)
+    os.replace(tmp, os.path.join(out_dir, "_schema.json"))
+
+
+def read_table_schema(out_dir: str) -> list[dict]:
+    with open(os.path.join(out_dir, "_schema.json")) as f:
+        return json.load(f)["fields"]

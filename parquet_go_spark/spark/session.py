@@ -1,0 +1,54 @@
+"""SparkSession construction tuned for the encode pipeline.
+
+Scale posture (SURVEY.md §4): AQE on (skew-join + partition coalescing),
+Arrow-batched Python UDF transfer, shuffle partitions sized to cores, and
+glibc malloc tuned in the Python workers — this sandbox (and container
+fleets generally) fault in fresh pages very slowly, so workers must reuse
+arena memory instead of mmap/munmap-ing every large numpy temporary.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# keep freed pages in the worker's arena: first-touch page faults are the
+# dominant cost for large numpy temporaries in sandboxed containers
+WORKER_ENV = {
+    "MALLOC_MMAP_THRESHOLD_": "1073741824",
+    "MALLOC_TRIM_THRESHOLD_": "1073741824",
+    "ARROW_DEFAULT_MEMORY_POOL": "system",
+}
+
+
+def get_spark(
+    app: str = "parquet-go-spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    arrow_batch_rows: int = 65536,
+    extra: dict | None = None,
+) -> SparkSession:
+    cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    shuffle_partitions = shuffle_partitions or max(2 * cores, 32)
+    b = (
+        SparkSession.builder.appName(app)
+        .master(f"local[{cores}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_rows))
+        .config("spark.sql.files.maxPartitionBytes", "256m")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        .config("spark.driver.maxResultSize", "4g")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    for k, v in WORKER_ENV.items():
+        b = b.config(f"spark.executorEnv.{k}", v)
+        os.environ.setdefault(k, v)
+    for k, v in (extra or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()

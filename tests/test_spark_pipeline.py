@@ -1,0 +1,101 @@
+"""End-to-end Spark pipeline tests (SURVEY.md §7 step 4/5): synthesize the
+pages table -> salted repartition -> mapInPandas encode -> manifest ->
+decode -> byte-identical verify; plus checkpoint/resume and column
+projection."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+
+from parquet_go_spark.spark import manifest as mf
+from parquet_go_spark.spark.decode_job import decode_table
+from parquet_go_spark.spark.encode_job import encode_table
+from parquet_go_spark.spark.pages_table import pages_df, pages_pandas
+from parquet_go_spark.spark.verify import verify_roundtrip
+
+pytestmark = pytest.mark.spark
+
+N_ROWS = 3000
+
+
+def test_pages_generator_deterministic(spark):
+    a = pages_df(spark, 500, partitions=2).orderBy("url").toPandas()
+    b = pages_df(spark, 500, partitions=7).orderBy("url").toPandas()
+    assert a.equals(b), "pages table must be parallelism-invariant"
+    local = pages_pandas(500).sort_values("url").reset_index(drop=True)
+    assert list(a["url"]) == list(local["url"])
+
+
+@pytest.mark.parametrize("profile", ["auto", "reference"])
+def test_pages_roundtrip(spark, tmp_path, profile):
+    out = str(tmp_path / f"enc_{profile}")
+    df = pages_df(spark, N_ROWS, partitions=4)
+    man = encode_table(df, out, key_col="url", partitions=6, profile=profile)
+    rows = man.collect()
+    assert {r["column"] for r in rows} == {"url", "warc_ts", "html", "text", "lang"}
+    assert sum(r["num_rows"] for r in rows if r["column"] == "url") == N_ROWS
+    decoded = decode_table(spark, out)
+    res = verify_roundtrip(df, decoded, key="url")
+    assert res["ok"], res
+    assert res["rows"] == N_ROWS
+
+
+def test_codec_selection_on_pages(spark, tmp_path):
+    out = str(tmp_path / "enc_sel")
+    df = pages_df(spark, N_ROWS, partitions=2)
+    rows = encode_table(df, out, key_col="url", partitions=2, profile="auto").collect()
+    enc_of = {}
+    for r in rows:
+        enc_of.setdefault(r["column"], set()).add(r["encoding"])
+    # FIXTURES.md verification contract #3
+    assert enc_of["lang"] <= {"rle_dict"}, enc_of
+    assert enc_of["warc_ts"] <= {"delta_bp"}, enc_of
+    # compression must actually help on every column vs raw
+    total_raw = sum(r["raw_bytes"] for r in rows)
+    total_enc = sum(r["encoded_bytes"] for r in rows)
+    assert total_enc < total_raw
+
+
+def test_resume_skips_committed_partitions(spark, tmp_path):
+    out = str(tmp_path / "enc_resume")
+    df = pages_df(spark, N_ROWS, partitions=4)
+    man1 = encode_table(df, out, key_col="url", partitions=5).collect()
+    files1 = {p: os.path.getmtime(p) for p in glob.glob(f"{out}/part-*.bin")}
+    assert len(mf.committed_partitions(out)) == 5
+    # delete one partition's commit -> only that one re-encodes
+    victims = sorted(mf.committed_partitions(out))[:1]
+    os.remove(mf.part_manifest_path(out, victims[0]))
+    man2 = encode_table(df, out, key_col="url", partitions=5).collect()
+    files2 = {p: os.path.getmtime(p) for p in glob.glob(f"{out}/part-*.bin")}
+    untouched = [p for p in files1 if f"part-{victims[0]:05d}" not in p]
+    for p in untouched:
+        assert files1[p] == files2[p], "committed partition was rewritten"
+    # manifests agree
+    assert sorted((r["partition"], r["column"], r["crc32"]) for r in man1) == sorted(
+        (r["partition"], r["column"], r["crc32"]) for r in man2
+    )
+    decoded = decode_table(spark, out)
+    assert verify_roundtrip(df, decoded, key="url")["ok"]
+
+
+def test_column_projection_decode(spark, tmp_path):
+    out = str(tmp_path / "enc_proj")
+    df = pages_df(spark, 1000, partitions=2)
+    encode_table(df, out, key_col="url", partitions=2).collect()
+    dec = decode_table(spark, out, columns=["url", "lang"])
+    assert dec.columns == ["url", "lang"]
+    got = dec.orderBy("url").toPandas()
+    want = df.select("url", "lang").orderBy("url").toPandas()
+    assert got.equals(want)
+
+
+def test_manifest_readable_as_table(spark, tmp_path):
+    out = str(tmp_path / "enc_man")
+    df = pages_df(spark, 1000, partitions=2)
+    encode_table(df, out, key_col="url", partitions=3).collect()
+    man = mf.read_manifest(spark, out)
+    agg = man.groupBy("column").count().collect()
+    assert all(r["count"] == 3 for r in agg)
