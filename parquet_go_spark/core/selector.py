@@ -94,11 +94,14 @@ def choose_encoding(col: ColumnData, compression: str = "none"):
         # delta_length: lengths stream is cheap to encode exactly
         lens_enc = deltabp.encode(col.lengths.astype(np.int32), 32)
         est["delta_length"] = total + len(lens_enc)
-        # delta_bytes: exact prefix savings (one vectorized pass)
+        # delta_bytes: exact prefix savings (one vectorized pass) plus the
+        # exact cost of both delta-BP length streams (cheap: ints only)
         prefixes = bytearrays.common_prefix_lengths(col.lengths, col.data)
         saved = int(prefixes.sum())
         if saved > total // 20:
-            est["delta_bytes"] = (total - saved) + 2 * len(lens_enc)
+            pfx_enc = deltabp.encode(prefixes.astype(np.int32), 32)
+            sfx_enc = deltabp.encode((col.lengths - prefixes).astype(np.int32), 32)
+            est["delta_bytes"] = (total - saved) + len(pfx_enc) + len(sfx_enc)
         # fsst: sample-encode
         if total >= 4096:
             k = int(np.searchsorted(np.cumsum(col.lengths), SAMPLE_BYTES)) + 1

@@ -38,6 +38,12 @@ def decode_table(spark: SparkSession, enc_dir: str, columns: list[str] | None = 
     by_name = {f["name"]: f for f in fields}
     cols = columns or [f["name"] for f in fields]
     out_ddl = ", ".join(f"`{c}` {by_name[c]['ddl']}" for c in cols)
+    import glob as _glob
+
+    if not _glob.glob(f"{enc_dir}/part-*.bin"):
+        # an encode of an empty DataFrame runs zero tasks and writes no
+        # partition files; the decoded table is simply empty
+        return spark.createDataFrame([], schema=out_ddl)
     files = spark.read.format("binaryFile").load(f"{enc_dir}/part-*.bin").select("content")
 
     def decode_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

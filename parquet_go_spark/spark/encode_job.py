@@ -91,11 +91,20 @@ def encode_table(
         out_dir,
         [{"name": f.name, "ddl": f.dataType.simpleString()} for f in df.schema.fields],
     )
+    try:
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        arrow_schema = to_arrow_schema(df.schema)
+    except Exception:  # pragma: no cover - fallback for API drift
+        arrow_schema = None
     sc_parallelism = spark.sparkContext.defaultParallelism
     partitions = partitions or max(sc_parallelism * 2, 8)
     if key_col is not None:
-        # explicit salted repartition on the key hash: xxhash64(key, salt)
-        df = df.repartition(partitions, F.pmod(F.xxhash64(F.col(key_col), F.lit(salt)), F.lit(partitions)))
+        # explicit salted repartition on the key hash: xxhash64(key, salt).
+        # Pass the hash itself (not pmod) — Spark hash-partitions the
+        # expression value, and pmod would collapse it to n distinct values
+        # that clump under the second hash, leaving partitions empty.
+        df = df.repartition(partitions, F.xxhash64(F.col(key_col), F.lit(salt)))
     else:
         df = df.repartition(partitions)
 
@@ -114,8 +123,15 @@ def encode_table(
         rows: list[dict] = []
         if tables:
             table = pa.concat_tables(tables)
-            del tables
-            offset = 5  # magic + n_chunks varint (recomputed below)
+        elif arrow_schema is not None:
+            # empty partition: encode zero-row chunks so lineage stays
+            # complete (one manifest row per column per partition) and the
+            # empty-chunk edge case stays on the main code path
+            table = arrow_schema.empty_table()
+        else:
+            table = None
+        del tables
+        if table is not None:
             for name in cols:
                 col = from_arrow(table.column(name))
                 blob, meta = encode_chunk(col, profile=profile, compression=compression)
