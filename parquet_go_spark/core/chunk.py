@@ -262,6 +262,7 @@ def encode_chunk(
     compression: str = "none",
     max_page: int = DEFAULT_PAGE,
     level_mode: str | None = None,
+    encoding: str | None = None,
 ) -> tuple[bytes, ChunkMeta]:
     """Encode one column chunk. ``profile``:
     * ``"reference"`` — the exact reference decision (chunk_writer.go:
@@ -269,6 +270,9 @@ def encode_chunk(
       column's fallback PLAIN; BP-only hybrid streams everywhere.
     * ``"auto"`` — extended selector (selector.py): sampled-size choice
       among all applicable codecs; RLE hybrid runs where smaller.
+    ``encoding`` forces a specific codec (bypasses the selector), the
+    analogue of the reference's per-column configured encoding
+    (``schema.go:519-558``).
     """
     from .selector import choose_encoding  # local import to avoid cycle
 
@@ -280,7 +284,16 @@ def encode_chunk(
     uniques = None
     distinct = -1
     enc = None
-    if profile == "reference":
+    if encoding is not None:
+        enc = encoding
+        if enc == "rle_dict":
+            codes, uniques, distinct = _factorize(col)
+            if distinct > DICT_MAX:
+                raise ValueError(f"forced rle_dict but {distinct} distinct > {DICT_MAX}")
+            dict_size = distinct
+        else:
+            dict_size = 0
+    elif profile == "reference":
         if col.ptype != "bool" and col.num_values > 0:
             codes, uniques, distinct = _factorize(col)
             if distinct <= DICT_MAX:

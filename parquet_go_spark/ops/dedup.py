@@ -1,0 +1,124 @@
+"""Deduplication operators: exact (hash group-by), MinHash banding + LSH
+candidate pairs, SimHash, and n-gram Jaccard verification.
+
+Scale notes: exact dedup is one shuffle with map-side partial
+aggregation; MinHash signatures are a pure per-row projection (no
+shuffle); LSH pair generation shuffles on band values (the standard LSH
+join) and only candidate pairs — a tiny fraction of n² — reach the
+Jaccard verifier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["exact_dedup", "minhash_signatures", "lsh_pairs", "ngram_jaccard_pairs", "simhash64"]
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Groups byte-identical texts; keeps the smallest id per group."""
+    return df.groupBy(text_col).agg(
+        F.min(id_col).alias("keep_id"),
+        F.count(F.lit(1)).alias("n_dups"),
+    )
+
+
+def _shingle_expr(text_col: str, k: int) -> str:
+    """SQL expr: array of word k-shingles of ``text_col`` (space-split)."""
+    words = f"split({text_col}, ' ')"
+    parts = ", ".join(f"element_at({words}, i + {j})" for j in range(k))
+    return (
+        f"CASE WHEN size({words}) >= {k} THEN "
+        f"transform(sequence(1, size({words}) - {k - 1}),"
+        f" i -> concat_ws(' ', {parts})) "
+        f"ELSE array({text_col}) END"
+    )
+
+
+def minhash_expr(text_col: str, band: int, k: int = 3) -> str:
+    """SQL expr: one MinHash value = min over word k-shingles of
+    md5(band-salt || shingle). Lexicographic min of a uniform hash is a
+    valid MinHash; md5 keeps it engine-portable."""
+    words = f"split({text_col}, ' ')"
+    parts = " , ".join(f"element_at({words}, i + {j})" for j in range(k))
+    shingles = (
+        f"CASE WHEN size({words}) >= {k} THEN "
+        f"transform(sequence(1, size({words}) - {k - 1}),"
+        f" i -> concat_ws(' ', {parts})) "
+        f"ELSE array({text_col}) END"
+    )
+    return f"array_min(transform({shingles}, s -> md5(concat('b{band}|', s))))"
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bands: int = 4, k: int = 3
+) -> DataFrame:
+    """(id, mh_0..mh_{bands-1}): per-row projection, no shuffle."""
+    cols = [F.col(id_col)] + [
+        F.expr(minhash_expr(text_col, b, k)).alias(f"mh_{b}") for b in range(bands)
+    ]
+    return df.select(*cols)
+
+
+def lsh_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bands: int = 4, k: int = 3
+) -> DataFrame:
+    """Candidate near-duplicate pairs: docs sharing any band's MinHash.
+    Shuffle key = (band, hash): the classic LSH bucket join."""
+    sig = minhash_signatures(df, text_col, id_col, bands, k)
+    stacked = sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[F.struct(F.lit(b).alias("band"), F.col(f"mh_{b}").alias("h")) for b in range(bands)])
+        ).alias("bh"),
+    ).select(id_col, "bh.band", "bh.h")
+    a = stacked.alias("a")
+    b = stacked.alias("b")
+    pairs = (
+        a.join(b, (F.col(f"a.band") == F.col(f"b.band")) & (F.col("a.h") == F.col("b.h")))
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bands: int = 4, k: int = 3
+) -> DataFrame:
+    """LSH candidates verified with exact word-k-shingle Jaccard."""
+    pairs = lsh_pairs(df, text_col, id_col, bands, k)
+    sh = df.select(
+        F.col(id_col), F.array_distinct(F.expr(_shingle_expr(text_col, k))).alias("sh")
+    )
+    j = (
+        pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size(F.array_union("sh_a", "sh_b")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+    return j
+
+
+def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash over words: per bit, sign of the sum of ±1 votes
+    from each distinct word's 64-bit hash (md5 prefix). Pure projection.
+    """
+    words = f"array_distinct(split({text_col}, ' '))"
+    hashes = f"transform({words}, w -> conv(substring(md5(w), 1, 15), 16, 10))"
+    # bit b of the simhash = 1 if sum over words of bit b (as ±1) > 0
+    bit_terms = []
+    for b in range(60):  # 60 usable bits from the 15-hex-digit prefix
+        bit_terms.append(
+            f"CASE WHEN aggregate({hashes}, 0L,"
+            f" (acc, h) -> acc + CASE WHEN (cast(h AS bigint) div {1 << b}) % 2 = 1 THEN 1 ELSE -1 END) > 0"
+            f" THEN {1 << b} ELSE 0 END"
+        )
+    expr = " + ".join(f"({t})" for t in bit_terms)
+    return df.select(F.col(id_col), F.expr(f"cast({expr} AS bigint)").alias("simhash"))

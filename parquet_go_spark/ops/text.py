@@ -1,0 +1,108 @@
+"""Text-analysis operators: token stats, quality scoring, document
+fingerprinting, language ID. Everything except language-ID is pure
+built-in-function Spark SQL (JVM-side, codegen, SQL-oracle-checkable);
+language-ID is a two-pass n-gram profile classifier with a broadcast
+profile table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["token_stats", "text_quality", "fingerprint", "langid_ngram"]
+
+
+def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document token counts via length arithmetic (identical
+    semantics in any ANSI SQL engine: no regex/split divergence)."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_tokens = n_chars - F.length(F.replace(t, F.lit(" "), F.lit(""))) + F.lit(1)
+    return df.select(
+        F.col(id_col),
+        n_chars.cast("long").alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
+        ((n_chars - n_tokens + 1).cast("double") / n_tokens.cast("double")).alias("avg_token_len"),
+    )
+
+
+def text_quality(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Quality heuristics: type-token ratio + mean word length; the
+    low-quality flag mimics boilerplate/spam filters in web-text
+    pipelines (near-zero vocabulary diversity)."""
+    words = F.split(F.col(text_col), " ")
+    n_tokens = F.size(words)
+    n_types = F.size(F.array_distinct(words))
+    ttr = n_types.cast("double") / n_tokens.cast("double")
+    return df.select(
+        F.col(id_col),
+        n_tokens.cast("long").alias("n_tokens"),
+        n_types.cast("long").alias("n_types"),
+        ttr.alias("ttr"),
+        (ttr < 0.3).alias("low_quality"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Deterministic document fingerprint: md5 of the text bytes plus a
+    64-bit prefix as a numeric key (hex -> bigint), engine-portable."""
+    fp = F.md5(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        fp.alias("fp"),
+        F.conv(F.substring(fp, 1, 15), 16, 10).cast("long").alias("fp60"),
+    )
+
+
+def langid_ngram(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    top_ngrams: int = 40,
+) -> DataFrame:
+    """Language ID by character-bigram profiles (Cavnar-Trenkle style).
+
+    Pass 1 builds per-language top-N bigram profiles from the labeled
+    corpus (aggregation, tiny result); pass 2 classifies every document
+    by profile overlap with the broadcast profiles. At scale pass 1 runs
+    on a sample; the join is a broadcast (profiles are KBs).
+    Returns (id, lang, lang_pred, correct).
+    """
+    spark = df.sparkSession
+    lower = F.lower(F.col(text_col))
+    bigrams = F.expr(
+        f"transform(sequence(1, length(lower({text_col})) - 1),"
+        f" i -> substring(lower({text_col}), i, 2))"
+    )
+    exploded = df.select(F.col(lang_col), F.explode(bigrams).alias("bg"))
+    counts = exploded.groupBy(lang_col, "bg").count()
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(lang_col).orderBy(F.desc("count"), F.asc("bg"))
+    profiles = (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_ngrams)
+        .select(F.col(lang_col).alias("profile_lang"), "bg", "rank")
+    )
+    # classify: per doc, score = sum over doc bigrams present in profile
+    doc_bigrams = df.select(
+        F.col(id_col), F.col(lang_col), F.explode(F.array_distinct(bigrams)).alias("bg")
+    )
+    scored = (
+        doc_bigrams.join(F.broadcast(profiles), "bg")
+        .groupBy(id_col, lang_col, "profile_lang")
+        .agg(F.count("*").alias("hits"), F.sum(F.lit(top_ngrams + 1) - F.col("rank")).alias("score"))
+    )
+    w2 = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("profile_lang"))
+    best = (
+        scored.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col(id_col),
+            F.col(lang_col),
+            F.col("profile_lang").alias("lang_pred"),
+            (F.col("profile_lang") == F.col(lang_col)).alias("correct"),
+        )
+    )
+    return best
