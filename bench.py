@@ -1,0 +1,115 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): runs the engine's headline jobs at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line.
+
+Headline metric: encode throughput (GB/s of raw column bytes) over the
+deterministic synthetic pages table (FIXTURES.md F1, the north-star input
+shape), plus decode throughput, compression ratio, and wall seconds for
+the operator queries from ``__spark_entry__``.
+
+Scaling evidence (north rule, N vs 4N cores): run ``python bench.py``
+twice with ``SPARK_GRAFT_CPUS=8`` and ``=32`` (fresh process each — one
+JVM per parallelism level), or use bench_scaling.py which automates it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+OP_QUERIES = [
+    "roundtrip_lineitem",
+    "enc_fsst_documents",
+    "dedup_exact",
+    "minhash_signatures",
+    "lsh_dup_pairs",
+    "token_stats",
+    "text_quality",
+    "fingerprint_md5",
+    "simhash64",
+    "langid_ngram",
+    "embedding_cosine_topk",
+]
+
+
+def _force(df) -> None:
+    """Execute the full plan (noop sink: no collect, no pruning)."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    rows = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "120000"))
+
+    from parquet_go_spark.spark.decode_job import decode_table
+    from parquet_go_spark.spark.encode_job import encode_table
+    from parquet_go_spark.spark.pages_table import pages_df
+    from parquet_go_spark.spark.session import get_spark
+
+    import __spark_entry__ as entry_mod
+
+    spark = get_spark(app=f"bench-{cpus}", cores=cpus)
+    q: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    tmp = tempfile.mkdtemp(prefix="pgs_bench_")
+    try:
+        # untimed: materialize the deterministic pages input as parquet so
+        # the timed encode job reads a real table, not a generator
+        pages_path = f"{tmp}/pages_in"
+        pages_df(spark, rows).write.mode("overwrite").parquet(pages_path)
+        src = spark.read.parquet(pages_path)
+        src.count()  # warm file listing
+
+        enc_dir = f"{tmp}/enc"
+        t0 = time.perf_counter()
+        man = encode_table(src, enc_dir, key_col="url", partitions=2 * cpus).collect()
+        q["encode_pages"] = round(time.perf_counter() - t0, 3)
+        raw = sum(r["raw_bytes"] for r in man)
+        enc_b = sum(r["encoded_bytes"] for r in man)
+        extras["encode_raw_gb"] = round(raw / 1e9, 4)
+        extras["encode_gbps"] = round(raw / 1e9 / q["encode_pages"], 4)
+        extras["encode_rows_per_s"] = round(rows / q["encode_pages"], 1)
+        extras["compression_ratio"] = round(raw / max(enc_b, 1), 4)
+
+        t0 = time.perf_counter()
+        _force(decode_table(spark, enc_dir))
+        q["decode_pages"] = round(time.perf_counter() - t0, 3)
+        extras["decode_gbps"] = round(raw / 1e9 / q["decode_pages"], 4)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    queries = entry_mod.queries()
+    for name in OP_QUERIES:
+        t0 = time.perf_counter()
+        _force(queries[name](spark, sf_dir))
+        q[name] = round(time.perf_counter() - t0, 3)
+
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf"))
+    except ValueError:
+        sf = -1.0
+    out = {
+        "metric": "total_bench_seconds",
+        "value": round(sum(q.values()), 3),
+        "unit": "sec",
+        "queries": q,
+        "sf": sf,
+        "cpus": cpus,
+        "bench_rows": rows,
+        "total_sec": round(sum(q.values()), 3),
+        **extras,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

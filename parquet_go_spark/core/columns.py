@@ -16,10 +16,18 @@ __all__ = ["ColumnData", "from_arrow", "to_arrow", "PHYSICAL", "gather_segments"
 
 
 def gather_segments(src: np.ndarray, starts: np.ndarray, lengths: np.ndarray) -> np.ndarray:
-    """Concatenate src[starts[i] : starts[i]+lengths[i]] segments (vectorized)."""
+    """Concatenate src[starts[i] : starts[i]+lengths[i]] segments."""
     total = int(lengths.sum())
-    if total == 0 or len(lengths) == 0:
+    n = len(lengths)
+    if total == 0 or n == 0:
         return np.empty(0, dtype=src.dtype)
+    if total // n >= 32:
+        # long segments: python slice loop = n memcpys, beats index build
+        out = np.empty(total, dtype=src.dtype)
+        dst = np.concatenate([[0], np.cumsum(lengths)[:-1]])
+        for d, s, l in zip(dst.tolist(), starts.tolist(), lengths.tolist()):
+            out[d : d + l] = src[s : s + l]
+        return out
     idx = np.repeat(starts, lengths) + (
         np.arange(total) - np.repeat(np.concatenate([[0], np.cumsum(lengths)[:-1]]), lengths)
     )

@@ -24,7 +24,7 @@ __all__ = ["choose_encoding", "COST_PENALTY"]
 
 DICT_MAX = 32767
 SAMPLE_VALUES = 1 << 16
-SAMPLE_BYTES = 1 << 20
+SAMPLE_BYTES = 1 << 17
 
 # relative CPU-cost penalty per codec (fraction of size advantage it must
 # beat); tuned for the vectorized kernels' measured MB/s on this engine.
@@ -85,7 +85,13 @@ def choose_encoding(col: ColumnData, compression: str = "none"):
             bw = dictenc.index_bit_width(dict_size)
             idx_u = codes.astype(np.uint64)
             idx_stream = min(hybrid.bp_size(n, bw), hybrid.rle_size(idx_u, bw)) + 1
-            dict_page = len(_encode_dict_values(uniques, col.ptype)) if uniques is not None else 0
+            # dict page size is exactly computable — never encode it here
+            if uniques is None or not dict_size:
+                dict_page = 0
+            elif col.ptype == "bytes":
+                dict_page = int(uniques.lengths.sum()) + 4 * dict_size
+            else:
+                dict_page = dict_size * (4 if col.ptype in ("int32", "float") else 8)
             est["rle_dict"] = dict_page + idx_stream
 
     if col.ptype == "bytes":
@@ -94,25 +100,48 @@ def choose_encoding(col: ColumnData, compression: str = "none"):
         # delta_length: lengths stream is cheap to encode exactly
         lens_enc = deltabp.encode(col.lengths.astype(np.int32), 32)
         est["delta_length"] = total + len(lens_enc)
-        # delta_bytes: exact prefix savings (one vectorized pass) plus the
-        # exact cost of both delta-BP length streams (cheap: ints only)
-        prefixes = bytearrays.common_prefix_lengths(col.lengths, col.data)
-        saved = int(prefixes.sum())
+        # delta_bytes: prefix savings measured on a byte-capped prefix
+        # sample (prefix sharing is positionally local, so a contiguous
+        # sample is unbiased) plus the cost of both delta-BP length streams
+        if total <= 4 * SAMPLE_BYTES:
+            s_k, s_total = n, total
+        else:
+            s_k = min(n, int(np.searchsorted(np.cumsum(col.lengths), 4 * SAMPLE_BYTES)) + 1)
+            s_total = int(col.lengths[:s_k].sum())
+        prefixes = bytearrays.common_prefix_lengths(col.lengths[:s_k], col.data[:s_total])
+        saved = int(prefixes.sum() * (total / max(s_total, 1)))
         if saved > total // 20:
             pfx_enc = deltabp.encode(prefixes.astype(np.int32), 32)
-            sfx_enc = deltabp.encode((col.lengths - prefixes).astype(np.int32), 32)
-            est["delta_bytes"] = (total - saved) + len(pfx_enc) + len(sfx_enc)
-        # fsst: sample-encode
+            sfx_enc = deltabp.encode((col.lengths[:s_k] - prefixes).astype(np.int32), 32)
+            scale = n / max(s_k, 1)
+            est["delta_bytes"] = (total - saved) + int((len(pfx_enc) + len(sfx_enc)) * scale)
+        # fsst: train on one strided string sample, estimate on a DISJOINT
+        # strided sample — a prefix estimate overlaps the training strings
+        # and overstates the ratio badly on heterogeneous columns
         if total >= 4096:
-            k = int(np.searchsorted(np.cumsum(col.lengths), SAMPLE_BYTES)) + 1
-            k = min(k, len(col.lengths))
-            s_lens = col.lengths[:k]
-            s_total = int(s_lens.sum())
-            if s_total > 0:
-                from ..kernels import fsst as _fsst
+            from ..kernels import fsst as _fsst
 
-                s_enc = _fsst.encode_column(s_lens, col.data[:s_total])
-                est["fsst"] = len(s_enc) / s_total * total
+            n_strs = len(col.lengths)
+            starts = np.concatenate([[0], np.cumsum(col.lengths)[:-1]])
+            if total <= 2 * SAMPLE_BYTES:
+                table = _fsst.train(col.lengths, col.data)
+                s_enc = _fsst.encode_column(col.lengths, col.data, table)
+                est["fsst"] = float(len(s_enc))
+            else:
+                from .columns import gather_segments
+
+                avg = total / max(n_strs, 1)
+                k = max(2, min(n_strs // 2, int(SAMPLE_BYTES / max(avg, 1))))
+                idx = np.linspace(0, n_strs - 1, 2 * k).astype(np.int64)
+                idx_a, idx_b = np.unique(idx[0::2]), np.unique(idx[1::2])
+                lens_a, lens_b = col.lengths[idx_a], col.lengths[idx_b]
+                data_a = gather_segments(col.data, starts[idx_a], lens_a)
+                data_b = gather_segments(col.data, starts[idx_b], lens_b)
+                b_total = int(lens_b.sum())
+                if b_total > 0:
+                    table = _fsst.train(lens_a, data_a)
+                    s_enc = _fsst.encode_column(lens_b, data_b, table)
+                    est["fsst"] = len(s_enc) / b_total * total
     else:
         itemsize = 4 if col.ptype in ("int32", "float") else 8
         est["plain"] = n * itemsize
@@ -134,6 +163,8 @@ def choose_encoding(col: ColumnData, compression: str = "none"):
             try:
                 k = min(n, 8192)
                 if col.ptype == "bytes":
+                    # byte-capped sample: 8192 long strings could be tens of MB
+                    k = min(k, int(np.searchsorted(np.cumsum(col.lengths), SAMPLE_BYTES)) + 1)
                     dhi = int(col.lengths[:k].sum())
                     enc_s = _encode_values(e, col, 0, k, 0, dhi, codes, dict_size, "auto")
                     raw_s = dhi + 4 * k

@@ -38,6 +38,8 @@ MAX_SYMBOLS = 255
 MAX_LEN = 8
 _POW = np.array([1 << (8 * i) for i in range(8)], dtype=np.uint64)
 _MASKS = [np.uint64(0)] + [np.uint64((1 << (8 * l)) - 1) for l in range(1, 8)] + [np.uint64(0xFFFFFFFFFFFFFFFF)]
+_MASKS_ARR = np.array(_MASKS, dtype=np.uint64)
+_GOLD = np.uint64(0x9E3779B97F4A7C15)
 
 
 class SymbolTable:
@@ -133,7 +135,7 @@ def _match(data: np.ndarray, nb: np.ndarray, table: SymbolTable) -> tuple[np.nda
         ml, cd = _match_block(dslice, hi - lo, nb[lo:hi], table)
         match_len[lo:hi] = ml
         code[lo:hi] = cd
-    return match_len.astype(np.int64), code.astype(np.int32)
+    return match_len, code
 
 
 def _match_block(data: np.ndarray, n: int, nb: np.ndarray, table: SymbolTable):
@@ -212,47 +214,83 @@ def train(lengths: np.ndarray, data: np.ndarray, sample_bytes: int = 1 << 16, ge
         mlen, _code = _match(s_data, nb, table)
         tokens = _orbit(mlen)
         tlens = mlen[tokens]
-        # candidates: current parsed symbols + merged adjacent pairs + single bytes
+        # candidates: multi-byte parsed symbols + merged adjacent pairs
+        # (single bytes counted separately via bincount — exact and O(n))
         cand_keys = []
         cand_lens = []
-        # current tokens as candidates
-        cand_keys.append(win[tokens] & np.take(np.array([_MASKS[i] for i in range(9)]), tlens))
-        cand_lens.append(tlens)
-        # merged pairs
+        multi = tlens > 1
+        cand_keys.append(win[tokens[multi]] & _MASKS_ARR[tlens[multi]])
+        cand_lens.append(tlens[multi])
         if len(tokens) > 1:
             plen = tlens[:-1] + tlens[1:]
             ok = (plen <= MAX_LEN) & (nb[tokens[:-1]] >= plen)
             ppos = tokens[:-1][ok]
             pl = plen[ok]
-            cand_keys.append(win[ppos] & np.take(np.array([_MASKS[i] for i in range(9)]), pl))
+            cand_keys.append(win[ppos] & _MASKS_ARR[pl])
             cand_lens.append(pl)
-        # single bytes (ensures coverage of frequent literals)
-        cand_keys.append(s_data.astype(np.uint64))
-        cand_lens.append(np.ones(len(s_data), dtype=np.int64))
         ck = np.concatenate(cand_keys)
-        cl = np.concatenate(cand_lens)
-        # composite (len, key) count
-        comp = np.stack([cl.astype(np.uint64), ck])
-        uniq, counts = np.unique(comp, axis=1, return_counts=True)
-        ulen = uniq[0].astype(np.int64)
-        ukey = uniq[1]
-        gain = counts * ulen
-        order = np.argsort(-gain, kind="stable")[: MAX_SYMBOLS]
+        cl = np.concatenate(cand_lens).astype(np.uint64)
+        if len(ck):
+            # count distinct (len, key) pairs via a 64-bit composite hash:
+            # one uint64 sort instead of a void-dtype axis sort (~10x); a
+            # collision merely merges two candidate counts (training is a
+            # heuristic, correctness is unaffected)
+            h = ck * _GOLD ^ cl
+            _, idx, counts = np.unique(h, return_index=True, return_counts=True)
+            ukey = ck[idx]
+            ulen = cl[idx].astype(np.int64)
+            gain = counts * ulen
+        else:
+            ukey = np.empty(0, np.uint64)
+            ulen = np.empty(0, np.int64)
+            gain = np.empty(0, np.int64)
+        bc = np.bincount(s_data, minlength=256)
+        all_gain = np.concatenate([gain, bc])
+        all_len = np.concatenate([ulen, np.ones(256, dtype=np.int64)])
+        all_key = np.concatenate([ukey, np.arange(256, dtype=np.uint64)])
+        order = np.argsort(-all_gain, kind="stable")[: MAX_SYMBOLS]
         syms = [
-            int(ukey[i]).to_bytes(8, "little")[: int(ulen[i])] for i in order if gain[i] > 1
+            int(all_key[i]).to_bytes(8, "little")[: int(all_len[i])]
+            for i in order
+            if all_gain[i] > 1
         ]
         table = SymbolTable(syms)
     return table
+
+
+def _chain_tokens(step: np.ndarray, starts: np.ndarray, ends: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Token positions following i -> i + step[i] independently per string
+    (cursor lockstep over all strings; total work = total token count,
+    ~40x less than whole-column pointer doubling for short strings).
+    Returns (token_positions, visited_mask)."""
+    visited = np.zeros(len(step), dtype=bool)
+    cur = starts.astype(np.int64, copy=True)
+    end = ends.astype(np.int64, copy=False)
+    keep = cur < end
+    cur, end = cur[keep], end[keep]
+    while len(cur):
+        visited[cur] = True
+        cur = cur + step[cur]
+        m = cur < end
+        cur, end = cur[m], end[m]
+    return np.flatnonzero(visited), visited
+
+
+def _per_segment_counts(mask: np.ndarray, bounds: np.ndarray) -> np.ndarray:
+    """Count of True positions inside each [bounds[i], bounds[i+1])."""
+    csum = np.concatenate([[0], np.cumsum(mask, dtype=np.int64)])
+    return csum[bounds[1:]] - csum[bounds[:-1]]
 
 
 def _parse_tokens(lengths: np.ndarray, data: np.ndarray, table: SymbolTable):
     nb = _boundary_dist(lengths)
     mlen, code = _match(data, nb, table)
     nz = lengths > 0
-    starts = np.concatenate([[0], np.cumsum(lengths)[:-1]])[nz]
-    max_chain = int(lengths.max()) if len(lengths) else 1
-    tokens = _orbit(mlen, starts=starts, max_chain=max_chain)
-    return tokens, mlen, code
+    all_starts = np.concatenate([[0], np.cumsum(lengths)[:-1]])
+    starts = all_starts[nz]
+    ends = starts + lengths[nz]
+    tokens, visited = _chain_tokens(mlen, starts, ends)
+    return tokens, visited, mlen, code
 
 
 def encode_column(lengths: np.ndarray, data: np.ndarray, table: SymbolTable | None = None) -> bytes:
@@ -263,20 +301,26 @@ def encode_column(lengths: np.ndarray, data: np.ndarray, table: SymbolTable | No
     if int(lengths.sum()) == 0:
         comp_lens = np.zeros(n_str, dtype=np.int32)
         return head + deltabp.encode(comp_lens, 32)
-    tokens, mlen, code = _parse_tokens(lengths, data, table)
+    tokens, visited, mlen, code = _parse_tokens(lengths, data, table)
     tcode = code[tokens]
     is_lit = tcode < 0
-    out_len = np.where(is_lit, 2, 1)
-    starts = np.concatenate([[0], np.cumsum(out_len)[:-1]])
-    out = np.empty(int(out_len.sum()), dtype=np.uint8)
-    out[starts[~is_lit]] = tcode[~is_lit].astype(np.uint8)
-    lit_starts = starts[is_lit]
-    out[lit_starts] = ESCAPE
-    out[lit_starts + 1] = data[tokens[is_lit]]
-    # per-string compressed lengths
-    str_starts = np.concatenate([[0], np.cumsum(lengths)[:-1]])
-    seg_of_token = np.searchsorted(str_starts, tokens, side="right") - 1
-    comp_lens = np.bincount(seg_of_token, weights=out_len, minlength=n_str).astype(np.int64)
+    bounds = np.concatenate([[0], np.cumsum(lengths)]).astype(np.int64)
+    tok_per_str = _per_segment_counts(visited, bounds)
+    if not is_lit.any():
+        # common case (all bytes covered by symbols): 1 byte per token
+        out = tcode.astype(np.uint8)
+        comp_lens = tok_per_str
+    else:
+        lit_mask = np.zeros(len(visited), dtype=bool)
+        lit_mask[tokens[is_lit]] = True
+        comp_lens = tok_per_str + _per_segment_counts(lit_mask, bounds)
+        out_len = np.where(is_lit, 2, 1)
+        starts = np.concatenate([[0], np.cumsum(out_len)[:-1]])
+        out = np.empty(int(out_len.sum()), dtype=np.uint8)
+        out[starts[~is_lit]] = tcode[~is_lit].astype(np.uint8)
+        lit_starts = starts[is_lit]
+        out[lit_starts] = ESCAPE
+        out[lit_starts + 1] = data[tokens[is_lit]]
     return head + deltabp.encode(comp_lens.astype(np.int32), 32) + out.tobytes()
 
 
@@ -291,25 +335,36 @@ def decode_column(buf, pos: int = 0) -> tuple[np.ndarray, np.ndarray, int]:
     n_str = len(comp_lens)
     if total_c == 0:
         return np.zeros(n_str, dtype=np.int64), np.empty(0, dtype=np.uint8), pos
-    step = np.where(cdata == ESCAPE, 2, 1)
+    step = np.where(cdata == ESCAPE, 2, 1).astype(np.int8)
+    bounds = np.concatenate([[0], np.cumsum(comp_lens)]).astype(np.int64)
     nz = comp_lens > 0
-    starts = np.concatenate([[0], np.cumsum(comp_lens)[:-1]])[nz]
-    tokens = _orbit(step, starts=starts, max_chain=int(comp_lens.max()))
+    starts = bounds[:-1][nz]
+    tokens, _visited = _chain_tokens(step, starts, starts + comp_lens[nz])
     tbyte = cdata[tokens]
     is_esc = tbyte == ESCAPE
     sym = np.where(is_esc, len(table.symbols), tbyte).astype(np.int64)
     if (~is_esc & (tbyte >= len(table.symbols))).any():
         raise ValueError("fsst: code out of range")
     out_lens_tok = np.where(is_esc, 1, table.sym_lens[sym])
-    # build output bytes: per token a row of up to 8 bytes
-    rows = table.sym_matrix[sym]
+    # assemble output: first byte of every token vectorized, then one
+    # scatter pass per extra byte offset (symbols are <= 8 bytes, and the
+    # >1-byte subset shrinks fast) — avoids an (n_tokens, 8) gather matrix
+    first = table.sym_matrix[sym, 0]
     if is_esc.any():
-        rows = rows.copy()
-        rows[is_esc, 0] = cdata[tokens[is_esc] + 1]
-    mask = np.arange(MAX_LEN) < out_lens_tok[:, None]
-    out = rows[mask]
-    # per-string original lengths
-    seg_starts = np.concatenate([[0], np.cumsum(comp_lens)[:-1]])
-    seg_of_token = np.searchsorted(seg_starts, tokens, side="right") - 1
-    lengths = np.bincount(seg_of_token, weights=out_lens_tok, minlength=n_str).astype(np.int64)
+        first = np.where(is_esc, cdata[np.minimum(tokens + 1, total_c - 1)], first)
+    out_starts = np.concatenate([[0], np.cumsum(out_lens_tok)[:-1]])
+    out = np.empty(int(out_lens_tok.sum()), dtype=np.uint8)
+    out[out_starts] = first
+    max_sym = int(table.sym_lens.max()) if len(table.symbols) else 1
+    for j in range(1, max_sym):
+        sel = out_lens_tok > j
+        if not sel.any():
+            break
+        out[out_starts[sel] + j] = table.sym_matrix[sym[sel], j]
+    # per-string original lengths: scatter each token's output length to
+    # its compressed position, then one prefix sum over segment bounds
+    pos_len = np.zeros(total_c, dtype=np.int64)
+    pos_len[tokens] = out_lens_tok
+    csum = np.concatenate([[0], np.cumsum(pos_len)])
+    lengths = csum[bounds[1:]] - csum[bounds[:-1]]
     return lengths, out, pos

@@ -79,10 +79,28 @@ def encode_byte_array(lengths: np.ndarray, data: np.ndarray) -> bytes:
     n = len(lengths)
     if n == 0:
         return b""
-    lens32 = lengths.astype("<u4")
-    len_bytes = lens32.view(np.uint8).reshape(n, 4)
-    four = np.full(n, 4, dtype=np.int64)
-    return interleave(len_bytes.ravel(), four, data, lengths.astype(np.int64)).tobytes()
+    lengths = lengths.astype(np.int64, copy=False)
+    total = int(lengths.sum())
+    out = np.empty(total + 4 * n, dtype=np.uint8)
+    ends = np.cumsum(lengths) + 4 * np.arange(1, n + 1, dtype=np.int64)
+    dst_starts = ends - lengths
+    lens32 = lengths.astype("<u4").view(np.uint8).reshape(n, 4)
+    lp = dst_starts - 4
+    for j in range(4):
+        out[lp + j] = lens32[:, j]
+    if total:
+        if total // n >= 32:
+            # long segments: n memcpy slices beat building a gather index
+            src_starts = np.concatenate([[0], np.cumsum(lengths)[:-1]])
+            for d, s, l in zip(dst_starts.tolist(), src_starts.tolist(), lengths.tolist()):
+                out[d : d + l] = data[s : s + l]
+        else:
+            # short segments: shift every data byte by 4*(seg_index+1)
+            seg_starts = np.cumsum(lengths)[:-1]
+            bump = np.bincount(seg_starts, minlength=total).astype(np.int64) * 4
+            shift = np.cumsum(bump) + 4
+            out[np.arange(total, dtype=np.int64) + shift] = data
+    return out.tobytes()
 
 
 def decode_byte_array(buf, count: int, pos: int = 0) -> tuple[np.ndarray, np.ndarray, int]:
