@@ -1,0 +1,67 @@
+#!/usr/bin/env python
+"""Two-parallelism scaling run (north rule evidence): the identical encode
+job on the identical deterministic input at local[N] and local[4N] cores
+(sandbox stand-in for N vs 4N executors — one fresh JVM per level), and
+the scaling efficiency = throughput(4N) / (4 * throughput(N)).
+
+Writes BENCH_SCALING.json and prints a summary line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+
+def run_level(cpus: int, rows: int) -> dict:
+    env = dict(os.environ)
+    env.update(
+        {
+            "SPARK_GRAFT_CPUS": str(cpus),
+            "SPARK_GRAFT_BENCH_ROWS": str(rows),
+            "SPARK_GRAFT_BENCH_ONLY": "encode",
+        }
+    )
+    out = subprocess.run(
+        [sys.executable, os.path.join(HERE, "bench.py")],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=3600,
+    )
+    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    n = int(os.environ.get("SPARK_GRAFT_SCALE_N", "8"))
+    rows = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "200000"))
+    lo = run_level(n, rows)
+    hi = run_level(4 * n, rows)
+    eff = hi["encode_gbps"] / (4 * lo["encode_gbps"])
+    result = {
+        "rows": rows,
+        "n_cores": n,
+        "4n_cores": 4 * n,
+        "gbps_n": lo["encode_gbps"],
+        "gbps_4n": hi["encode_gbps"],
+        "rows_per_s_n": lo["encode_rows_per_s"],
+        "rows_per_s_4n": hi["encode_rows_per_s"],
+        "encode_sec_n": lo["queries"]["encode_pages"],
+        "encode_sec_4n": hi["queries"]["encode_pages"],
+        "compression_ratio": hi["compression_ratio"],
+        "scaling_efficiency": round(eff, 4),
+        "target": 0.8,
+        "pass": eff >= 0.8,
+    }
+    with open(os.path.join(HERE, "BENCH_SCALING.json"), "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

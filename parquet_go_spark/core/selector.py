@@ -46,12 +46,23 @@ def _sample_distinct_ratio(col: ColumnData, k: int = 4096) -> float:
         return 0.0
     k = min(k, n)
     if col.ptype == "bytes":
-        # hash lengths+first/last bytes as a cheap distinct proxy
-        lens = col.lengths[:k]
-        starts = np.concatenate([[0], np.cumsum(col.lengths)[:-1]])[:k]
-        first = col.data[starts] if len(col.data) else np.zeros(k, np.uint8)
-        h = lens * 1000003 + first
-        return len(np.unique(h)) / k  # over-merges -> underestimates distinct
+        # hash length + first 8 + last 8 bytes as a cheap distinct proxy;
+        # a weak proxy (length+first byte) collides on long near-unique
+        # columns and triggers a pointless full factorize
+        lens = col.lengths[:k].astype(np.int64)
+        starts = np.concatenate([[0], np.cumsum(col.lengths)[:-1]])[:k].astype(np.int64)
+        ends = starts + lens
+        hi = int(ends.max()) if k else 0
+        pad = np.concatenate([col.data[:hi], np.zeros(8, np.uint8)])
+        off = np.arange(8)
+        pw = np.array([1 << (8 * i) for i in range(8)], dtype=np.uint64)
+        fidx = starts[:, None] + off
+        fvals = pad[fidx] * (off[None, :] < lens[:, None])
+        h1 = fvals.astype(np.uint64) @ pw
+        lidx = np.maximum(ends[:, None] - 8 + off, starts[:, None])
+        h2 = pad[lidx].astype(np.uint64) @ pw
+        h = h1 * np.uint64(0x9E3779B97F4A7C15) ^ h2 ^ lens.astype(np.uint64)
+        return len(np.unique(h)) / k
     return len(np.unique(col.values[:k])) / k
 
 

@@ -23,41 +23,35 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def _shingle_expr(text_col: str, k: int) -> str:
-    """SQL expr: array of word k-shingles of ``text_col`` (space-split)."""
-    words = f"split({text_col}, ' ')"
-    parts = ", ".join(f"element_at({words}, i + {j})" for j in range(k))
-    return (
-        f"CASE WHEN size({words}) >= {k} THEN "
-        f"transform(sequence(1, size({words}) - {k - 1}),"
-        f" i -> concat_ws(' ', {parts})) "
+def _shingles_df(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
+    """(id, __sh): word k-shingle array, with words and shingles
+    materialized ONCE as array columns — referencing ``split(text)``
+    inside a lambda makes Catalyst re-evaluate the split per element
+    (O(len²) per row), which is catastrophically slow on real documents."""
+    words = F.split(F.col(text_col), " ")
+    base = df.select(F.col(id_col), F.col(text_col), words.alias("__w"))
+    parts = ", ".join(f"element_at(__w, i + {j})" for j in range(k))
+    sh = (
+        f"CASE WHEN size(__w) >= {k} THEN "
+        f"transform(sequence(1, size(__w) - {k - 1}), i -> concat_ws(' ', {parts})) "
         f"ELSE array({text_col}) END"
     )
-
-
-def minhash_expr(text_col: str, band: int, k: int = 3) -> str:
-    """SQL expr: one MinHash value = min over word k-shingles of
-    md5(band-salt || shingle). Lexicographic min of a uniform hash is a
-    valid MinHash; md5 keeps it engine-portable."""
-    words = f"split({text_col}, ' ')"
-    parts = " , ".join(f"element_at({words}, i + {j})" for j in range(k))
-    shingles = (
-        f"CASE WHEN size({words}) >= {k} THEN "
-        f"transform(sequence(1, size({words}) - {k - 1}),"
-        f" i -> concat_ws(' ', {parts})) "
-        f"ELSE array({text_col}) END"
-    )
-    return f"array_min(transform({shingles}, s -> md5(concat('b{band}|', s))))"
+    return base.select(F.col(id_col), F.expr(sh).alias("__sh"))
 
 
 def minhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bands: int = 4, k: int = 3
 ) -> DataFrame:
-    """(id, mh_0..mh_{bands-1}): per-row projection, no shuffle."""
+    """(id, mh_0..mh_{bands-1}): per-row projection, no shuffle. One
+    MinHash value = min over word k-shingles of md5(band-salt || shingle);
+    lexicographic min of a uniform hash is a valid MinHash, and md5 keeps
+    it engine-portable."""
+    sh = _shingles_df(df, text_col, id_col, k)
     cols = [F.col(id_col)] + [
-        F.expr(minhash_expr(text_col, b, k)).alias(f"mh_{b}") for b in range(bands)
+        F.expr(f"array_min(transform(__sh, s -> md5(concat('b{b}|', s))))").alias(f"mh_{b}")
+        for b in range(bands)
     ]
-    return df.select(*cols)
+    return sh.select(*cols)
 
 
 def lsh_pairs(
@@ -88,8 +82,8 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """LSH candidates verified with exact word-k-shingle Jaccard."""
     pairs = lsh_pairs(df, text_col, id_col, bands, k)
-    sh = df.select(
-        F.col(id_col), F.array_distinct(F.expr(_shingle_expr(text_col, k))).alias("sh")
+    sh = _shingles_df(df, text_col, id_col, k).select(
+        F.col(id_col), F.array_distinct(F.col("__sh")).alias("sh")
     )
     j = (
         pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
@@ -110,15 +104,20 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     """64-bit SimHash over words: per bit, sign of the sum of ±1 votes
     from each distinct word's 64-bit hash (md5 prefix). Pure projection.
     """
-    words = f"array_distinct(split({text_col}, ' '))"
-    hashes = f"transform({words}, w -> conv(substring(md5(w), 1, 15), 16, 10))"
-    # bit b of the simhash = 1 if sum over words of bit b (as ±1) > 0
+    hashes = (
+        f"transform(array_distinct(split({text_col}, ' ')),"
+        f" w -> cast(conv(substring(md5(w), 1, 15), 16, 10) AS bigint))"
+    )
+    base = df.select(F.col(id_col), F.expr(hashes).alias("__h"))
+    # bit b of the simhash = 1 if sum over words of bit b (as ±1) > 0;
+    # the word-hash array is materialized once, so the 60 bit aggregates
+    # only fold precomputed bigints
     bit_terms = []
     for b in range(60):  # 60 usable bits from the 15-hex-digit prefix
         bit_terms.append(
-            f"CASE WHEN aggregate({hashes}, 0L,"
-            f" (acc, h) -> acc + CASE WHEN (cast(h AS bigint) div {1 << b}) % 2 = 1 THEN 1 ELSE -1 END) > 0"
+            f"CASE WHEN aggregate(__h, 0L,"
+            f" (acc, h) -> acc + CASE WHEN (h div {1 << b}) % 2 = 1 THEN 1 ELSE -1 END) > 0"
             f" THEN {1 << b} ELSE 0 END"
         )
     expr = " + ".join(f"({t})" for t in bit_terms)
-    return df.select(F.col(id_col), F.expr(f"cast({expr} AS bigint)").alias("simhash"))
+    return base.select(F.col(id_col), F.expr(f"cast({expr} AS bigint)").alias("simhash"))

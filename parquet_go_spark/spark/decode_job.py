@@ -46,23 +46,25 @@ def decode_table(spark: SparkSession, enc_dir: str, columns: list[str] | None = 
         return spark.createDataFrame([], schema=out_ddl)
     files = spark.read.format("binaryFile").load(f"{enc_dir}/part-*.bin").select("content")
 
-    def decode_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def decode_partition(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         want = set(cols)
         for b in batches:
-            for content in b["content"]:
-                blobs = parse_partition_file(content, want)
+            for content in b.column("content"):
+                blobs = parse_partition_file(content.as_py(), want)
                 if not blobs:
                     continue
-                arrays = {}
+                arrays = []
                 n_rows = None
                 for c in cols:
                     logical = _DDL_LOGICAL.get(by_name[c]["ddl"], "binary")
                     cd = decode_chunk(blobs[c], logical=logical)
-                    arrays[c] = to_arrow(cd)
+                    arrays.append(to_arrow(cd))
                     n_rows = cd.num_rows
                 if not n_rows:
                     continue
-                tbl = pa.table(arrays)
-                yield tbl.to_pandas(types_mapper=None)
+                yield pa.RecordBatch.from_arrays(
+                    [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in arrays],
+                    names=list(cols),
+                )
 
-    return files.mapInPandas(decode_partition, schema=out_ddl)
+    return files.mapInArrow(decode_partition, schema=out_ddl)

@@ -108,7 +108,11 @@ def encode_table(
     else:
         df = df.repartition(partitions)
 
-    def encode_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def _manifest_batch(rows: list[dict]) -> pa.RecordBatch:
+        cols_out = {f.name: [r[f.name] for r in rows] for f in mf.MANIFEST_SCHEMA}
+        return pa.RecordBatch.from_pydict(cols_out, schema=mf.MANIFEST_SCHEMA)
+
+    def encode_partition(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         pid = TaskContext.get().partitionId()
         fpath = os.path.join(out_dir, f"part-{pid:05d}.bin")
         if resume and os.path.exists(mf.part_manifest_path(out_dir, pid)) and os.path.exists(fpath):
@@ -116,13 +120,13 @@ def encode_table(
             for _ in batches:  # drain
                 pass
             if rows:
-                yield pd.DataFrame(rows)[[f.name for f in mf.MANIFEST_SCHEMA]]
+                yield _manifest_batch(rows)
             return
-        tables = [pa.Table.from_pandas(b, preserve_index=False) for b in batches]
+        recs = list(batches)
         named_blobs: list[tuple[str, bytes]] = []
-        rows: list[dict] = []
-        if tables:
-            table = pa.concat_tables(tables)
+        rows = []
+        if recs:
+            table = pa.Table.from_batches(recs)
         elif arrow_schema is not None:
             # empty partition: encode zero-row chunks so lineage stays
             # complete (one manifest row per column per partition) and the
@@ -130,7 +134,7 @@ def encode_table(
             table = arrow_schema.empty_table()
         else:
             table = None
-        del tables
+        del recs
         if table is not None:
             for name in cols:
                 col = from_arrow(table.column(name))
@@ -149,6 +153,9 @@ def encode_table(
         write_partition_file(fpath, named_blobs)
         mf.commit_partition(out_dir, pid, rows)
         if rows:
-            yield pd.DataFrame(rows)[[f.name for f in mf.MANIFEST_SCHEMA]]
+            yield _manifest_batch(rows)
 
-    return df.mapInPandas(encode_partition, schema=mf.MANIFEST_DDL)
+    # mapInArrow, not mapInPandas: pandas conversion would box every
+    # string/binary value into a Python object; Arrow batches feed the
+    # numpy kernels zero-copy
+    return df.mapInArrow(encode_partition, schema=mf.MANIFEST_DDL)

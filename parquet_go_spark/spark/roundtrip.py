@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
-import pandas as pd
+import pandas as pd  # noqa: F401
 import pyarrow as pa
 from pyspark.sql import DataFrame
 
@@ -40,18 +40,20 @@ def roundtrip_df(
     if max_page is not None:
         kwargs["max_page"] = max_page
 
-    def rt(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def rt(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for b in batches:
-            if len(b) == 0:
+            if b.num_rows == 0:
                 yield b
                 continue
-            tbl = pa.Table.from_pandas(b, preserve_index=False)
-            out = {}
+            out = []
             for name in cols:
-                cd = from_arrow(tbl.column(name))
+                cd = from_arrow(b.column(name))
                 blob, _meta = encode_chunk(cd, **kwargs)
                 dec = decode_chunk(blob, logical=cd.logical)
-                out[name] = to_arrow(dec)
-            yield pa.table(out).to_pandas()
+                arr = to_arrow(dec)
+                if isinstance(arr, pa.ChunkedArray):
+                    arr = arr.combine_chunks()
+                out.append(arr)
+            yield pa.RecordBatch.from_arrays(out, names=cols)
 
-    return df.mapInPandas(rt, schema=df.schema)
+    return df.mapInArrow(rt, schema=df.schema)
