@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_orders": _rt("orders"),
         "roundtrip_events": _rt("events"),
         "roundtrip_customer": _rt("customer"),
+        "roundtrip_embeddings": _rt("embeddings"),  # list<float>: Dremel rep/def levels
         "roundtrip_reference_documents": _rt("documents", profile="reference"),
         "roundtrip_zlib_documents": _rt("documents", compression="zlib"),
         "enc_plain_lineitem": _rt("lineitem", encoding="plain"),
@@ -228,6 +229,7 @@ SELECT q_id, n_id, rank FROM (
         "roundtrip_orders": _ident_sql("orders"),
         "roundtrip_events": _ident_sql("events"),
         "roundtrip_customer": _ident_sql("customer"),
+        "roundtrip_embeddings": "SELECT vec_id, embedding, label FROM embeddings",
         "roundtrip_reference_documents": _ident_sql("documents"),
         "roundtrip_zlib_documents": _ident_sql("documents"),
         "enc_plain_lineitem": _ident_sql("lineitem"),

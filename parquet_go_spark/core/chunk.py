@@ -276,6 +276,18 @@ def encode_chunk(
     """
     from .selector import choose_encoding  # local import to avoid cycle
 
+    if type(col).__name__ == "ListData":
+        from .listchunk import encode_list_chunk  # local: avoid cycle
+
+        return encode_list_chunk(
+            col,
+            profile=profile,
+            compression=compression,
+            max_page=max_page,
+            level_mode=level_mode,
+            encoding=encoding,
+        )
+
     if level_mode is None:
         level_mode = "bp" if profile == "reference" else "auto"
     index_mode = "bp" if profile == "reference" else "auto"
@@ -372,8 +384,12 @@ def encode_chunk(
 
 
 # ------------------------------------------------------------------ decode
-def decode_chunk(blob, logical: str = "") -> ColumnData:
+def decode_chunk(blob, logical: str = ""):
     mv = memoryview(blob)
+    if bytes(mv[:4]) == b"PGSL":
+        from .listchunk import decode_list_chunk  # local: avoid cycle
+
+        return decode_list_chunk(blob, logical=logical)
     if bytes(mv[:4]) != MAGIC:
         raise ValueError("bad chunk magic")
     version, pt, en, cp, flags = mv[4], mv[5], mv[6], mv[7], mv[8]

@@ -12,7 +12,7 @@ from dataclasses import dataclass
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["ColumnData", "from_arrow", "to_arrow", "PHYSICAL", "gather_segments"]
+__all__ = ["ColumnData", "ListData", "from_arrow", "to_arrow", "PHYSICAL", "gather_segments"]
 
 
 def gather_segments(src: np.ndarray, starts: np.ndarray, lengths: np.ndarray) -> np.ndarray:
@@ -87,6 +87,31 @@ class ColumnData:
         return self.num_values * np.dtype(_NUMPY_OF[self.ptype]).itemsize
 
 
+@dataclass
+class ListData:
+    """Single-level list column (Dremel max_rep=1, max_def=3 — the
+    ``optional group (LIST) { repeated group list { optional element } }``
+    shape, ``schema.go:585-614`` / SURVEY.md §1.3): per-row validity +
+    lengths over a flattened element ColumnData."""
+
+    row_validity: np.ndarray  # bool[n_rows]; True = list present
+    lens: np.ndarray  # int64[n_rows]; elements per row (0 when null)
+    elem: ColumnData  # flattened elements of the non-null rows
+    logical: str = ""  # arrow type string, e.g. "list<item: float>"
+
+    @property
+    def num_rows(self) -> int:
+        return len(self.row_validity)
+
+    @property
+    def raw_bytes(self) -> int:
+        return self.elem.raw_bytes + len(self.row_validity) // 2
+
+    @property
+    def num_values(self) -> int:
+        return int(self.row_validity.sum())
+
+
 def _phys_of(t: pa.DataType) -> str:
     if t in _ARROW_TO_PHYS:
         return _ARROW_TO_PHYS[t]
@@ -99,10 +124,21 @@ def _phys_of(t: pa.DataType) -> str:
     raise TypeError(f"unsupported arrow type {t}")
 
 
-def from_arrow(arr: pa.Array | pa.ChunkedArray) -> ColumnData:
-    """Arrow array -> ColumnData (vectorized, zero-copy where possible)."""
+def from_arrow(arr: pa.Array | pa.ChunkedArray) -> "ColumnData | ListData":
+    """Arrow array -> ColumnData/ListData (vectorized, zero-copy where
+    possible)."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
+    if pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type):
+        n = len(arr)
+        validity = (
+            np.ones(n, dtype=bool) if arr.null_count == 0 else arr.is_valid().to_numpy(zero_copy_only=False)
+        )
+        offsets = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = np.diff(offsets)
+        lens = np.where(validity, lens, 0).astype(np.int64)
+        elems = arr.flatten()  # concatenation of non-null rows' contents
+        return ListData(validity, lens, from_arrow(elems), logical=str(arr.type))
     if pa.types.is_dictionary(arr.type):
         arr = arr.cast(arr.type.value_type)
     ptype = _phys_of(arr.type)
@@ -143,8 +179,18 @@ def from_arrow(arr: pa.Array | pa.ChunkedArray) -> ColumnData:
     return ColumnData(ptype, validity, values=values, logical=logical)
 
 
-def to_arrow(col: ColumnData) -> pa.Array:
-    """ColumnData -> Arrow array of the original logical type."""
+def to_arrow(col: "ColumnData | ListData") -> pa.Array:
+    """ColumnData/ListData -> Arrow array of the original logical type."""
+    if isinstance(col, ListData):
+        elem_arr = to_arrow(col.elem)
+        offsets = np.concatenate([[0], np.cumsum(col.lens)]).astype(np.int32)
+        mask = ~col.row_validity
+        out = pa.ListArray.from_arrays(
+            pa.array(offsets, type=pa.int32()),
+            elem_arr,
+            mask=pa.array(mask) if mask.any() else None,
+        )
+        return out
     n = col.num_rows
     mask = ~col.validity  # pyarrow mask: True = null
     if col.ptype == "bytes":

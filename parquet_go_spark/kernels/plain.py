@@ -97,6 +97,8 @@ def encode_byte_array(lengths: np.ndarray, data: np.ndarray) -> bytes:
         else:
             # short segments: shift every data byte by 4*(seg_index+1)
             seg_starts = np.cumsum(lengths)[:-1]
+            # zero-length tails can start at == total: no data bytes follow
+            seg_starts = seg_starts[seg_starts < total]
             bump = np.bincount(seg_starts, minlength=total).astype(np.int64) * 4
             shift = np.cumsum(bump) + 4
             out[np.arange(total, dtype=np.int64) + shift] = data

@@ -38,6 +38,11 @@ def decode_table(spark: SparkSession, enc_dir: str, columns: list[str] | None = 
     by_name = {f["name"]: f for f in fields}
     cols = columns or [f["name"] for f in fields]
     out_ddl = ", ".join(f"`{c}` {by_name[c]['ddl']}" for c in cols)
+
+    def _logical_of(ddl: str) -> str:
+        if ddl.startswith("array<") and ddl.endswith(">"):
+            return f"list<{_DDL_LOGICAL.get(ddl[6:-1], 'binary')}>"
+        return _DDL_LOGICAL.get(ddl, "binary")
     import glob as _glob
 
     if not _glob.glob(f"{enc_dir}/part-*.bin"):
@@ -56,8 +61,7 @@ def decode_table(spark: SparkSession, enc_dir: str, columns: list[str] | None = 
                 arrays = []
                 n_rows = None
                 for c in cols:
-                    logical = _DDL_LOGICAL.get(by_name[c]["ddl"], "binary")
-                    cd = decode_chunk(blobs[c], logical=logical)
+                    cd = decode_chunk(blobs[c], logical=_logical_of(by_name[c]["ddl"]))
                     arrays.append(to_arrow(cd))
                     n_rows = cd.num_rows
                 if not n_rows:

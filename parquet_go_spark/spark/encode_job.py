@@ -105,8 +105,10 @@ def encode_table(
         # expression value, and pmod would collapse it to n distinct values
         # that clump under the second hash, leaving partitions empty.
         df = df.repartition(partitions, F.xxhash64(F.col(key_col), F.lit(salt)))
-    else:
+    elif partitions:
         df = df.repartition(partitions)
+    # key_col=None and partitions=None/0: encode the source partitioning
+    # as-is (no shuffle) — for inputs already bucketed at write time
 
     def _manifest_batch(rows: list[dict]) -> pa.RecordBatch:
         cols_out = {f.name: [r[f.name] for r in rows] for f in mf.MANIFEST_SCHEMA}

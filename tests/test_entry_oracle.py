@@ -37,6 +37,8 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
         if pd.api.types.is_datetime64_any_dtype(s):
             df[c] = s.dt.tz_localize(None) if getattr(s.dt, "tz", None) is not None else s
             df[c] = df[c].astype("datetime64[us]")
+        elif s.dtype == object and len(s) and isinstance(s.iloc[0], (list, np.ndarray)):
+            df[c] = s.map(lambda v: tuple(np.asarray(v).tolist()))
         elif s.dtype == object and len(s) and isinstance(s.iloc[0], bytes):
             df[c] = s
         elif pd.api.types.is_bool_dtype(s):
