@@ -92,6 +92,13 @@ class ChunkMeta:
     max_value: object = None
 
     def as_dict(self) -> dict:
+        def _s(v):
+            if v is None:
+                return None
+            if isinstance(v, bytes):
+                return v[:64].decode("utf-8", "backslashreplace")
+            return str(v)
+
         return {
             "ptype": self.ptype,
             "encoding": self.encoding,
@@ -103,7 +110,40 @@ class ChunkMeta:
             "encoded_bytes": self.encoded_bytes,
             "num_pages": self.num_pages,
             "crc32": self.crc32,
+            "min_str": _s(self.min_value),
+            "max_str": _s(self.max_value),
         }
+
+
+# ------------------------------------------------------------- chunk stats
+def column_minmax(col: ColumnData) -> tuple[object, object]:
+    """Typed chunk min/max (reference O13, ``stats.go:9-225``): exact,
+    vectorized. Bytes: big-endian first-8-byte keys narrow the candidates,
+    ties resolved by comparing the few candidate strings."""
+    if col.num_values == 0:
+        return None, None
+    if col.ptype == "bool":
+        v = col.values
+        return bool(v.min()), bool(v.max())
+    if col.ptype != "bytes":
+        v = col.values
+        return v.min().item(), v.max().item()
+    lens = col.lengths
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    n = len(lens)
+    pad = np.concatenate([col.data, np.zeros(8, np.uint8)])
+    off = np.arange(8)
+    vals = pad[starts[:, None] + off] * (off[None, :] < lens[:, None])
+    pw = np.array([1 << (8 * (7 - i)) for i in range(8)], dtype=np.uint64)  # big-endian
+    keys = vals.astype(np.uint64) @ pw
+
+    def _extract(i: int) -> bytes:
+        return bytes(col.data[starts[i] : starts[i] + lens[i]])
+
+    lo_key, hi_key = keys.min(), keys.max()
+    lo = min(_extract(i) for i in np.flatnonzero(keys == lo_key)[:4096])
+    hi = max(_extract(i) for i in np.flatnonzero(keys == hi_key)[:4096])
+    return lo, hi
 
 
 # --------------------------------------------------------------- factorize
@@ -368,6 +408,7 @@ def encode_chunk(
         vstart = vend
 
     blob = bytes(out)
+    mn, mx = column_minmax(col)
     meta = ChunkMeta(
         ptype=col.ptype,
         encoding=enc,
@@ -379,6 +420,8 @@ def encode_chunk(
         encoded_bytes=len(blob),
         num_pages=len(bounds),
         crc32=zlib.crc32(blob),
+        min_value=mn,
+        max_value=mx,
     )
     return blob, meta
 

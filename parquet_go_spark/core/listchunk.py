@@ -100,6 +100,8 @@ def encode_list_chunk(
         encoded_bytes=len(blob),
         num_pages=meta.num_pages,
         crc32=zlib.crc32(blob),
+        min_value=meta.min_value,
+        max_value=meta.max_value,
     )
     return blob, meta
 

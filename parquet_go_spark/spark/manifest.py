@@ -29,6 +29,8 @@ MANIFEST_SCHEMA = pa.schema(
         ("encoded_bytes", pa.int64()),
         ("num_pages", pa.int32()),
         ("crc32", pa.int64()),
+        ("min_str", pa.string()),
+        ("max_str", pa.string()),
         ("file", pa.string()),
         ("offset", pa.int64()),
         ("length", pa.int64()),
@@ -39,7 +41,7 @@ MANIFEST_DDL = (
     "partition int, column string, ptype string, encoding string, "
     "compression string, num_rows long, null_count long, distinct long, "
     "raw_bytes long, encoded_bytes long, num_pages int, crc32 long, "
-    "file string, offset long, length long"
+    "min_str string, max_str string, file string, offset long, length long"
 )
 
 

@@ -1,0 +1,60 @@
+"""INT96 shim (type_int96.go / int96_time.go parity) and chunk min/max
+stats (stats.go parity) tests."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from parquet_go_spark.core.chunk import column_minmax, encode_chunk
+from parquet_go_spark.core.columns import from_arrow
+from parquet_go_spark.kernels import int96
+
+
+def test_int96_roundtrip():
+    rng = np.random.default_rng(3)
+    micros = rng.integers(-(2**54), 2**54, size=10_000).astype(np.int64)
+    micros = np.concatenate([micros, [0, 1, -1, 86400_000_000, -86400_000_000]])
+    enc = int96.encode_plain(micros)
+    assert len(enc) == len(micros) * 12
+    dec, pos = int96.decode_plain(enc, len(micros))
+    assert pos == len(enc)
+    assert np.array_equal(dec, micros)
+
+
+def test_int96_epoch_layout():
+    # 1970-01-01 00:00:00 -> julian day 2440588, nanos 0 (int96_time.go:17)
+    enc = int96.encode_plain(np.array([0], dtype=np.int64))
+    assert enc[:8] == b"\x00" * 8
+    assert int.from_bytes(enc[8:], "little") == 2440588
+
+
+def test_minmax_fixed():
+    col = from_arrow(pa.array([5, None, -3, 17, 0], type=pa.int64()))
+    assert column_minmax(col) == (-3, 17)
+    col = from_arrow(pa.array([2.5, float("nan"), -1.0], type=pa.float64()))
+    mn, mx = column_minmax(col)
+    assert np.isnan(mn) or mn == -1.0  # NaN propagation matches numpy min
+
+
+def test_minmax_bytes_ties_and_prefixes():
+    vals = [b"abc", b"ab", b"abcdefghXY", b"abcdefghAA", b"zz", None, b""]
+    col = from_arrow(pa.array(vals, type=pa.binary()))
+    mn, mx = column_minmax(col)
+    assert mn == b""
+    assert mx == b"zz"
+    vals2 = [b"prefix__________tail_b", b"prefix__________tail_a"]
+    mn2, mx2 = column_minmax(from_arrow(pa.array(vals2, type=pa.binary())))
+    assert (mn2, mx2) == (vals2[1], vals2[0])
+
+
+def test_minmax_all_null():
+    col = from_arrow(pa.array([None, None], type=pa.string()))
+    assert column_minmax(col) == (None, None)
+
+
+def test_meta_carries_minmax():
+    col = from_arrow(pa.array(["m", "a", "z", None], type=pa.string()))
+    _, meta = encode_chunk(col)
+    d = meta.as_dict()
+    assert d["min_str"] == "a" and d["max_str"] == "z"
