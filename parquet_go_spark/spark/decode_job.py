@@ -33,7 +33,17 @@ _DDL_LOGICAL = {
 }
 
 
-def decode_table(spark: SparkSession, enc_dir: str, columns: list[str] | None = None) -> DataFrame:
+def decode_table(
+    spark: SparkSession,
+    enc_dir: str,
+    columns: list[str] | None = None,
+    validate_crc: bool = False,
+) -> DataFrame:
+    """Decode an encoded table directory back into a DataFrame.
+
+    ``validate_crc=True`` checks each selected chunk's CRC32 against the
+    partition manifest before decoding (reference ``WithCRC32Validation``,
+    ``file_reader.go:134-139`` / ``chunk_reader.go:173-177``)."""
     fields = mf.read_table_schema(enc_dir)
     by_name = {f["name"]: f for f in fields}
     cols = columns or [f["name"] for f in fields]
@@ -49,15 +59,31 @@ def decode_table(spark: SparkSession, enc_dir: str, columns: list[str] | None = 
         # an encode of an empty DataFrame runs zero tasks and writes no
         # partition files; the decoded table is simply empty
         return spark.createDataFrame([], schema=out_ddl)
-    files = spark.read.format("binaryFile").load(f"{enc_dir}/part-*.bin").select("content")
+    files = spark.read.format("binaryFile").load(f"{enc_dir}/part-*.bin").select("path", "content")
 
     def decode_partition(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         want = set(cols)
         for b in batches:
-            for content in b.column("content"):
+            for path, content in zip(b.column("path"), b.column("content")):
                 blobs = parse_partition_file(content.as_py(), want)
                 if not blobs:
                     continue
+                if validate_crc:
+                    import os as _os
+                    import zlib as _zlib
+
+                    name = _os.path.basename(path.as_py())
+                    pid = int(name[len("part-") : -len(".bin")])
+                    crc_of = {
+                        r["column"]: r["crc32"] for r in mf.read_partition_manifest(enc_dir, pid)
+                    }
+                    for c in want:
+                        got = _zlib.crc32(blobs[c])
+                        if c in crc_of and got != crc_of[c]:
+                            raise ValueError(
+                                f"crc mismatch for column {c} in {name}: "
+                                f"{got:#x} != manifest {crc_of[c]:#x}"
+                            )
                 arrays = []
                 n_rows = None
                 for c in cols:

@@ -93,6 +93,23 @@ def test_column_projection_decode(spark, tmp_path):
     assert got.equals(want)
 
 
+def test_crc_validation_detects_corruption(spark, tmp_path):
+    out = str(tmp_path / "enc_crc")
+    df = pages_df(spark, 500, partitions=1)
+    encode_table(df, out, key_col="url", partitions=1).collect()
+    # clean decode validates fine
+    assert decode_table(spark, out, validate_crc=True).count() == 500
+    # flip one byte mid-file -> validated decode must fail
+    fpath = glob.glob(f"{out}/part-*.bin")[0]
+    with open(fpath, "r+b") as f:
+        f.seek(os.path.getsize(fpath) // 2)
+        b = f.read(1)
+        f.seek(-1, 1)
+        f.write(bytes([b[0] ^ 0xFF]))
+    with pytest.raises(Exception, match="crc mismatch|Py4J|SparkException"):
+        decode_table(spark, out, validate_crc=True).count()
+
+
 def test_manifest_readable_as_table(spark, tmp_path):
     out = str(tmp_path / "enc_man")
     df = pages_df(spark, 1000, partitions=2)
