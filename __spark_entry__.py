@@ -77,6 +77,19 @@ def _rt(table: str, cols: list[str] | None = None, **kw):
     return q
 
 
+def _rt_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip with injected nulls: exercises def-level streams
+    (helpers.go:262-292) under the oracle gate — the stock tables have
+    no nulls."""
+    df = _load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, None).otherwise(F.col("text")).alias("text_n"),
+        F.when(F.col("doc_id") % 3 == 0, None).otherwise(F.col("n_chars")).alias("n_chars_n"),
+        F.when(F.col("doc_id") % 11 == 0, None).otherwise(F.col("lang")).alias("lang_n"),
+    )
+    return roundtrip_df(df)
+
+
 def _q_dict_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
     st = table_column_stats(_load(spark, sf_dir, "documents"))
     return st.select(
@@ -107,6 +120,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_embeddings": _rt("embeddings"),  # list<float>: Dremel rep/def levels
         "roundtrip_reference_documents": _rt("documents", profile="reference"),
         "roundtrip_zlib_documents": _rt("documents", compression="zlib"),
+        "roundtrip_nulls": _rt_nulls,
+        "roundtrip_multipage_lineitem": _rt("lineitem", max_page=4096),
         "enc_plain_lineitem": _rt("lineitem", encoding="plain"),
         "enc_dict_documents": _rt("documents", encoding="rle_dict"),
         "enc_delta_bp_events": _rt("events", cols=["event_id", "ts", "user_id"], encoding="delta_bp"),
@@ -232,6 +247,14 @@ SELECT q_id, n_id, rank FROM (
         "roundtrip_embeddings": "SELECT vec_id, embedding, label FROM embeddings",
         "roundtrip_reference_documents": _ident_sql("documents"),
         "roundtrip_zlib_documents": _ident_sql("documents"),
+        "roundtrip_nulls": (
+            "SELECT doc_id,"
+            " CASE WHEN doc_id % 7 = 0 THEN NULL ELSE text END AS text_n,"
+            " CASE WHEN doc_id % 3 = 0 THEN NULL ELSE n_chars END AS n_chars_n,"
+            " CASE WHEN doc_id % 11 = 0 THEN NULL ELSE lang END AS lang_n"
+            " FROM documents"
+        ),
+        "roundtrip_multipage_lineitem": _ident_sql("lineitem"),
         "enc_plain_lineitem": _ident_sql("lineitem"),
         "enc_dict_documents": _ident_sql("documents"),
         "enc_delta_bp_events": _ident_sql("events", ["event_id", "ts", "user_id"]),

@@ -1,0 +1,154 @@
+"""Command-line driver (reference ``cmd/parquet-tool`` + ``csv2parquet``
+analogue, SURVEY.md §2 O17) — the ``spark-submit --py-files`` entry point:
+
+    spark-submit --py-files parquet_go_spark.zip -m parquet_go_spark encode ...
+
+Subcommands:
+  encode     parquet table -> encoded chunk dir + manifest (resumable)
+  decode     encoded dir -> parquet table (column projection, CRC check)
+  meta       print per-column manifest summary (parquet-tool meta)
+  gen-pages  write the deterministic synthetic pages table
+  verify     byte-identity check input vs encoded dir (per-key)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _spark(args):
+    from .spark.session import get_spark
+
+    return get_spark(cores=args.cpus)
+
+
+def cmd_encode(args) -> int:
+    spark = _spark(args)
+    df = spark.read.parquet(args.input)
+    from .spark.encode_job import encode_table
+
+    man = encode_table(
+        df,
+        args.out,
+        key_col=args.key_col,
+        partitions=args.partitions,
+        profile=args.profile,
+        compression=args.compression,
+        resume=not args.no_resume,
+    ).collect()
+    raw = sum(r["raw_bytes"] for r in man)
+    enc = sum(r["encoded_bytes"] for r in man)
+    print(
+        json.dumps(
+            {
+                "partitions": len({r["partition"] for r in man}),
+                "rows": sum(r["num_rows"] for r in man if r["column"] == man[0]["column"]),
+                "raw_bytes": raw,
+                "encoded_bytes": enc,
+                "ratio": round(raw / max(enc, 1), 4),
+            }
+        )
+    )
+    return 0
+
+
+def cmd_decode(args) -> int:
+    spark = _spark(args)
+    from .spark.decode_job import decode_table
+
+    df = decode_table(
+        spark,
+        args.enc,
+        columns=args.columns.split(",") if args.columns else None,
+        validate_crc=args.validate_crc,
+    )
+    df.write.mode("overwrite").parquet(args.out)
+    print(json.dumps({"rows": spark.read.parquet(args.out).count(), "out": args.out}))
+    return 0
+
+
+def cmd_meta(args) -> int:
+    spark = _spark(args)
+    from pyspark.sql import functions as F
+
+    from .spark import manifest as mf
+
+    man = mf.read_manifest(spark, args.enc)
+    man.groupBy("column", "ptype", "encoding", "compression").agg(
+        F.count("*").alias("chunks"),
+        F.sum("num_rows").alias("rows"),
+        F.sum("null_count").alias("nulls"),
+        F.sum("raw_bytes").alias("raw"),
+        F.sum("encoded_bytes").alias("encoded"),
+        F.min("min_str").alias("min"),
+        F.max("max_str").alias("max"),
+    ).orderBy("column", "encoding").show(1000, truncate=24)
+    return 0
+
+
+def cmd_gen_pages(args) -> int:
+    spark = _spark(args)
+    from .spark.pages_table import pages_df
+
+    pages_df(spark, args.rows).write.mode("overwrite").parquet(args.out)
+    print(json.dumps({"rows": args.rows, "out": args.out}))
+    return 0
+
+
+def cmd_verify(args) -> int:
+    spark = _spark(args)
+    from .spark.decode_job import decode_table
+    from .spark.verify import verify_roundtrip
+
+    src = spark.read.parquet(args.input)
+    dec = decode_table(spark, args.enc)
+    res = verify_roundtrip(src, dec, key=args.key_col)
+    print(json.dumps(res))
+    return 0 if res["ok"] else 1
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="parquet_go_spark")
+    p.add_argument("--cpus", type=int, default=None, help="local[N] cores")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    e = sub.add_parser("encode")
+    e.add_argument("--input", required=True)
+    e.add_argument("--out", required=True)
+    e.add_argument("--key-col", default=None)
+    e.add_argument("--partitions", type=int, default=None)
+    e.add_argument("--profile", default="auto", choices=["auto", "reference"])
+    e.add_argument("--compression", default="none", choices=["none", "zlib", "snappy", "zstd", "lz4"])
+    e.add_argument("--no-resume", action="store_true")
+    e.set_defaults(fn=cmd_encode)
+
+    d = sub.add_parser("decode")
+    d.add_argument("--enc", required=True)
+    d.add_argument("--out", required=True)
+    d.add_argument("--columns", default=None, help="comma-separated projection")
+    d.add_argument("--validate-crc", action="store_true")
+    d.set_defaults(fn=cmd_decode)
+
+    m = sub.add_parser("meta")
+    m.add_argument("--enc", required=True)
+    m.set_defaults(fn=cmd_meta)
+
+    g = sub.add_parser("gen-pages")
+    g.add_argument("--rows", type=int, required=True)
+    g.add_argument("--out", required=True)
+    g.set_defaults(fn=cmd_gen_pages)
+
+    v = sub.add_parser("verify")
+    v.add_argument("--input", required=True)
+    v.add_argument("--enc", required=True)
+    v.add_argument("--key-col", default="url")
+    v.set_defaults(fn=cmd_verify)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

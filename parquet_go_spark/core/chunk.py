@@ -35,6 +35,8 @@ __all__ = ["encode_chunk", "decode_chunk", "ENCODINGS", "DICT_MAX", "ChunkMeta"]
 
 MAGIC = b"PGSC"
 VERSION = 1
+# decode-side allocation cap (reference WithMaximumMemorySize, alloc.go)
+MAX_DECODE_ROWS = 1 << 28
 DICT_MAX = 32767  # math.MaxInt16, type_dict.go:101 / chunk_writer.go:188,200
 DEFAULT_PAGE = 1 << 20  # data_store.go:149-154
 
@@ -444,11 +446,19 @@ def decode_chunk(blob, logical: str = ""):
     pos = 9
     num_rows, pos = read_uvarint(mv, pos)
     null_count, pos = read_uvarint(mv, pos)
+    # memory governor analogue (reference alloc.go, O12): cap the
+    # allocations a header can demand before touching numpy — RLE packs
+    # millions of rows into a few bytes legitimately, so the bound is an
+    # absolute allocation budget, not blob-relative
+    if num_rows > MAX_DECODE_ROWS or null_count > num_rows:
+        raise ValueError(f"implausible chunk header: rows={num_rows} nulls={null_count}")
     dict_vals = None
     if flags & 1:
         dict_size, pos = read_uvarint(mv, pos)
         raw_len, pos = read_uvarint(mv, pos)
         comp_len, pos = read_uvarint(mv, pos)
+        if dict_size > DICT_MAX + 1 or comp_len > len(mv) or raw_len > comp_len * 1024 + (1 << 20):
+            raise ValueError("implausible dict header")
         dict_payload = _decompress(bytes(mv[pos : pos + comp_len]), compression, raw_len)
         pos += comp_len
         if ptype == "bytes":
@@ -461,11 +471,15 @@ def decode_chunk(blob, logical: str = ""):
     value_parts = []
     len_parts = []
     data_parts = []
+    if num_pages > len(mv):
+        raise ValueError("implausible page count")
     for _ in range(num_pages):
         rows, pos = read_uvarint(mv, pos)
         nulls, pos = read_uvarint(mv, pos)
         raw_len, pos = read_uvarint(mv, pos)
         comp_len, pos = read_uvarint(mv, pos)
+        if rows > num_rows or nulls > rows or pos + comp_len > len(mv) or raw_len > (comp_len + 64) * 1024:
+            raise ValueError("implausible page header")
         payload = _decompress(bytes(mv[pos : pos + comp_len]), compression, raw_len)
         pos += comp_len
         validity, ppos = levels.decode_def_levels(payload, rows, 0)

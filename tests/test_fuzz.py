@@ -1,0 +1,105 @@
+"""Decoder fuzzing (reference test layer 5: go-fuzz on every decoder —
+``hybrid_fuzz.go``, ``deltabp_fuzz.go``, ``types_fuzz.go``,
+``reader_fuzz.go``). Decoders must reject or decode arbitrary bytes —
+never hang, crash the interpreter, or allocate absurdly."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from parquet_go_spark.core.chunk import MAGIC, decode_chunk, encode_chunk
+from parquet_go_spark.core.columns import ColumnData
+from parquet_go_spark.kernels import deltabp, fsst, hybrid
+
+ACCEPTABLE = (ValueError, IndexError, KeyError, OverflowError, EOFError, MemoryError)
+
+
+@settings(max_examples=200, deadline=2000)
+@given(st.binary(min_size=0, max_size=256))
+def test_fuzz_chunk_decoder(buf):
+    try:
+        decode_chunk(MAGIC + buf)
+    except ACCEPTABLE:
+        pass
+
+
+@settings(max_examples=200, deadline=2000)
+@given(st.binary(min_size=0, max_size=256))
+def test_fuzz_list_chunk_decoder(buf):
+    try:
+        decode_chunk(b"PGSL" + buf)
+    except ACCEPTABLE:
+        pass
+
+
+@settings(max_examples=200, deadline=2000)
+@given(st.binary(max_size=128), st.integers(0, 32), st.integers(0, 512))
+def test_fuzz_hybrid_decoder(buf, bw, count):
+    try:
+        hybrid.decode(buf, bw, count)
+    except ACCEPTABLE:
+        pass
+
+
+@settings(max_examples=200, deadline=2000)
+@given(st.binary(max_size=256), st.sampled_from([32, 64]))
+def test_fuzz_deltabp_decoder(buf, bits):
+    try:
+        deltabp.decode(buf, 0, bits)
+    except ACCEPTABLE:
+        pass
+
+
+@settings(max_examples=150, deadline=2000)
+@given(st.binary(max_size=256))
+def test_fuzz_fsst_decoder(buf):
+    try:
+        fsst.decode_column(buf, 0)
+    except ACCEPTABLE:
+        pass
+
+
+# ---- round-trip properties over random well-formed columns ----
+@settings(max_examples=60, deadline=5000)
+@given(
+    st.lists(st.one_of(st.none(), st.integers(-(2**62), 2**62)), max_size=200),
+    st.sampled_from(["auto", "reference"]),
+)
+def test_property_int64_roundtrip(vals, profile):
+    validity = np.array([v is not None for v in vals], dtype=bool)
+    values = np.array([v for v in vals if v is not None], dtype=np.int64)
+    col = ColumnData("int64", validity, values=values, logical="int64")
+    blob, _ = encode_chunk(col, profile=profile)
+    dec = decode_chunk(blob)
+    assert np.array_equal(dec.validity, validity)
+    assert np.array_equal(dec.values, values)
+
+
+@settings(max_examples=60, deadline=5000)
+@given(st.lists(st.one_of(st.none(), st.binary(max_size=40)), max_size=120))
+def test_property_bytes_roundtrip(vals):
+    validity = np.array([v is not None for v in vals], dtype=bool)
+    nn = [v for v in vals if v is not None]
+    lengths = np.array([len(v) for v in nn], dtype=np.int64)
+    data = np.frombuffer(b"".join(nn), dtype=np.uint8)
+    col = ColumnData("bytes", validity, lengths=lengths, data=data, logical="binary")
+    blob, _ = encode_chunk(col)
+    dec = decode_chunk(blob)
+    assert np.array_equal(dec.validity, validity)
+    assert np.array_equal(dec.lengths, lengths)
+    assert np.array_equal(dec.data, data)
+
+
+@pytest.mark.parametrize("enc", ["plain", "delta_length", "delta_bytes", "fsst"])
+def test_forced_encoding_roundtrip_empty_strings(enc):
+    vals = [b"", b"a", b"", b"", b"abc" * 30, b""]
+    validity = np.ones(len(vals), dtype=bool)
+    lengths = np.array([len(v) for v in vals], dtype=np.int64)
+    data = np.frombuffer(b"".join(vals), dtype=np.uint8)
+    col = ColumnData("bytes", validity, lengths=lengths, data=data, logical="binary")
+    blob, _ = encode_chunk(col, encoding=enc)
+    dec = decode_chunk(blob)
+    assert np.array_equal(dec.lengths, lengths)
+    assert np.array_equal(dec.data, data)
