@@ -60,6 +60,7 @@ def langid_ngram(
     id_col: str = "doc_id",
     lang_col: str = "lang",
     top_ngrams: int = 40,
+    profile_docs: int = 2000,
 ) -> DataFrame:
     """Language ID by character-bigram profiles (Cavnar-Trenkle style).
 
@@ -69,13 +70,20 @@ def langid_ngram(
     on a sample; the join is a broadcast (profiles are KBs).
     Returns (id, lang, lang_pred, correct).
     """
-    spark = df.sparkSession
-    lower = F.lower(F.col(text_col))
-    bigrams = F.expr(
-        f"transform(sequence(1, length(lower({text_col})) - 1),"
-        f" i -> substring(lower({text_col}), i, 2))"
+    # materialize lower(text) and the bigram array once — a lambda body
+    # referencing lower(text) re-evaluates it per element (O(len²))
+    base = df.select(
+        F.col(id_col), F.col(lang_col), F.lower(F.col(text_col)).alias("__lt")
+    ).select(
+        F.col(id_col),
+        F.col(lang_col),
+        F.expr("transform(sequence(1, length(__lt) - 1), i -> substring(__lt, i, 2))").alias(
+            "__bg"
+        ),
     )
-    exploded = df.select(F.col(lang_col), F.explode(bigrams).alias("bg"))
+    # profile pass runs on a bounded sample — at 10^12 docs the profiles
+    # converge long before the corpus is exhausted
+    exploded = base.limit(profile_docs).select(F.col(lang_col), F.explode("__bg").alias("bg"))
     counts = exploded.groupBy(lang_col, "bg").count()
     from pyspark.sql.window import Window
 
@@ -86,8 +94,8 @@ def langid_ngram(
         .select(F.col(lang_col).alias("profile_lang"), "bg", "rank")
     )
     # classify: per doc, score = sum over doc bigrams present in profile
-    doc_bigrams = df.select(
-        F.col(id_col), F.col(lang_col), F.explode(F.array_distinct(bigrams)).alias("bg")
+    doc_bigrams = base.select(
+        F.col(id_col), F.col(lang_col), F.explode(F.array_distinct(F.col("__bg"))).alias("bg")
     )
     scored = (
         doc_bigrams.join(F.broadcast(profiles), "bg")
