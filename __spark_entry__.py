@@ -29,7 +29,7 @@ from parquet_go_spark.ops.dedup import (
     ngram_jaccard_pairs,
     simhash64,
 )
-from parquet_go_spark.ops.similarity import cosine_topk, lsh_bucket_topk
+from parquet_go_spark.ops.similarity import cosine_topk, embedding_near_dups, lsh_bucket_topk
 from parquet_go_spark.ops.stats import table_column_stats, table_numeric_minmax
 from parquet_go_spark.ops.text import fingerprint, langid_ngram, text_quality, token_stats
 from parquet_go_spark.spark.roundtrip import roundtrip_df
@@ -164,6 +164,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search
         "embedding_cosine_topk": _q_cosine_topk,
         "embedding_lsh_topk": _q_lsh_topk,
+        "embedding_near_dups": lambda spark, sf_dir: embedding_near_dups(
+            _load(spark, sf_dir, "embeddings")
+        ),
     }
 
 
@@ -282,9 +285,11 @@ SELECT q_id, n_id, rank FROM (
         "dedup_exact": "SELECT text, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups FROM documents GROUP BY text",
         "token_stats": (
             "SELECT doc_id, n_chars, n_tokens,"
-            " (CAST(n_chars AS DOUBLE) - n_tokens + 1) / n_tokens AS avg_token_len FROM ("
+            " (CAST(n_chars AS DOUBLE) - n_tokens + 1) / n_tokens AS avg_token_len,"
+            " n_word_tokens FROM ("
             "SELECT doc_id, LENGTH(text) AS n_chars,"
-            " LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS n_tokens FROM documents)"
+            " LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS n_tokens,"
+            " len(regexp_extract_all(text, '[a-z0-9]+')) AS n_word_tokens FROM documents)"
         ),
         "text_quality": (
             "SELECT doc_id, n_tokens, n_types, ttr, ttr < 0.3 AS low_quality FROM ("
@@ -301,6 +306,14 @@ SELECT q_id, n_id, rank FROM (
         "lsh_dup_pairs": lsh_cte,
         "ngram_jaccard_pairs": jacc_sql,
         "embedding_cosine_topk": topk_sql,
+        "embedding_near_dups": """
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) AS sim
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) >= 0.35
+""",
         # simhash64, langid_ngram, embedding_lsh_topk: non-SQL-expressible
         # (iterative profile building / approximate LSH) -> rows-only check
     }

@@ -18,7 +18,41 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["cosine_topk", "lsh_bucket_topk"]
+__all__ = ["cosine_topk", "lsh_bucket_topk", "embedding_near_dups"]
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs (id_a < id_b,
+    cosine >= threshold), entirely JVM-side: zip_with/aggregate dot
+    products inside whole-stage codegen, norms precomputed once.
+
+    This is the exact verifier; at corpus scale candidate generation goes
+    through the random-hyperplane buckets of ``lsh_bucket_topk`` so only
+    same-bucket pairs reach this scorer."""
+    v = df.select(
+        F.col(id_col).alias("vid"),
+        F.expr(f"transform({vec_col}, x -> cast(x AS double))").alias("e"),
+    ).withColumn(
+        "nrm",
+        F.expr("sqrt(aggregate(zip_with(e, e, (x, y) -> x * y), 0D, (acc, x) -> acc + x))"),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    dot = "aggregate(zip_with(a.e, b.e, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+    sim = F.expr(dot) / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        a.join(b, F.col("a.vid") < F.col("b.vid"))
+        .select(
+            F.col("a.vid").alias("id_a"),
+            F.col("b.vid").alias("id_b"),
+            F.round(sim, 4).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )
 
 
 def _collect_queries(df: DataFrame, id_col: str, vec_col: str) -> tuple[np.ndarray, np.ndarray]:

@@ -23,6 +23,10 @@ def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         n_chars.cast("long").alias("n_chars"),
         n_tokens.cast("long").alias("n_tokens"),
         ((n_chars - n_tokens + 1).cast("double") / n_tokens.cast("double")).alias("avg_token_len"),
+        # BPE-ish regex word tokens (alnum runs), engine-portable pattern
+        F.size(F.expr(f"regexp_extract_all({text_col}, '[a-z0-9]+', 0)"))
+        .cast("long")
+        .alias("n_word_tokens"),
     )
 
 
