@@ -88,6 +88,24 @@ def main() -> None:
         _force(decode_table(spark, enc_dir))
         q["decode_pages"] = round(time.perf_counter() - t0, 3)
         extras["decode_gbps"] = round(raw / 1e9 / q["decode_pages"], 4)
+
+        # size gate: identical data through the reference's exact encoding
+        # decision (dict-or-plain, chunk_writer.go:174-227) — our auto
+        # selector must come in at or under it
+        t0 = time.perf_counter()
+        man_ref = encode_table(
+            src,
+            f"{tmp}/enc_ref",
+            key_col="url",
+            partitions=2 * cpus,
+            profile="reference",
+            compression="snappy",
+        ).collect()
+        q["encode_pages_reference"] = round(time.perf_counter() - t0, 3)
+        ref_b = sum(r["encoded_bytes"] for r in man_ref)
+        extras["bytes_auto"] = enc_b
+        extras["bytes_reference_profile"] = ref_b
+        extras["size_vs_reference"] = round(enc_b / max(ref_b, 1), 4)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

@@ -66,6 +66,9 @@ def lsh_pairs(
             F.array(*[F.struct(F.lit(b).alias("band"), F.col(f"mh_{b}").alias("h")) for b in range(bands)])
         ).alias("bh"),
     ).select(id_col, "bh.band", "bh.h")
+    # self-join input: cache so the md5 shingle pass runs once, not once
+    # per join side (signatures are ~1% of corpus bytes)
+    stacked = stacked.cache()
     a = stacked.alias("a")
     b = stacked.alias("b")
     pairs = (
