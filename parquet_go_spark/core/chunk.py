@@ -223,7 +223,26 @@ def _value_slice(col: ColumnData, row_lo: int, row_hi: int, vstart: int):
 
 
 # ------------------------------------------------------------ value codecs
-def _encode_values(enc: str, col: ColumnData, vlo: int, vhi: int, dlo: int, dhi: int, codes, dict_size: int, index_mode: str) -> bytes:
+def _chunk_fsst_table(col: ColumnData):
+    """Train one symbol table per chunk on a strided string sample (pages
+    reuse it — training per page would redo the dominant cost and a
+    prefix sample misrepresents heterogeneous columns)."""
+    from .columns import gather_segments
+
+    total = int(col.lengths.sum())
+    if total <= 1 << 17:
+        return fsst.train(col.lengths, col.data)
+    n_strs = len(col.lengths)
+    starts = np.concatenate([[0], np.cumsum(col.lengths)[:-1]])
+    avg = total / max(n_strs, 1)
+    k = max(2, min(n_strs, int((1 << 16) / max(avg, 1))))
+    idx = np.unique(np.linspace(0, n_strs - 1, k).astype(np.int64))
+    lens = col.lengths[idx]
+    data = gather_segments(col.data, starts[idx], lens)
+    return fsst.train(lens, data)
+
+
+def _encode_values(enc: str, col: ColumnData, vlo: int, vhi: int, dlo: int, dhi: int, codes, dict_size: int, index_mode: str, fsst_table=None) -> bytes:
     if enc == "rle_dict":
         return dictenc.encode_indices(codes[vlo:vhi].astype(np.uint64), dict_size, mode=index_mode)
     if col.ptype == "bytes":
@@ -236,7 +255,7 @@ def _encode_values(enc: str, col: ColumnData, vlo: int, vhi: int, dlo: int, dhi:
         if enc == "delta_bytes":
             return bytearrays.encode_delta(lens, data)
         if enc == "fsst":
-            return fsst.encode_column(lens, data)
+            return fsst.encode_column(lens, data, fsst_table)
         raise ValueError(f"bad bytes encoding {enc}")
     vals = col.values[vlo:vhi]
     if enc == "plain":
@@ -365,9 +384,12 @@ def encode_chunk(
                 codes = np.empty(0, dtype=np.int32)
                 uniques, distinct, dict_size = None, 0, 0
     else:
-        enc, codes, uniques, distinct, dict_size = choose_encoding(col, compression)
+        enc, codes, uniques, distinct, dict_size, sel_fsst_table = choose_encoding(col, compression)
 
     bounds = _page_boundaries(col, max_page)
+    fsst_table = None
+    if enc == "fsst":
+        fsst_table = locals().get("sel_fsst_table") or _chunk_fsst_table(col)
 
     out = bytearray()
     out += MAGIC
@@ -399,7 +421,9 @@ def encode_chunk(
         else:
             dlo = dhi = 0
         lvl = levels.encode_def_levels(validity, mode=level_mode)
-        vals = _encode_values(enc, col, vstart, vend, dlo, dhi, codes, dict_size or 0, index_mode)
+        vals = _encode_values(
+            enc, col, vstart, vend, dlo, dhi, codes, dict_size or 0, index_mode, fsst_table
+        )
         payload = lvl + vals
         comp = _compress(payload, compression)
         out += uvarint(row_hi - row_lo)

@@ -67,20 +67,25 @@ def _sample_distinct_ratio(col: ColumnData, k: int = 4096) -> float:
 
 
 def choose_encoding(col: ColumnData, compression: str = "none"):
-    """-> (encoding, codes, uniques, distinct, dict_size)."""
+    """-> (encoding, codes, uniques, distinct, dict_size, fsst_table).
+
+    ``fsst_table`` is the symbol table trained during estimation (on the
+    full column or a representative strided sample) — reused by the
+    encoder so FSST never trains twice."""
     from .chunk import _compress, _encode_dict_values, _factorize
 
     n = col.num_values
+    fsst_table = None
     if n == 0:
         if col.ptype == "bool":
-            return "plain", None, None, 0, 0
-        return "rle_dict", np.empty(0, np.int32), None, 0, 0
+            return "plain", None, None, 0, 0, None
+        return "rle_dict", np.empty(0, np.int32), None, 0, 0, None
 
     if col.ptype == "bool":
         u = col.values.astype(np.uint64)
         rle = hybrid.rle_size(u, 1) + 4
         plain_sz = (n + 7) // 8
-        return ("rle_bool" if rle < plain_sz else "plain"), None, None, min(2, n), 0
+        return ("rle_bool" if rle < plain_sz else "plain"), None, None, min(2, n), 0, None
 
     # dictionary candidacy: skip the full factorize when a sample shows
     # near-unique data (the reference pays the map anyway; we don't)
@@ -128,21 +133,25 @@ def choose_encoding(col: ColumnData, compression: str = "none"):
             est["delta_bytes"] = (total - saved) + int((len(pfx_enc) + len(sfx_enc)) * scale)
         # fsst: train on one strided string sample, estimate on a DISJOINT
         # strided sample — a prefix estimate overlaps the training strings
-        # and overstates the ratio badly on heterogeneous columns
+        # and overstates the ratio badly on heterogeneous columns.
+        # Budgets scale with chunk size so the selector's fixed cost stays
+        # a bounded fraction of the encode itself on small chunks.
         if total >= 4096:
             from ..kernels import fsst as _fsst
 
+            sample_bytes = int(min(SAMPLE_BYTES, max(total // 8, 4096)))
+            train_bytes = int(min(1 << 16, max(total // 16, 4096)))
             n_strs = len(col.lengths)
             starts = np.concatenate([[0], np.cumsum(col.lengths)[:-1]])
-            if total <= 2 * SAMPLE_BYTES:
-                table = _fsst.train(col.lengths, col.data)
-                s_enc = _fsst.encode_column(col.lengths, col.data, table)
+            if total <= 2 * sample_bytes:
+                fsst_table = _fsst.train(col.lengths, col.data, sample_bytes=train_bytes)
+                s_enc = _fsst.encode_column(col.lengths, col.data, fsst_table)
                 est["fsst"] = float(len(s_enc))
             else:
                 from .columns import gather_segments
 
                 avg = total / max(n_strs, 1)
-                k = max(2, min(n_strs // 2, int(SAMPLE_BYTES / max(avg, 1))))
+                k = max(2, min(n_strs // 2, int(sample_bytes / max(avg, 1))))
                 idx = np.linspace(0, n_strs - 1, 2 * k).astype(np.int64)
                 idx_a, idx_b = np.unique(idx[0::2]), np.unique(idx[1::2])
                 lens_a, lens_b = col.lengths[idx_a], col.lengths[idx_b]
@@ -150,8 +159,8 @@ def choose_encoding(col: ColumnData, compression: str = "none"):
                 data_b = gather_segments(col.data, starts[idx_b], lens_b)
                 b_total = int(lens_b.sum())
                 if b_total > 0:
-                    table = _fsst.train(lens_a, data_a)
-                    s_enc = _fsst.encode_column(lens_b, data_b, table)
+                    fsst_table = _fsst.train(lens_a, data_a, sample_bytes=train_bytes)
+                    s_enc = _fsst.encode_column(lens_b, data_b, fsst_table)
                     est["fsst"] = len(s_enc) / b_total * total
     else:
         itemsize = 4 if col.ptype in ("int32", "float") else 8
@@ -191,4 +200,6 @@ def choose_encoding(col: ColumnData, compression: str = "none"):
     if best != "rle_dict":
         codes = uniques = None
         dict_size = 0
-    return best, codes, uniques, distinct, dict_size
+    if best != "fsst":
+        fsst_table = None
+    return best, codes, uniques, distinct, dict_size, fsst_table

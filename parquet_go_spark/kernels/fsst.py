@@ -196,7 +196,7 @@ def _orbit(step: np.ndarray, starts: np.ndarray | None = None, max_chain: int | 
     return np.flatnonzero(visited[:n])
 
 
-def train(lengths: np.ndarray, data: np.ndarray, sample_bytes: int = 1 << 16, generations: int = 5) -> SymbolTable:
+def train(lengths: np.ndarray, data: np.ndarray, sample_bytes: int = 1 << 16, generations: int = 4) -> SymbolTable:
     """Build a symbol table from a prefix sample of the column."""
     total = int(lengths.sum())
     if total == 0:
@@ -209,10 +209,12 @@ def train(lengths: np.ndarray, data: np.ndarray, sample_bytes: int = 1 << 16, ge
     s_data = data[: int(s_lens.sum())]
     nb = _boundary_dist(s_lens)
     win = _windows64(s_data)
+    s_starts = np.concatenate([[0], np.cumsum(s_lens)[:-1]])[s_lens > 0]
+    s_ends = s_starts + s_lens[s_lens > 0]
     table = SymbolTable([])
     for _ in range(generations):
         mlen, _code = _match(s_data, nb, table)
-        tokens = _orbit(mlen)
+        tokens, _vis = _chain_tokens(mlen, s_starts, s_ends)
         tlens = mlen[tokens]
         # candidates: multi-byte parsed symbols + merged adjacent pairs
         # (single bytes counted separately via bincount — exact and O(n))
@@ -248,7 +250,12 @@ def train(lengths: np.ndarray, data: np.ndarray, sample_bytes: int = 1 << 16, ge
         all_gain = np.concatenate([gain, bc])
         all_len = np.concatenate([ulen, np.ones(256, dtype=np.int64)])
         all_key = np.concatenate([ukey, np.arange(256, dtype=np.uint64)])
-        order = np.argsort(-all_gain, kind="stable")[: MAX_SYMBOLS]
+        if len(all_gain) > MAX_SYMBOLS:
+            # top-255 via argpartition, then a stable order among them
+            cand = np.argpartition(-all_gain, MAX_SYMBOLS - 1)[:MAX_SYMBOLS]
+            order = cand[np.argsort(-all_gain[cand], kind="stable")]
+        else:
+            order = np.argsort(-all_gain, kind="stable")
         syms = [
             int(all_key[i]).to_bytes(8, "little")[: int(all_len[i])]
             for i in order
@@ -259,11 +266,25 @@ def train(lengths: np.ndarray, data: np.ndarray, sample_bytes: int = 1 << 16, ge
 
 
 def _chain_tokens(step: np.ndarray, starts: np.ndarray, ends: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """Token positions following i -> i + step[i] independently per string
-    (cursor lockstep over all strings; total work = total token count,
-    ~40x less than whole-column pointer doubling for short strings).
-    Returns (token_positions, visited_mask)."""
-    visited = np.zeros(len(step), dtype=bool)
+    """Token positions following i -> i + step[i] independently per string.
+    Returns (token_positions, visited_mask).
+
+    Two strategies, picked by shape: a cursor lockstep over all strings
+    (total work = token count — wins when strings are short and many) and
+    pointer doubling over the whole buffer (log2(max chain) full passes —
+    wins when a few long strings would make the cursor loop iterate
+    thousands of times over tiny arrays)."""
+    n = len(step)
+    n_strs = len(starts)
+    max_len = int((ends - starts).max()) if n_strs else 0
+    # cursor iterations ~ max tokens per string (up to max_len when
+    # literals dominate) over arrays of ~n_strs elements; doubling does
+    # ~log2(max_len) passes over all n elements. Long strings + few of
+    # them -> doubling; short strings + many -> cursor.
+    avg_len = n / max(n_strs, 1)
+    if max_len > 2048 and avg_len > 1024:
+        return _orbit_tokens(step, starts, max_len)
+    visited = np.zeros(n, dtype=bool)
     cur = starts.astype(np.int64, copy=True)
     end = ends.astype(np.int64, copy=False)
     keep = cur < end
@@ -274,6 +295,24 @@ def _chain_tokens(step: np.ndarray, starts: np.ndarray, ends: np.ndarray) -> tup
         m = cur < end
         cur, end = cur[m], end[m]
     return np.flatnonzero(visited), visited
+
+
+def _orbit_tokens(step: np.ndarray, starts: np.ndarray, max_chain: int) -> tuple[np.ndarray, np.ndarray]:
+    """Pointer-doubling variant: O(log2(max_chain)) passes over the whole
+    buffer. Chains never cross string boundaries, so seeding every string
+    start bounds the depth by the longest string."""
+    n = len(step)
+    visited = np.zeros(n + 1, dtype=bool)
+    visited[starts] = True
+    jump = np.empty(n + 1, dtype=np.int64)
+    jump[:n] = np.minimum(np.arange(n, dtype=np.int64) + step, n)
+    jump[n] = n
+    rounds = max(1, int(np.ceil(np.log2(max(max_chain, 2)))) + 1)
+    for _ in range(rounds):
+        visited[jump[visited]] = True
+        jump = jump[jump]
+    vis = visited[:n]
+    return np.flatnonzero(vis), vis
 
 
 def _per_segment_counts(mask: np.ndarray, bounds: np.ndarray) -> np.ndarray:
