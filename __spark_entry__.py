@@ -314,6 +314,25 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
 FROM n a JOIN n b ON a.vec_id < b.vec_id
 WHERE round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) >= 0.35
 """,
-        # simhash64, langid_ngram, embedding_lsh_topk: non-SQL-expressible
-        # (iterative profile building / approximate LSH) -> rows-only check
+        "simhash64": _simhash_duck_sql(),
+        # langid_ngram, embedding_lsh_topk: non-SQL-expressible (iterative
+        # profile building / approximate LSH) -> rows-only check
     }
+
+
+def _simhash_duck_sql() -> str:
+    terms = []
+    for b in range(60):
+        terms.append(
+            f"(CASE WHEN list_sum(list_transform(hs,"
+            f" x -> CASE WHEN (x // {1 << b}) % 2 = 1 THEN 1 ELSE -1 END)) > 0"
+            f" THEN {1 << b} ELSE 0 END)"
+        )
+    expr = " + ".join(terms)
+    return (
+        "WITH h AS (SELECT doc_id,"
+        " list_transform(list_distinct(string_split(text, ' ')),"
+        " w -> CAST('0x' || substring(md5(w), 1, 15) AS BIGINT)) AS hs"
+        " FROM documents)"
+        f" SELECT doc_id, CAST({expr} AS BIGINT) AS simhash FROM h"
+    )

@@ -71,10 +71,13 @@ def main() -> None:
         # warm python workers + allocator arenas before timing
         encode_table(src.limit(1000), f"{tmp}/warm", key_col="url", partitions=4).collect()
 
+        # partitions fixed independently of cpus when benchmarking scaling:
+        # the SAME job (same task graph) must run at both parallelism levels
+        enc_parts = int(os.environ.get("SPARK_GRAFT_BENCH_PARTITIONS", 2 * cpus))
         enc_dir = f"{tmp}/enc"
         t0 = time.perf_counter()
         man = encode_table(
-            src, enc_dir, key_col="url", partitions=2 * cpus, compression="snappy"
+            src, enc_dir, key_col="url", partitions=enc_parts, compression="snappy"
         ).collect()
         q["encode_pages"] = round(time.perf_counter() - t0, 3)
         raw = sum(r["raw_bytes"] for r in man)
@@ -97,7 +100,7 @@ def main() -> None:
             src,
             f"{tmp}/enc_ref",
             key_col="url",
-            partitions=2 * cpus,
+            partitions=enc_parts,
             profile="reference",
             compression="snappy",
         ).collect()
@@ -120,6 +123,10 @@ def main() -> None:
         sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf"))
     except ValueError:
         sf = -1.0
+    scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SCALING.json")
+    if os.path.exists(scaling_path):
+        with open(scaling_path) as f:
+            extras["scaling"] = json.load(f)
     out = {
         "metric": "total_bench_seconds",
         "value": round(sum(q.values()), 3),

@@ -25,6 +25,10 @@ def run_level(cpus: int, rows: int, repeats: int = 3) -> dict:
             "SPARK_GRAFT_CPUS": str(cpus),
             "SPARK_GRAFT_BENCH_ROWS": str(rows),
             "SPARK_GRAFT_BENCH_ONLY": "encode",
+            # identical task graph at both levels: fix the partition count
+            "SPARK_GRAFT_BENCH_PARTITIONS": os.environ.get(
+                "SPARK_GRAFT_BENCH_PARTITIONS", "64"
+            ),
         }
     )
     best = None

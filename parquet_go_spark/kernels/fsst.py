@@ -172,30 +172,6 @@ def _match_block(data: np.ndarray, n: int, nb: np.ndarray, table: SymbolTable):
     return match_len, code
 
 
-def _orbit(step: np.ndarray, starts: np.ndarray | None = None, max_chain: int | None = None) -> np.ndarray:
-    """Positions visited following i -> i + step[i] from each start
-    (pointer doubling). Token chains never cross string boundaries, so
-    seeding every string start bounds the chain depth by the longest
-    string, not the column size: rounds = ceil(log2(max_chain))+1."""
-    n = len(step)
-    if n == 0:
-        return np.empty(0, dtype=np.int64)
-    visited = np.zeros(n + 1, dtype=bool)
-    if starts is None:
-        visited[0] = True
-    else:
-        visited[starts] = True
-    jump = np.empty(n + 1, dtype=np.int32)
-    jump[:n] = np.minimum(np.arange(n, dtype=np.int32) + step.astype(np.int32, copy=False), n)
-    jump[n] = n
-    depth = max_chain if max_chain is not None else n
-    rounds = max(1, int(np.ceil(np.log2(max(depth, 2)))) + 1)
-    for _ in range(rounds):
-        visited[jump[visited]] = True
-        jump = jump[jump]
-    return np.flatnonzero(visited[:n])
-
-
 def train(lengths: np.ndarray, data: np.ndarray, sample_bytes: int = 1 << 16, generations: int = 4) -> SymbolTable:
     """Build a symbol table from a prefix sample of the column."""
     total = int(lengths.sum())

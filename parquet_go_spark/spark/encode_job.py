@@ -77,6 +77,7 @@ def encode_table(
     partitions: int | None = None,
     salt: int = 0x5A17,
     resume: bool = True,
+    sort_within: str | list[str] | None = None,
 ) -> DataFrame:
     """Encode ``df`` into ``out_dir``; returns the manifest DataFrame.
 
@@ -109,6 +110,11 @@ def encode_table(
         df = df.repartition(partitions)
     # key_col=None and partitions=None/0: encode the source partitioning
     # as-is (no shuffle) — for inputs already bucketed at write time
+    if sort_within:
+        # local sort only (no extra shuffle): clusters runs/prefixes so
+        # RLE-dict, delta-BP, and DELTA_BYTE_ARRAY see longer runs
+        cols_sw = [sort_within] if isinstance(sort_within, str) else list(sort_within)
+        df = df.sortWithinPartitions(*cols_sw)
 
     def _manifest_batch(rows: list[dict]) -> pa.RecordBatch:
         cols_out = {f.name: [r[f.name] for r in rows] for f in mf.MANIFEST_SCHEMA}
