@@ -1,0 +1,107 @@
+"""Minimal Thrift compact-protocol reader — just enough to parse Parquet
+footers and page headers (the reference links a generated thrift package;
+we read the same wire format directly). Spec: thrift compact protocol;
+struct fields are (field-id delta << 4 | type) headers, ints are zigzag
+ULEB128, strings length-prefixed, lists (size << 4 | elem type).
+"""
+
+from __future__ import annotations
+
+__all__ = ["read_struct", "read_uvarint"]
+
+T_STOP = 0
+T_TRUE = 1
+T_FALSE = 2
+T_BYTE = 3
+T_I16 = 4
+T_I32 = 5
+T_I64 = 6
+T_DOUBLE = 7
+T_BINARY = 8
+T_LIST = 9
+T_SET = 10
+T_MAP = 11
+T_STRUCT = 12
+
+
+def read_uvarint(buf, pos: int) -> tuple[int, int]:
+    out = 0
+    shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        out |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return out, pos
+        shift += 7
+
+
+def _zigzag(v: int) -> int:
+    return (v >> 1) ^ -(v & 1)
+
+
+def _read_value(buf, pos: int, vtype: int):
+    if vtype == T_TRUE:
+        return True, pos
+    if vtype == T_FALSE:
+        return False, pos
+    if vtype == T_BYTE:
+        return buf[pos], pos + 1
+    if vtype in (T_I16, T_I32, T_I64):
+        u, pos = read_uvarint(buf, pos)
+        return _zigzag(u), pos
+    if vtype == T_DOUBLE:
+        import struct as _s
+
+        return _s.unpack("<d", bytes(buf[pos : pos + 8]))[0], pos + 8
+    if vtype == T_BINARY:
+        ln, pos = read_uvarint(buf, pos)
+        return bytes(buf[pos : pos + ln]), pos + ln
+    if vtype in (T_LIST, T_SET):
+        hdr = buf[pos]
+        pos += 1
+        size = hdr >> 4
+        etype = hdr & 0x0F
+        if size == 15:
+            size, pos = read_uvarint(buf, pos)
+        out = []
+        for _ in range(size):
+            v, pos = _read_value(buf, pos, etype)
+            out.append(v)
+        return out, pos
+    if vtype == T_STRUCT:
+        return read_struct(buf, pos)
+    if vtype == T_MAP:
+        size, pos = read_uvarint(buf, pos)
+        if size == 0:
+            return {}, pos
+        kv = buf[pos]
+        pos += 1
+        ktype, vt = kv >> 4, kv & 0x0F
+        out = {}
+        for _ in range(size):
+            k, pos = _read_value(buf, pos, ktype)
+            v, pos = _read_value(buf, pos, vt)
+            out[k] = v
+        return out, pos
+    raise ValueError(f"thrift compact: unsupported type {vtype}")
+
+
+def read_struct(buf, pos: int) -> tuple[dict, int]:
+    """-> ({field_id: value}, new_pos). Nested structs become dicts."""
+    out: dict = {}
+    fid = 0
+    while True:
+        hdr = buf[pos]
+        pos += 1
+        if hdr == T_STOP:
+            return out, pos
+        delta = hdr >> 4
+        vtype = hdr & 0x0F
+        if delta:
+            fid += delta
+        else:
+            u, pos = read_uvarint(buf, pos)
+            fid = _zigzag(u)
+        v, pos = _read_value(buf, pos, vtype)
+        out[fid] = v
