@@ -1,0 +1,85 @@
+"""Write-side golden interop (reference ``compatibility/run_tests.bash``
+analogue): Parquet files assembled from this engine's kernels must read
+back bit-identically in pyarrow and DuckDB."""
+
+from __future__ import annotations
+
+import io
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from parquet_go_spark.compat.parquet_writer import write_parquet
+
+RNG = np.random.default_rng(5)
+N = 3000
+TBL = pa.table(
+    {
+        "i32": pa.array(RNG.integers(-(2**31), 2**31, N).astype(np.int32), type=pa.int32()),
+        "i64": pa.array(RNG.integers(-(2**62), 2**62, N), type=pa.int64()),
+        "f64": pa.array(RNG.standard_normal(N), type=pa.float64()),
+        "s": pa.array([None if i % 9 == 0 else f"sv-{i % 50}-{i}" for i in range(N)], type=pa.string()),
+        "low": pa.array([f"v{i % 5}" for i in range(N)], type=pa.string()),
+        "b": pa.array((RNG.integers(0, 2, N) == 1).tolist(), type=pa.bool_()),
+    }
+)
+
+
+def _readback_equal(buf: bytes, t: pa.Table) -> bool:
+    got = pq.read_table(io.BytesIO(buf))
+    return all(
+        got.column(c).cast(t.column(c).type).combine_chunks().equals(t.column(c).combine_chunks())
+        for c in t.column_names
+    )
+
+
+@pytest.mark.parametrize("comp", ["none", "snappy", "zstd", "gzip"])
+def test_pyarrow_readback(comp):
+    assert _readback_equal(write_parquet(TBL, compression=comp), TBL)
+
+
+def test_forced_delta_encodings_readback():
+    buf = write_parquet(
+        TBL,
+        encodings={"i32": "delta_bp", "i64": "delta_bp", "s": "delta_bytes", "low": "delta_length"},
+    )
+    assert _readback_equal(buf, TBL)
+    # the footer must advertise those encodings
+    md = pq.ParquetFile(io.BytesIO(buf)).metadata
+    encs = {md.row_group(0).column(i).path_in_schema: md.row_group(0).column(i).encodings for i in range(md.num_columns)}
+    assert "DELTA_BINARY_PACKED" in encs["i32"]
+    assert "DELTA_BYTE_ARRAY" in encs["s"]
+
+
+def test_multi_page_readback():
+    assert _readback_equal(write_parquet(TBL, max_page=4096), TBL)
+
+
+def test_duckdb_readback(tmp_path):
+    p = str(tmp_path / "ours.parquet")
+    with open(p, "wb") as f:
+        f.write(write_parquet(TBL, compression="snappy"))
+    con = duckdb.connect()
+    n, d_low, s_nulls = con.sql(
+        f"SELECT count(*), count(DISTINCT low), count(*) - count(s) FROM '{p}'"
+    ).fetchone()
+    assert (n, d_low, s_nulls) == (N, 5, sum(1 for i in range(N) if i % 9 == 0))
+    vals = con.sql(f"SELECT s FROM '{p}' ORDER BY i64 LIMIT 5").fetchall()
+    order = np.argsort(TBL.column("i64").to_numpy())
+    want = [(TBL.column("s")[int(i)].as_py(),) for i in order[:5]]
+    assert vals == want
+
+
+def test_empty_and_all_null():
+    t = pa.table(
+        {
+            "x": pa.array([None] * 100, type=pa.int64()),
+            "y": pa.array([None] * 100, type=pa.string()),
+        }
+    )
+    assert _readback_equal(write_parquet(t), t)
+    t0 = pa.table({"x": pa.array([], type=pa.int64())})
+    assert _readback_equal(write_parquet(t0), t0)
