@@ -27,17 +27,29 @@ def _spark(args):
 def cmd_encode(args) -> int:
     spark = _spark(args)
     df = spark.read.parquet(args.input)
-    from .spark.encode_job import encode_table
+    if args.format == "parquet":
+        from .spark.parquet_sink import encode_table_parquet
 
-    man = encode_table(
-        df,
-        args.out,
-        key_col=args.key_col,
-        partitions=args.partitions,
-        profile=args.profile,
-        compression=args.compression,
-        resume=not args.no_resume,
-    ).collect()
+        man = encode_table_parquet(
+            df,
+            args.out,
+            key_col=args.key_col,
+            partitions=args.partitions,
+            compression=args.compression,
+            resume=not args.no_resume,
+        ).collect()
+    else:
+        from .spark.encode_job import encode_table
+
+        man = encode_table(
+            df,
+            args.out,
+            key_col=args.key_col,
+            partitions=args.partitions,
+            profile=args.profile,
+            compression=args.compression,
+            resume=not args.no_resume,
+        ).collect()
     raw = sum(r["raw_bytes"] for r in man)
     enc = sum(r["encoded_bytes"] for r in man)
     print(
@@ -120,8 +132,14 @@ def main(argv=None) -> int:
     e.add_argument("--key-col", default=None)
     e.add_argument("--partitions", type=int, default=None)
     e.add_argument("--profile", default="auto", choices=["auto", "reference"])
-    e.add_argument("--compression", default="none", choices=["none", "zlib", "snappy", "zstd", "lz4"])
+    e.add_argument("--compression", default="none", choices=["none", "zlib", "snappy", "zstd", "lz4", "gzip"])
     e.add_argument("--no-resume", action="store_true")
+    e.add_argument(
+        "--format",
+        default="chunks",
+        choices=["chunks", "parquet"],
+        help="chunks = engine container; parquet = real .parquet partition files",
+    )
     e.set_defaults(fn=cmd_encode)
 
     d = sub.add_parser("decode")

@@ -86,8 +86,12 @@ def write_parquet(
     compression: str = "none",
     encodings: dict[str, str] | None = None,
     max_page: int = 1 << 20,
-) -> bytes:
-    """pa.Table -> Parquet file bytes (flat schema, one row group)."""
+    return_meta: bool = False,
+):
+    """pa.Table -> Parquet file bytes (flat schema, one row group).
+
+    ``return_meta=True`` -> (bytes, [{column, encoding, raw/comp bytes}])."""
+    metas: list[dict] = []
     out = bytearray(MAGIC)
     codec = _CODEC[compression]
     col_chunks = []
@@ -187,6 +191,23 @@ def write_parquet(
                 3: ("struct", meta),
             }
         )
+        metas.append(
+            {
+                "column": name,
+                "ptype": col.ptype,
+                "encoding": {
+                    E_PLAIN: "plain",
+                    E_RLE_DICT: "rle_dict",
+                    E_DELTA_BP: "delta_bp",
+                    E_DELTA_LEN: "delta_length",
+                    E_DELTA_BA: "delta_bytes",
+                }[enc],
+                "num_rows": col.num_rows,
+                "null_count": col.num_rows - col.num_values,
+                "raw_bytes": col.raw_bytes,
+                "encoded_bytes": total_comp,
+            }
+        )
     row_group = {
         1: ("list", ("struct", col_chunks)),
         2: ("i64", sum(c[3][1][7][1] for c in col_chunks)),
@@ -203,4 +224,6 @@ def write_parquet(
     out += footer
     out += len(footer).to_bytes(4, "little")
     out += MAGIC
+    if return_meta:
+        return bytes(out), metas
     return bytes(out)

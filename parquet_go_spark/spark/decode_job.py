@@ -38,12 +38,20 @@ def decode_table(
     enc_dir: str,
     columns: list[str] | None = None,
     validate_crc: bool = False,
+    prune: list[tuple] | None = None,
 ) -> DataFrame:
     """Decode an encoded table directory back into a DataFrame.
 
     ``validate_crc=True`` checks each selected chunk's CRC32 against the
     partition manifest before decoding (reference ``WithCRC32Validation``,
-    ``file_reader.go:134-139`` / ``chunk_reader.go:173-177``)."""
+    ``file_reader.go:134-139`` / ``chunk_reader.go:173-177``).
+
+    ``prune`` = [(column, op, value), ...] with op in {"==", "<=", ">="}:
+    partitions whose manifest min/max provably exclude the predicate are
+    never read (the stats-pruning the reference writes stats for but
+    never uses, ``README.md:47`` — here the manifest makes it real).
+    Pruning is conservative (string-ordered min/max); the caller still
+    applies the exact filter."""
     fields = mf.read_table_schema(enc_dir)
     by_name = {f["name"]: f for f in fields}
     cols = columns or [f["name"] for f in fields]
@@ -55,11 +63,38 @@ def decode_table(
         return _DDL_LOGICAL.get(ddl, "binary")
     import glob as _glob
 
-    if not _glob.glob(f"{enc_dir}/part-*.bin"):
-        # an encode of an empty DataFrame runs zero tasks and writes no
-        # partition files; the decoded table is simply empty
+    paths = sorted(_glob.glob(f"{enc_dir}/part-*.bin"))
+    if prune:
+
+        def _le(a, b) -> bool:
+            try:
+                return float(a) <= float(b)
+            except (TypeError, ValueError):
+                return str(a) <= str(b)
+
+        keep = set()
+        for pid in mf.committed_partitions(enc_dir):
+            rows = {r["column"]: r for r in mf.read_partition_manifest(enc_dir, pid)}
+            ok = True
+            for col_name, op, value in prune:
+                r = rows.get(col_name)
+                if r is None or r["min_str"] is None:
+                    continue  # no stats -> cannot prune
+                if op == "==" and not (_le(r["min_str"], value) and _le(value, r["max_str"])):
+                    ok = False
+                elif op == "<=" and not _le(r["min_str"], value):
+                    ok = False
+                elif op == ">=" and not _le(value, r["max_str"]):
+                    ok = False
+            if ok:
+                keep.add(f"part-{pid:05d}.bin")
+        import os as _os
+
+        paths = [p for p in paths if _os.path.basename(p) in keep]
+    if not paths:
+        # empty input (zero-task encode) or everything pruned
         return spark.createDataFrame([], schema=out_ddl)
-    files = spark.read.format("binaryFile").load(f"{enc_dir}/part-*.bin").select("path", "content")
+    files = spark.read.format("binaryFile").load(paths).select("path", "content")
 
     def decode_partition(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         want = set(cols)

@@ -46,6 +46,12 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir:
+        # shuffle/spill on fast local storage (tmpfs in the sandbox —
+        # the stand-in for per-executor NVMe)
+        os.makedirs(local_dir, exist_ok=True)
+        b = b.config("spark.local.dir", local_dir)
     for k, v in WORKER_ENV.items():
         b = b.config(f"spark.executorEnv.{k}", v)
         os.environ.setdefault(k, v)

@@ -110,6 +110,23 @@ def test_crc_validation_detects_corruption(spark, tmp_path):
         decode_table(spark, out, validate_crc=True).count()
 
 
+def test_stats_pruning_on_decode(spark, tmp_path):
+    out = str(tmp_path / "enc_prune")
+    df = pages_df(spark, 2000, partitions=2)
+    # partition by lang so per-partition lang min/max are narrow
+    encode_table(df, out, key_col="lang", partitions=6).collect()
+    all_langs = decode_table(spark, out).select("lang").distinct().count()
+    target = df.select("lang").first()["lang"]
+    pruned = decode_table(spark, out, prune=[("lang", "==", target)])
+    # pruning is conservative: result must contain every target row
+    want = df.filter(df.lang == target).count()
+    got = pruned.filter(pruned.lang == target).count()
+    assert got == want
+    # and it must actually skip partitions (lang-clustered layout)
+    assert pruned.count() < df.count()
+    assert all_langs > 1
+
+
 def test_manifest_readable_as_table(spark, tmp_path):
     out = str(tmp_path / "enc_man")
     df = pages_df(spark, 1000, partitions=2)
