@@ -32,6 +32,7 @@ from parquet_go_spark.ops.dedup import (
 from parquet_go_spark.ops.similarity import cosine_topk, embedding_near_dups, lsh_bucket_topk
 from parquet_go_spark.ops.stats import table_column_stats, table_numeric_minmax
 from parquet_go_spark.ops.text import fingerprint, langid_ngram, text_quality, token_stats
+from parquet_go_spark.ops.winnow import winnowing_fingerprints
 from parquet_go_spark.spark.roundtrip import roundtrip_df
 
 SF0001 = "/root/testdata/sf0.001"
@@ -161,6 +162,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "simhash64": lambda spark, sf_dir: simhash64(_load(spark, sf_dir, "documents")),
         "langid_ngram": lambda spark, sf_dir: langid_ngram(_load(spark, sf_dir, "documents")),
+        "winnow_fingerprints": lambda spark, sf_dir: winnowing_fingerprints(
+            _load(spark, sf_dir, "documents")
+        ),
         # similarity search
         "embedding_cosine_topk": _q_cosine_topk,
         "embedding_lsh_topk": _q_lsh_topk,

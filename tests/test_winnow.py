@@ -1,0 +1,66 @@
+"""Winnowing fingerprint tests: vectorized kernel vs a naive python
+reference, the shared-substring guarantee, and the Spark wrapper."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from parquet_go_spark.ops.winnow import winnow_bytes, winnowing_fingerprints
+
+_B = 1000003
+_MASK = (1 << 61) - 1
+
+
+def _naive(data: bytes, k: int, w: int):
+    n = len(data)
+    if n < k:
+        return [], []
+    hashes = []
+    for i in range(n - k + 1):
+        h = 0
+        for j in range(k):
+            h = (h + data[i + j] * pow(_B, k - 1 - j, 1 << 61)) & _MASK
+        hashes.append(h)
+    if len(hashes) <= w:
+        m = min(hashes)
+        i = max(j for j, h in enumerate(hashes) if h == m)
+        return [i], [hashes[i]]
+    pos_out = []
+    for s in range(len(hashes) - w + 1):
+        window = hashes[s : s + w]
+        m = min(window)
+        i = s + max(j for j, h in enumerate(window) if h == m)
+        if not pos_out or pos_out[-1] != i:
+            pos_out.append(i)
+    return pos_out, [hashes[i] for i in pos_out]
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("n", [5, 60, 400])
+def test_matches_naive(seed, n):
+    rng = np.random.default_rng(seed)
+    data = rng.integers(97, 110, n, dtype=np.uint8)  # narrow alphabet -> hash ties
+    pos, fps = winnow_bytes(data, k=8, w=16)
+    npos, nfps = _naive(bytes(data), 8, 16)
+    assert pos.tolist() == npos
+    assert [int(f) for f in fps] == nfps
+
+
+def test_shared_substring_guarantee():
+    rng = np.random.default_rng(9)
+    shared = bytes(rng.integers(32, 127, 64, dtype=np.uint8))  # 64 >= k + w - 1 = 23
+    a = bytes(rng.integers(32, 127, 100, dtype=np.uint8)) + shared + b"tail-a"
+    b = b"prefix-bbb" + shared + bytes(rng.integers(32, 127, 80, dtype=np.uint8))
+    _, fa = winnow_bytes(np.frombuffer(a, np.uint8))
+    _, fb = winnow_bytes(np.frombuffer(b, np.uint8))
+    assert set(fa.tolist()) & set(fb.tolist()), "shared substring must share a fingerprint"
+
+
+@pytest.mark.spark
+def test_spark_wrapper(spark):
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = winnowing_fingerprints(df)
+    rows = out.count()
+    assert rows > df.count()  # several fingerprints per doc
+    assert out.columns == ["doc_id", "pos", "fp"]
