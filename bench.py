@@ -86,12 +86,21 @@ def main() -> None:
         # partitions fixed independently of cpus when benchmarking scaling:
         # the SAME job (same task graph) must run at both parallelism levels
         enc_parts = int(os.environ.get("SPARK_GRAFT_BENCH_PARTITIONS", 2 * cpus))
-        enc_dir = f"{tmp}/enc"
-        t0 = time.perf_counter()
-        man = encode_table(
-            src, enc_dir, key_col="url", partitions=enc_parts, compression="snappy"
-        ).collect()
-        q["encode_pages"] = round(time.perf_counter() - t0, 3)
+        # scaling mode measures steady state: the first full-size encode
+        # pays one-time JIT/codegen + allocator growth that is identical
+        # at every parallelism level but inflates the serial fraction
+        reps = 2 if os.environ.get("SPARK_GRAFT_BENCH_ONLY") == "encode" else 1
+        best = None
+        for r in range(reps):
+            enc_dir = f"{tmp}/enc{r}"
+            t0 = time.perf_counter()
+            man = encode_table(
+                src, enc_dir, key_col="url", partitions=enc_parts, compression="snappy"
+            ).collect()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        q["encode_pages"] = round(best, 3)
+        enc_dir = f"{tmp}/enc{reps - 1}"
         raw = sum(r["raw_bytes"] for r in man)
         enc_b = sum(r["encoded_bytes"] for r in man)
         extras["encode_raw_gb"] = round(raw / 1e9, 4)

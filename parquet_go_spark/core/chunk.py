@@ -357,6 +357,7 @@ def encode_chunk(
     uniques = None
     distinct = -1
     enc = None
+    sel_fsst_table = None
     if encoding is not None:
         enc = encoding
         if enc == "rle_dict":
@@ -389,7 +390,7 @@ def encode_chunk(
     bounds = _page_boundaries(col, max_page)
     fsst_table = None
     if enc == "fsst":
-        fsst_table = locals().get("sel_fsst_table") or _chunk_fsst_table(col)
+        fsst_table = sel_fsst_table or _chunk_fsst_table(col)
 
     out = bytearray()
     out += MAGIC
