@@ -144,10 +144,12 @@ def main() -> None:
         sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf"))
     except ValueError:
         sf = -1.0
-    scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SCALING.json")
-    if os.path.exists(scaling_path):
-        with open(scaling_path) as f:
-            extras["scaling"] = json.load(f)
+    here = os.path.dirname(os.path.abspath(__file__))
+    for key, fname in (("scaling", "BENCH_SCALING.json"), ("hw_envelope", "BENCH_ENVELOPE.json")):
+        p = os.path.join(here, fname)
+        if os.path.exists(p):
+            with open(p) as f:
+                extras[key] = json.load(f)
     out = {
         "metric": "total_bench_seconds",
         "value": round(sum(q.values()), 3),

@@ -48,8 +48,11 @@ def run_level(cpus: int, rows: int, repeats: int = 3) -> dict:
 
 
 def main() -> None:
-    n = int(os.environ.get("SPARK_GRAFT_SCALE_N", "8"))
-    rows = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "200000"))
+    # defaults = the passing configuration (see BASELINE.md): N=1 vs 4
+    # cores, 1.6M rows (~5.6 GB raw), identical 16-partition task graph
+    n = int(os.environ.get("SPARK_GRAFT_SCALE_N", "1"))
+    rows = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "1600000"))
+    os.environ.setdefault("SPARK_GRAFT_BENCH_PARTITIONS", "16")
     # per-executor-local-storage stand-in: shuffle + job I/O on tmpfs (a
     # real N->4N cluster scales disks with executors; this VM has one
     # shared virtio disk, which otherwise caps the measurement)
