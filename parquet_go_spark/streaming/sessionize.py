@@ -1,0 +1,76 @@
+"""Custom stateful streaming operator: event sessionization with
+``applyInPandasWithState`` — the Structured Streaming escape hatch for
+operators Spark lacks (per-key custom state + processing-time timeouts).
+
+A session = consecutive events of one user separated by gaps < ``gap``;
+per-key state holds (session_start, last_ts, n_events, sum_value) and a
+closed session is emitted when a new event arrives after the gap, or when
+the key's timeout fires with no new data.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+__all__ = ["sessionize"]
+
+OUTPUT_DDL = (
+    "user_id long, session_start timestamp, session_end timestamp, n_events long, sum_value double"
+)
+STATE_DDL = "start long, last long, n long, sv double"
+
+
+def sessionize(events: DataFrame, gap_seconds: int = 1800, ts_col: str = "ts") -> DataFrame:
+    """Streaming sessionization keyed by user_id. Input: a streaming
+    DataFrame with (user_id long, ts timestamp, value double)."""
+    gap_us = gap_seconds * 1_000_000
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        (user_id,) = key
+        closed = []
+        if state.hasTimedOut:
+            if state.exists:
+                s, last, n, sv = state.get
+                closed.append((user_id, s, last, n, sv))
+                state.remove()
+        else:
+            rows = pd.concat(list(pdfs)).sort_values(ts_col)
+            ts_us = (rows[ts_col].astype("int64") // 1000).to_numpy()
+            vals = rows["value"].to_numpy()
+            if state.exists:
+                s, last, n, sv = state.get
+            else:
+                s = last = None
+                n, sv = 0, 0.0
+            for t, v in zip(ts_us.tolist(), vals.tolist()):
+                if s is None:
+                    s, last, n, sv = t, t, 1, float(v)
+                elif t - last >= gap_us:
+                    closed.append((user_id, s, last, n, sv))
+                    s, last, n, sv = t, t, 1, float(v)
+                else:
+                    last, n, sv = t, n + 1, sv + float(v)
+            state.update((s, last, n, sv))
+            state.setTimeoutDuration(gap_seconds * 1000)
+        if closed:
+            out = pd.DataFrame(
+                closed, columns=["user_id", "session_start", "session_end", "n_events", "sum_value"]
+            )
+            out["session_start"] = pd.to_datetime(out["session_start"], unit="us")
+            out["session_end"] = pd.to_datetime(out["session_end"], unit="us")
+            yield out
+
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=OUTPUT_DDL,
+            stateStructType=STATE_DDL,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
