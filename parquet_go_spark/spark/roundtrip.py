@@ -14,7 +14,6 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
-import pandas as pd  # noqa: F401
 import pyarrow as pa
 from pyspark.sql import DataFrame
 
