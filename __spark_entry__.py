@@ -91,6 +91,19 @@ def _rt_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     return roundtrip_df(df)
 
 
+def _rt_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip the list<float> column (Dremel rep/def levels), then
+    project to a scalar shape the driver can canonicalize: one row per
+    (vec_id, pos) with the element value. Bit-identity of the list round
+    trip is exactly preserved — posexplode is order-stable."""
+    rt = roundtrip_df(_load(spark, sf_dir, "embeddings"))
+    return rt.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("pos", "val"),
+    ).withColumn("val", F.col("val").cast("double"))
+
+
 def _q_dict_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
     st = table_column_stats(_load(spark, sf_dir, "documents"))
     return st.select(
@@ -118,7 +131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_orders": _rt("orders"),
         "roundtrip_events": _rt("events"),
         "roundtrip_customer": _rt("customer"),
-        "roundtrip_embeddings": _rt("embeddings"),  # list<float>: Dremel rep/def levels
+        "roundtrip_embeddings": _rt_embeddings,  # list<float>: Dremel rep/def levels
         "roundtrip_reference_documents": _rt("documents", profile="reference"),
         "roundtrip_zlib_documents": _rt("documents", compression="zlib"),
         "roundtrip_nulls": _rt_nulls,
@@ -251,7 +264,11 @@ SELECT q_id, n_id, rank FROM (
         "roundtrip_orders": _ident_sql("orders"),
         "roundtrip_events": _ident_sql("events"),
         "roundtrip_customer": _ident_sql("customer"),
-        "roundtrip_embeddings": "SELECT vec_id, embedding, label FROM embeddings",
+        "roundtrip_embeddings": (
+            "SELECT vec_id, label, CAST(i AS INT) AS pos,"
+            " CAST(embedding[i + 1] AS DOUBLE) AS val"
+            " FROM embeddings, UNNEST(range(len(embedding))) AS t(i)"
+        ),
         "roundtrip_reference_documents": _ident_sql("documents"),
         "roundtrip_zlib_documents": _ident_sql("documents"),
         "roundtrip_nulls": (

@@ -94,11 +94,23 @@ class ChunkMeta:
     max_value: object = None
 
     def as_dict(self) -> dict:
-        def _s(v):
+        def _s(v, is_max=False):
+            # Manifest bounds must stay prune-safe (decode_job compares
+            # them as strings): non-UTF8 bytes -> None (pruning disabled,
+            # conservative); long strings -> truncated prefix for min
+            # (valid lower bound) and truncate-and-increment for max
+            # (Parquet's convention: the incremented prefix upper-bounds
+            # every string sharing the original prefix).
             if v is None:
                 return None
             if isinstance(v, bytes):
-                return v[:64].decode("utf-8", "backslashreplace")
+                try:
+                    s = v.decode("utf-8")
+                except UnicodeDecodeError:
+                    return None
+                if len(s) <= 64:
+                    return s
+                return _increment_str(s[:64]) if is_max else s[:64]
             return str(v)
 
         return {
@@ -113,15 +125,61 @@ class ChunkMeta:
             "num_pages": self.num_pages,
             "crc32": self.crc32,
             "min_str": _s(self.min_value),
-            "max_str": _s(self.max_value),
+            "max_str": _s(self.max_value, is_max=True),
         }
 
 
 # ------------------------------------------------------------- chunk stats
+def _increment_str(p: str) -> str | None:
+    """Smallest-effort strict upper bound for every string starting with
+    ``p``: increment the last incrementable codepoint (skipping the
+    surrogate gap). None when no such bound exists (all chars at max)."""
+    for i in range(len(p) - 1, -1, -1):
+        nc = ord(p[i]) + 1
+        if 0xD800 <= nc <= 0xDFFF:
+            nc = 0xE000
+        if nc <= 0x10FFFF:
+            return p[:i] + chr(nc)
+    return None
+
+
+def _extreme_bytes(
+    data: np.ndarray, starts: np.ndarray, lens: np.ndarray, cand: np.ndarray, want_min: bool
+) -> bytes:
+    """Exact lexicographic min/max over candidate byte strings that tie on
+    their first 8 bytes: compare successive 8-byte big-endian keys,
+    narrowing the candidate set each round (O(tied bytes / 8) total work,
+    no per-candidate cap)."""
+    if len(cand) > 1:
+        pad = np.concatenate([data, np.zeros(8, np.uint8)])
+        offj = np.arange(8)
+        pw = np.array([1 << (8 * (7 - i)) for i in range(8)], dtype=np.uint64)
+        off = 8  # first 8 bytes already tied
+        limit = len(data)
+        while len(cand) > 1:
+            rem = lens[cand] - off
+            if (rem <= 0).all():
+                break
+            pos = np.minimum(starts[cand] + off, limit)
+            b = pad[pos[:, None] + offj].astype(np.uint64)
+            b *= offj[None, :] < rem[:, None]
+            keys = b @ pw
+            sel = keys.min() if want_min else keys.max()
+            cand = cand[keys == sel]
+            off += 8
+        if len(cand) > 1:
+            # byte-equal up to the shorter length: length breaks the tie
+            ln = lens[cand]
+            cand = cand[ln == (ln.min() if want_min else ln.max())]
+    i = int(cand[0])
+    return bytes(data[starts[i] : starts[i] + lens[i]])
+
+
 def column_minmax(col: ColumnData) -> tuple[object, object]:
     """Typed chunk min/max (reference O13, ``stats.go:9-225``): exact,
     vectorized. Bytes: big-endian first-8-byte keys narrow the candidates,
-    ties resolved by comparing the few candidate strings."""
+    ties resolved exactly by progressive 8-byte key comparison (no
+    candidate cap — shared-prefix columns like urls stay correct)."""
     if col.num_values == 0:
         return None, None
     if col.ptype == "bool":
@@ -132,19 +190,14 @@ def column_minmax(col: ColumnData) -> tuple[object, object]:
         return v.min().item(), v.max().item()
     lens = col.lengths
     starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
-    n = len(lens)
     pad = np.concatenate([col.data, np.zeros(8, np.uint8)])
     off = np.arange(8)
     vals = pad[starts[:, None] + off] * (off[None, :] < lens[:, None])
     pw = np.array([1 << (8 * (7 - i)) for i in range(8)], dtype=np.uint64)  # big-endian
     keys = vals.astype(np.uint64) @ pw
-
-    def _extract(i: int) -> bytes:
-        return bytes(col.data[starts[i] : starts[i] + lens[i]])
-
     lo_key, hi_key = keys.min(), keys.max()
-    lo = min(_extract(i) for i in np.flatnonzero(keys == lo_key)[:4096])
-    hi = max(_extract(i) for i in np.flatnonzero(keys == hi_key)[:4096])
+    lo = _extreme_bytes(col.data, starts, lens, np.flatnonzero(keys == lo_key), True)
+    hi = _extreme_bytes(col.data, starts, lens, np.flatnonzero(keys == hi_key), False)
     return lo, hi
 
 

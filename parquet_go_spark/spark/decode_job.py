@@ -77,13 +77,17 @@ def decode_table(
             ok = True
             for col_name, op, value in prune:
                 r = rows.get(col_name)
-                if r is None or r["min_str"] is None:
+                if r is None:
                     continue  # no stats -> cannot prune
-                if op == "==" and not (_le(r["min_str"], value) and _le(value, r["max_str"])):
+                mn, mx = r["min_str"], r["max_str"]  # each may be None (inexact)
+                if op == "==":
+                    if mn is not None and not _le(mn, value):
+                        ok = False
+                    if mx is not None and not _le(value, mx):
+                        ok = False
+                elif op == "<=" and mn is not None and not _le(mn, value):
                     ok = False
-                elif op == "<=" and not _le(r["min_str"], value):
-                    ok = False
-                elif op == ">=" and not _le(value, r["max_str"]):
+                elif op == ">=" and mx is not None and not _le(value, mx):
                     ok = False
             if ok:
                 keep.add(f"part-{pid:05d}.bin")
@@ -102,6 +106,12 @@ def decode_table(
                 blobs = parse_partition_file(content.as_py(), want)
                 if not blobs:
                     continue
+                missing = want - set(blobs)
+                if missing:
+                    raise ValueError(
+                        f"selected column(s) {sorted(missing)} absent from "
+                        f"partition file {path.as_py()}"
+                    )
                 if validate_crc:
                     import os as _os
                     import zlib as _zlib
@@ -112,8 +122,13 @@ def decode_table(
                         r["column"]: r["crc32"] for r in mf.read_partition_manifest(enc_dir, pid)
                     }
                     for c in want:
+                        if c not in crc_of:
+                            raise ValueError(
+                                f"manifest for {name} has no CRC row for column {c}: "
+                                "cannot validate (truncated or partial manifest)"
+                            )
                         got = _zlib.crc32(blobs[c])
-                        if c in crc_of and got != crc_of[c]:
+                        if got != crc_of[c]:
                             raise ValueError(
                                 f"crc mismatch for column {c} in {name}: "
                                 f"{got:#x} != manifest {crc_of[c]:#x}"

@@ -98,8 +98,8 @@ def encode_table(
     except Exception:  # pragma: no cover - fallback for API drift
         arrow_schema = None
     sc_parallelism = spark.sparkContext.defaultParallelism
-    partitions = partitions or max(sc_parallelism * 2, 8)
     if key_col is not None:
+        partitions = partitions or max(sc_parallelism * 2, 8)
         # explicit salted repartition on the key hash: xxhash64(key, salt).
         # Pass the hash itself (not pmod) — Spark hash-partitions the
         # expression value, and pmod would collapse it to n distinct values

@@ -48,6 +48,49 @@ def test_minmax_bytes_ties_and_prefixes():
     assert (mn2, mx2) == (vals2[1], vals2[0])
 
 
+def test_minmax_bytes_huge_tie_set():
+    # >4096 values sharing an 8-byte prefix (the url case): min/max must
+    # still be exact — the old first-4096-candidates cap silently dropped
+    # the true extremes when they sorted past the cap.
+    n = 6000
+    vals = [b"https://site-%05d.example/x" % i for i in range(n)]
+    vals[-1] = b"https://aaaaa"  # true min, last by position
+    vals[-2] = b"https://zzzzz"  # true max, second-to-last
+    col = from_arrow(pa.array(vals, type=pa.binary()))
+    assert column_minmax(col) == (b"https://aaaaa", b"https://zzzzz")
+
+
+def test_minmax_bytes_prefix_length_ties():
+    # byte-equal up to shorter length: shorter is the min, longer the max
+    vals = [b"x" * 40, b"x" * 39, b"x" * 41, b"x" * 40]
+    col = from_arrow(pa.array(vals, type=pa.binary()))
+    assert column_minmax(col) == (b"x" * 39, b"x" * 41)
+    # genuine zero bytes vs exhausted values
+    vals2 = [b"abcdefgh", b"abcdefgh\x00\x00", b"abcdefgh\x00\x01"]
+    assert column_minmax(from_arrow(pa.array(vals2, type=pa.binary()))) == (
+        b"abcdefgh",
+        b"abcdefgh\x00\x01",
+    )
+
+
+def test_meta_bounds_prune_safe():
+    # long strings: min truncated (lower bound), max truncate-and-increment
+    # (upper bound); non-UTF8 -> None (pruning disabled)
+    long_lo = "a" * 100
+    long_hi = "b" * 100
+    col = from_arrow(pa.array([long_lo, long_hi], type=pa.string()))
+    _, meta = encode_chunk(col)
+    d = meta.as_dict()
+    assert d["min_str"] == "a" * 64
+    assert d["min_str"] <= long_lo
+    assert d["max_str"] == "b" * 63 + "c"
+    assert d["max_str"] > long_hi  # a true upper bound despite truncation
+    bad = from_arrow(pa.array([b"\xff\xfe" * 40], type=pa.binary()))
+    _, meta2 = encode_chunk(bad)
+    d2 = meta2.as_dict()
+    assert d2["min_str"] is None and d2["max_str"] is None
+
+
 def test_minmax_all_null():
     col = from_arrow(pa.array([None, None], type=pa.string()))
     assert column_minmax(col) == (None, None)
