@@ -104,6 +104,50 @@ def _rt_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("val", F.col("val").cast("double"))
 
 
+def _rt_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive nested types under the oracle gate: struct, nested
+    struct, map, and list<list> columns (with null parents, null inner
+    lists, and null elements) are built from documents, round-tripped
+    through the codec (PGSS/PGSL containers, Dremel levels — reference
+    parity: readwrite_test.go:144-533), then flattened to scalars the
+    driver can canonicalize."""
+    d = _load(spark, sf_dir, "documents")
+    df = d.select(
+        "doc_id",
+        F.when(
+            d.doc_id % 7 != 0,
+            F.struct(
+                F.col("lang").alias("lang"),
+                F.col("n_chars").alias("n"),
+                F.struct(F.col("source").alias("src")).alias("inner"),
+            ),
+        ).alias("meta"),
+        F.when(
+            d.doc_id % 5 != 0,
+            F.create_map(F.lit("lang"), F.col("lang"), F.lit("source"), F.col("source")),
+        ).alias("m"),
+        F.when(
+            d.doc_id % 3 != 0,
+            F.array(
+                F.array(F.col("n_chars"), F.col("n_chars") * 2),
+                F.when(d.doc_id % 4 != 0, F.array(F.col("n_chars") + 1)),
+            ),
+        ).alias("ll"),
+    )
+    rt = roundtrip_df(df)
+    return rt.select(
+        "doc_id",
+        F.col("meta.lang").alias("meta_lang"),
+        F.col("meta.n").alias("meta_n"),
+        F.col("meta.inner.src").alias("meta_src"),
+        F.col("m").getItem("lang").alias("m_lang"),
+        F.col("m").getItem("source").alias("m_source"),
+        F.col("ll")[0][0].alias("ll_00"),
+        F.col("ll")[0][1].alias("ll_01"),
+        F.col("ll")[1][0].alias("ll_10"),
+    )
+
+
 def _q_dict_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
     st = table_column_stats(_load(spark, sf_dir, "documents"))
     return st.select(
@@ -136,6 +180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_zlib_documents": _rt("documents", compression="zlib"),
         "roundtrip_nulls": _rt_nulls,
         "roundtrip_multipage_lineitem": _rt("lineitem", max_page=4096),
+        "roundtrip_nested": _rt_nested,
         "enc_plain_lineitem": _rt("lineitem", encoding="plain"),
         "enc_dict_documents": _rt("documents", encoding="rle_dict"),
         "enc_delta_bp_events": _rt("events", cols=["event_id", "ts", "user_id"], encoding="delta_bp"),
@@ -279,6 +324,18 @@ SELECT q_id, n_id, rank FROM (
             " FROM documents"
         ),
         "roundtrip_multipage_lineitem": _ident_sql("lineitem"),
+        "roundtrip_nested": (
+            "SELECT doc_id,"
+            " CASE WHEN doc_id % 7 <> 0 THEN lang END AS meta_lang,"
+            " CASE WHEN doc_id % 7 <> 0 THEN n_chars END AS meta_n,"
+            " CASE WHEN doc_id % 7 <> 0 THEN source END AS meta_src,"
+            " CASE WHEN doc_id % 5 <> 0 THEN lang END AS m_lang,"
+            " CASE WHEN doc_id % 5 <> 0 THEN source END AS m_source,"
+            " CASE WHEN doc_id % 3 <> 0 THEN n_chars END AS ll_00,"
+            " CASE WHEN doc_id % 3 <> 0 THEN n_chars * 2 END AS ll_01,"
+            " CASE WHEN doc_id % 3 <> 0 AND doc_id % 4 <> 0 THEN n_chars + 1 END AS ll_10"
+            " FROM documents"
+        ),
         "enc_plain_lineitem": _ident_sql("lineitem"),
         "enc_dict_documents": _ident_sql("documents"),
         "enc_delta_bp_events": _ident_sql("events", ["event_id", "ts", "user_id"]),

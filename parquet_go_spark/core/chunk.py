@@ -401,6 +401,17 @@ def encode_chunk(
             level_mode=level_mode,
             encoding=encoding,
         )
+    if type(col).__name__ == "StructData":
+        from .structchunk import encode_struct_chunk  # local: avoid cycle
+
+        return encode_struct_chunk(
+            col,
+            profile=profile,
+            compression=compression,
+            max_page=max_page,
+            level_mode=level_mode,
+            encoding=encoding,
+        )
 
     if level_mode is None:
         level_mode = "bp" if profile == "reference" else "auto"
@@ -513,6 +524,10 @@ def decode_chunk(blob, logical: str = ""):
         from .listchunk import decode_list_chunk  # local: avoid cycle
 
         return decode_list_chunk(blob, logical=logical)
+    if bytes(mv[:4]) == b"PGSS":
+        from .structchunk import decode_struct_chunk  # local: avoid cycle
+
+        return decode_struct_chunk(blob, logical=logical)
     if bytes(mv[:4]) != MAGIC:
         raise ValueError("bad chunk magic")
     version, pt, en, cp, flags = mv[4], mv[5], mv[6], mv[7], mv[8]

@@ -12,7 +12,17 @@ from dataclasses import dataclass
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["ColumnData", "ListData", "from_arrow", "to_arrow", "PHYSICAL", "gather_segments"]
+__all__ = [
+    "ColumnData",
+    "ListData",
+    "StructData",
+    "from_arrow",
+    "to_arrow",
+    "entry_validity",
+    "split_fields",
+    "PHYSICAL",
+    "gather_segments",
+]
 
 
 def gather_segments(src: np.ndarray, starts: np.ndarray, lengths: np.ndarray) -> np.ndarray:
@@ -89,15 +99,18 @@ class ColumnData:
 
 @dataclass
 class ListData:
-    """Single-level list column (Dremel max_rep=1, max_def=3 — the
+    """List column (Dremel max_rep=1 at this level, def levels 0-3 — the
     ``optional group (LIST) { repeated group list { optional element } }``
     shape, ``schema.go:585-614`` / SURVEY.md §1.3): per-row validity +
-    lengths over a flattened element ColumnData."""
+    lengths over flattened elements. ``elem`` recurses: a ColumnData leaf,
+    another ListData (list<list<...>>), or a StructData (list<struct>,
+    and the map<k,v> = list<struct<key,value>> convention,
+    ``NewMapColumn`` ``schema.go:616-647``)."""
 
     row_validity: np.ndarray  # bool[n_rows]; True = list present
     lens: np.ndarray  # int64[n_rows]; elements per row (0 when null)
-    elem: ColumnData  # flattened elements of the non-null rows
-    logical: str = ""  # arrow type string, e.g. "list<item: float>"
+    elem: "ColumnData | ListData | StructData"  # flattened non-null rows' contents
+    logical: str = ""  # arrow type string, e.g. "list<item: float>" / "map<string, int64>"
 
     @property
     def num_rows(self) -> int:
@@ -112,6 +125,55 @@ class ListData:
         return int(self.row_validity.sum())
 
 
+@dataclass
+class StructData:
+    """Struct column: its own validity (one def level) over per-field
+    child columns encoded only for the valid parent rows — a null struct
+    contributes no child entries, matching the reference's shredding of
+    nil groups (``recursiveAddColumnNil``, ``schema.go:790-835``)."""
+
+    validity: np.ndarray  # bool[n_rows]; True = struct present
+    fields: list  # [(name, ColumnData | ListData | StructData), ...] over valid rows
+    logical: str = ""  # arrow type string, e.g. "struct<a: int64, b: string>"
+
+    @property
+    def num_rows(self) -> int:
+        return len(self.validity)
+
+    @property
+    def num_values(self) -> int:
+        return int(self.validity.sum())
+
+    @property
+    def raw_bytes(self) -> int:
+        return sum(c.raw_bytes for _, c in self.fields) + len(self.validity) // 8
+
+
+def entry_validity(col: "ColumnData | ListData | StructData") -> np.ndarray:
+    """Per-entry presence of any column kind (the d == max_def test)."""
+    if isinstance(col, ListData):
+        return col.row_validity
+    return col.validity
+
+
+def split_fields(s: str) -> list[str]:
+    """Split a type-parameter list on top-level commas only
+    (bracket-aware: 'a: int64, b: struct<c: string, d: int64>' -> 2)."""
+    parts, depth, start = [], 0, 0
+    for i, ch in enumerate(s):
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(s[start:i].strip())
+            start = i + 1
+    tail = s[start:].strip()
+    if tail:
+        parts.append(tail)
+    return parts
+
+
 def _phys_of(t: pa.DataType) -> str:
     if t in _ARROW_TO_PHYS:
         return _ARROW_TO_PHYS[t]
@@ -124,11 +186,37 @@ def _phys_of(t: pa.DataType) -> str:
     raise TypeError(f"unsupported arrow type {t}")
 
 
-def from_arrow(arr: pa.Array | pa.ChunkedArray) -> "ColumnData | ListData":
-    """Arrow array -> ColumnData/ListData (vectorized, zero-copy where
-    possible)."""
+def from_arrow(arr: pa.Array | pa.ChunkedArray) -> "ColumnData | ListData | StructData":
+    """Arrow array -> ColumnData/ListData/StructData (vectorized,
+    zero-copy where possible; recursive over list/struct/map nesting)."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
+    if pa.types.is_struct(arr.type):
+        n = len(arr)
+        validity = (
+            np.ones(n, dtype=bool) if arr.null_count == 0 else arr.is_valid().to_numpy(zero_copy_only=False)
+        )
+        vmask = None if validity.all() else pa.array(validity)
+        fields = []
+        children = arr.flatten()  # offset-corrected child arrays
+        for i, ch in enumerate(children):
+            if vmask is not None:
+                ch = ch.filter(vmask)  # children carry valid parents only
+            fields.append((arr.type.field(i).name, from_arrow(ch)))
+        return StructData(validity, fields, logical=str(arr.type))
+    if pa.types.is_map(arr.type):
+        # map<k,v> == list<struct<key,value>> (NewMapColumn, schema.go:616-647)
+        entry_t = pa.list_(
+            pa.struct(
+                [
+                    pa.field("key", arr.type.key_type, nullable=False),
+                    pa.field("value", arr.type.item_type),
+                ]
+            )
+        )
+        ld = from_arrow(arr.cast(entry_t))
+        ld.logical = str(arr.type)
+        return ld
     if pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type):
         n = len(arr)
         validity = (
@@ -179,12 +267,29 @@ def from_arrow(arr: pa.Array | pa.ChunkedArray) -> "ColumnData | ListData":
     return ColumnData(ptype, validity, values=values, logical=logical)
 
 
-def to_arrow(col: "ColumnData | ListData") -> pa.Array:
-    """ColumnData/ListData -> Arrow array of the original logical type."""
+def to_arrow(col: "ColumnData | ListData | StructData") -> pa.Array:
+    """ColumnData/ListData/StructData -> Arrow array of the original
+    logical type."""
+    if isinstance(col, StructData):
+        validity = col.validity
+        names = [name for name, _ in col.fields]
+        children = [to_arrow(c) for _, c in col.fields]
+        if validity.all():
+            return pa.StructArray.from_arrays(children, names=names)
+        # expand valid-rows-only children back to full length (null at
+        # invalid parent slots) via take-with-null-indices
+        idx = pa.array((np.cumsum(validity) - 1).astype(np.int64), mask=~validity)
+        children = [c.take(idx) for c in children]
+        return pa.StructArray.from_arrays(children, names=names, mask=pa.array(~validity))
     if isinstance(col, ListData):
         elem_arr = to_arrow(col.elem)
         offsets = np.concatenate([[0], np.cumsum(col.lens)]).astype(np.int32)
         mask = ~col.row_validity
+        if col.logical.startswith("map<"):
+            # null map rows via null offsets (MapArray.from_arrays has no mask)
+            off_mask = np.concatenate([mask, [False]]) if mask.any() else None
+            off_arr = pa.array(offsets, type=pa.int32(), mask=off_mask)
+            return pa.MapArray.from_arrays(off_arr, elem_arr.field(0), elem_arr.field(1))
         out = pa.ListArray.from_arrays(
             pa.array(offsets, type=pa.int32()),
             elem_arr,

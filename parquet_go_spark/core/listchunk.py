@@ -27,7 +27,7 @@ import numpy as np
 from ..kernels import hybrid
 from ..kernels.varint import read_uvarint, uvarint
 from .chunk import ChunkMeta, decode_chunk, encode_chunk
-from .columns import ColumnData, ListData
+from .columns import ColumnData, ListData, entry_validity
 
 __all__ = ["encode_list_chunk", "decode_list_chunk", "LIST_MAGIC", "compute_levels", "levels_to_structure"]
 
@@ -51,7 +51,7 @@ def compute_levels(col: ListData) -> tuple[np.ndarray, np.ndarray]:
     elem_mask = np.ones(total, dtype=bool)
     elem_mask[starts[single]] = False
     dlev[starts[single]] = np.where(valid[single], 1, 0)
-    dlev[elem_mask] = np.where(col.elem.validity, 3, 2)
+    dlev[elem_mask] = np.where(entry_validity(col.elem), 3, 2)
     return rep, dlev
 
 
@@ -123,20 +123,25 @@ def decode_list_chunk(blob, logical: str = "") -> ListData:
     dlev, _ = hybrid.decode_sized(mv[pos : pos + def_len], 2, n_entries, 0)
     pos += def_len
     elem_logical = ""
-    if logical.startswith("list<") or logical.startswith("large_list<"):
+    if logical.startswith("map<"):
+        elem_logical = ""  # the struct child chunk stores its own field logicals
+    elif logical.startswith("list<") or logical.startswith("large_list<"):
         elem_logical = logical.split("<", 1)[1].rsplit(">", 1)[0]
-        if ":" in elem_logical:  # "item: float" arrow field rendering
+        if elem_logical.startswith("item:") or elem_logical.startswith("element:"):
             elem_logical = elem_logical.split(":", 1)[1].strip()
     elem = decode_chunk(mv[pos:], logical=elem_logical)
     row_validity, lens, elem_validity = levels_to_structure(
         np.asarray(rep), np.asarray(dlev), num_rows
     )
-    elem = ColumnData(
-        elem.ptype,
-        elem_validity,
-        values=elem.values,
-        lengths=elem.lengths,
-        data=elem.data,
-        logical=elem.logical,
-    )
+    if isinstance(elem, ColumnData):
+        # leaf: entry validity is carried by this level's def stream
+        elem = ColumnData(
+            elem.ptype,
+            elem_validity,
+            values=elem.values,
+            lengths=elem.lengths,
+            data=elem.data,
+            logical=elem.logical,
+        )
+    # nested list/struct elems carry their own (identical) validity stream
     return ListData(row_validity, lens, elem, logical=logical or "list")

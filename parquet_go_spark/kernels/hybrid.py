@@ -168,7 +168,10 @@ def decode_sized(buf: bytes, width: int, count: int, pos: int = 0) -> tuple[np.n
     """Decode a size-prefixed (V1) stream; returns (values, new_pos)."""
     if width == 0:
         return np.zeros(count, dtype=np.uint64), pos
-    (size,) = struct.unpack_from("<I", buf, pos)
+    try:
+        (size,) = struct.unpack_from("<I", buf, pos)
+    except struct.error as e:  # truncated stream: surface as a decode error
+        raise ValueError(f"hybrid stream truncated at size prefix: {e}") from e
     pos += 4
     vals = decode(bytes(memoryview(buf)[pos : pos + size]), width, count)
     return vals, pos + size

@@ -106,29 +106,146 @@ def encode_byte_array(lengths: np.ndarray, data: np.ndarray) -> bytes:
 
 
 def decode_byte_array(buf, count: int, pos: int = 0) -> tuple[np.ndarray, np.ndarray, int]:
-    """-> (lengths, data, new_pos). Sequential length walk done via numpy scan."""
+    """-> (lengths, data, new_pos).
+
+    The header chain (start_{i+1} = start_i + 4 + len(start_i)) is
+    inherently sequential; it is resolved with the same pointer-doubling
+    orbit as the FSST parse (kernels/fsst.py): one vectorized pass builds
+    a 1-step jump table from unaligned u32 reads at every byte offset,
+    then O(log2 count) gather passes mark all header positions — no
+    per-value Python on the hot path (high-cardinality text/html columns
+    fall back from dict to PLAIN past 32767 distinct, chunk_writer.go:
+    185-209, so this path must stay vectorized)."""
     if count == 0:
         return np.empty(0, np.int64), np.empty(0, np.uint8), pos
     mv = np.frombuffer(buf, np.uint8)
+    lengths = starts = None
+    if count >= 64:
+        lengths, starts = _fast_header_scan(mv, count, pos)
+    if lengths is None:
+        lengths, starts = _walk_headers(mv, count, pos)
+    total = int(lengths.sum())
+    p = int(starts[-1] + lengths[-1])
+    if total:
+        # values are contiguous with fixed 4-byte header gaps: dropping
+        # headers via one boolean compress beats per-segment gathers
+        region = mv[pos:p]
+        mask = np.ones(p - pos, dtype=bool)
+        hdr = starts - 4 - pos
+        for j in range(4):
+            mask[hdr + j] = False
+        data = region[mask]
+    else:
+        data = np.empty(0, np.uint8)
+    return lengths, data, p
+
+
+def _u32_at(mv: np.ndarray, p: np.ndarray) -> np.ndarray:
+    return (
+        mv[p].astype(np.int64)
+        | mv[p + 1].astype(np.int64) << 8
+        | mv[p + 2].astype(np.int64) << 16
+        | mv[p + 3].astype(np.int64) << 24
+    )
+
+
+def _fast_header_scan(mv: np.ndarray, count: int, pos: int):
+    """Vectorized header-chain resolution; returns (lengths, starts) or
+    (None, None) when the input doesn't fit a fast path (the sequential
+    walk then decides).
+
+    Path A — uniform lengths: candidate positions form an arithmetic
+    progression; one gather verifies every header. Covers fixed-width
+    payloads (hashes, digests).
+
+    Path B — zero-pattern candidates: every header of a value < 64 KiB
+    carries 0x00 at bytes 2-3, so candidate headers are found with one
+    vectorized compare; the chain (start_{i+1} = start_i + 4 + len_i) is
+    then verified in one vector op. Covers text/url/html columns, whose
+    values rarely contain NUL pairs. Any false candidate inside a value
+    (or a length >= 64 KiB) fails verification -> conservative fallback.
+    """
+    n = len(mv) - pos
+    if n < 4 * count:
+        raise ValueError("plain byte_array stream truncated")
+    l0 = int(_u32_at(mv, np.array([pos]))[0])
+    # Path A: assume uniform length l0, verify
+    stride = 4 + l0
+    last = pos + (count - 1) * stride
+    if last + 4 + l0 <= len(mv):
+        cand = pos + np.arange(count, dtype=np.int64) * stride
+        if (_u32_at(mv, cand) == l0).all():
+            return np.full(count, l0, dtype=np.int64), cand + 4
+    # Path B: zero-bytes-at-2,3 candidates
+    if l0 >= 1 << 16:
+        return None, None
+    seg = mv[pos:]
+    zz = (seg[2 : n - 1] == 0) & (seg[3:n] == 0)
+    cand = np.flatnonzero(zz).astype(np.int64)  # candidate header positions (rel)
+    if len(cand) > max(16 * count, 1024):
+        return None, None  # zero-dense binary payload: walk instead
+    # adjacent-candidate prune: the byte before a real header reads as
+    # [data, len, 0, 0] and always lands at (header - 1); drop any
+    # candidate immediately followed by another (real headers follow at
+    # distance >= 4 unless a value starts with NUL — then the exact chain
+    # check below fails and the walk takes over)
+    if len(cand) > 1:
+        adj = np.zeros(len(cand), dtype=bool)
+        adj[:-1] = (cand[1:] - cand[:-1]) == 1
+        cand = cand[~adj]
+    m = len(cand)
+    if m < count - 1:
+        return None, None
+    lens_c = _u32_at(seg, cand)
+    nxt = cand + 4 + lens_c
+    # prune: a non-terminal real header's successor is always a candidate;
+    # false candidates (e.g. the last data byte before a header reads as
+    # [data, len, 0, 0]) jump to random positions and die here
+    idx = np.minimum(np.searchsorted(cand, nxt), m - 1)
+    keep = cand[idx] == nxt
+    surv = np.flatnonzero(keep)
+    if len(surv) < count - 1:
+        return None, None
+    first = surv[: count - 1]
+    sel = cand[first]
+    lens_sel = lens_c[first]
+    # exact chain verification: immune to heuristic false positives
+    if sel[0] != 0 or not (sel[1:] == sel[:-1] + 4 + lens_sel[:-1]).all():
+        return None, None
+    # the terminal header has no successor candidate: read it directly
+    last_pos = int(sel[-1] + 4 + lens_sel[-1])
+    if last_pos + 4 > n:
+        raise ValueError("plain byte_array stream truncated")
+    last_len = int(_u32_at(seg, np.array([last_pos]))[0])
+    if last_pos + 4 + last_len > n:
+        raise ValueError("plain byte_array stream truncated")
+    lengths = np.concatenate([lens_sel, [last_len]])
+    starts = np.concatenate([sel, [last_pos]]) + pos + 4
+    return lengths, starts
+
+
+def _walk_headers(mv: np.ndarray, count: int, pos: int):
+    """Sequential header walk (data-dependent chain): exact for every
+    input; used for tiny counts and as the fallback when the vectorized
+    scan cannot prove the chain."""
+    import struct
+
+    b = mv  # numpy arrays support the buffer protocol
+    unpack = struct.unpack_from
     lengths = np.empty(count, dtype=np.int64)
-    # lengths are data-dependent; walk with a python loop over *values* only
-    # for the generic case. Fast path: decode assuming contiguity via
-    # iterative scan (still O(n) python). Used only for dict pages /
-    # compat; hot paths use delta-length instead.
-    p = pos
     starts = np.empty(count, dtype=np.int64)
+    p = pos
+    limit = len(b)
     for i in range(count):
-        l = int(mv[p]) | int(mv[p + 1]) << 8 | int(mv[p + 2]) << 16 | int(mv[p + 3]) << 24
+        if p + 4 > limit:
+            raise ValueError("plain byte_array stream truncated")
+        l = unpack("<I", b, p)[0]
         lengths[i] = l
         starts[i] = p + 4
         p += 4 + l
-    total = int(lengths.sum())
-    data = np.empty(total, dtype=np.uint8)
-    src = np.repeat(starts, lengths) + (
-        np.arange(total) - np.repeat(np.concatenate([[0], np.cumsum(lengths)[:-1]]), lengths)
-    )
-    data[:] = mv[src]
-    return lengths, data, p
+    if p > limit:
+        raise ValueError("plain byte_array stream truncated")
+    return lengths, starts
 
 
 def encode_fixed_byte_array(data: np.ndarray) -> bytes:

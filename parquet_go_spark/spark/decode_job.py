@@ -57,8 +57,13 @@ def decode_table(
     out_ddl = ", ".join(f"`{c}` {by_name[c]['ddl']}" for c in cols)
 
     def _logical_of(ddl: str) -> str:
+        ddl = ddl.strip()
         if ddl.startswith("array<") and ddl.endswith(">"):
-            return f"list<{_DDL_LOGICAL.get(ddl[6:-1], 'binary')}>"
+            return f"list<{_logical_of(ddl[6:-1])}>"
+        if ddl.startswith("map<") and ddl.endswith(">"):
+            return ddl  # only the map< prefix matters; entries self-describe
+        if ddl.startswith("struct<"):
+            return "struct"  # PGSS container stores field names + logicals
         return _DDL_LOGICAL.get(ddl, "binary")
     import glob as _glob
 

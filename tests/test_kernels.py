@@ -186,6 +186,51 @@ def test_plain_byte_array():
     np.testing.assert_array_equal(od, data)
 
 
+def test_plain_byte_array_fast_paths():
+    """The vectorized header-scan fast paths (uniform stride, zero-pattern
+    candidates with adjacent/chain pruning) and the sequential-walk
+    fallback must agree on every input shape."""
+    cases = []
+    # text-like, no NULs (zero-pattern path), count >= 64
+    lens = RNG.integers(1, 60, size=5000).astype(np.int64)
+    cases.append((lens, RNG.integers(32, 127, int(lens.sum()), dtype=np.uint8)))
+    # uniform length with arbitrary bytes (arithmetic path)
+    lu = np.full(2000, 16, np.int64)
+    cases.append((lu, RNG.integers(0, 256, int(lu.sum()), dtype=np.uint8)))
+    # zero-dense binary (walk fallback)
+    lb = RNG.integers(0, 60, size=3000).astype(np.int64)
+    cases.append((lb, RNG.integers(0, 2, int(lb.sum()), dtype=np.uint8)))
+    # values containing the candidate pattern + >64KiB lengths + empties
+    vals = [b"ab\x00\x00cd", b"x" * 70000, b"", b"\x00" * 9] * 40
+    lv = np.array([len(v) for v in vals], np.int64)
+    cases.append((lv, np.frombuffer(b"".join(vals), np.uint8)))
+    # values starting with NUL right after a header (adjacent-prune trap)
+    vals2 = [b"\x00tail", b"norm"] * 200
+    l2 = np.array([len(v) for v in vals2], np.int64)
+    cases.append((l2, np.frombuffer(b"".join(vals2), np.uint8)))
+    for lens_i, data_i in cases:
+        enc = plain.encode_byte_array(lens_i, data_i)
+        ol, od, pos = plain.decode_byte_array(enc, len(lens_i))
+        np.testing.assert_array_equal(ol, lens_i)
+        np.testing.assert_array_equal(od, data_i)
+        assert pos == len(enc)
+        # trailing junk after the count-th value must be ignored
+        ol2, od2, pos2 = plain.decode_byte_array(enc + b"\x07" * 11, len(lens_i))
+        np.testing.assert_array_equal(ol2, lens_i)
+        assert pos2 == len(enc)
+
+
+def test_plain_byte_array_truncation_raises():
+    lens = RNG.integers(1, 60, size=500).astype(np.int64)
+    data = RNG.integers(32, 127, int(lens.sum()), dtype=np.uint8)
+    enc = plain.encode_byte_array(lens, data)
+    import pytest as _pytest
+
+    for cut in (len(enc) - 1, len(enc) // 2, 3):
+        with _pytest.raises(ValueError):
+            plain.decode_byte_array(enc[:cut], len(lens))
+
+
 def test_delta_length_byte_array():
     for n in (0, 1, 2, 500):
         lens, data = _make_binary(n)
