@@ -29,7 +29,13 @@ from parquet_go_spark.ops.dedup import (
     ngram_jaccard_pairs,
     simhash64,
 )
-from parquet_go_spark.ops.similarity import cosine_topk, embedding_near_dups, lsh_bucket_topk
+from parquet_go_spark.ops.similarity import (
+    cosine_topk,
+    embedding_near_dups,
+    hyperplanes,
+    lsh_bucket_topk,
+    signature_sql,
+)
 from parquet_go_spark.ops.stats import table_column_stats, table_numeric_minmax
 from parquet_go_spark.ops.text import fingerprint, langid_ngram, text_quality, token_stats
 from parquet_go_spark.ops.winnow import winnowing_fingerprints
@@ -303,6 +309,30 @@ SELECT q_id, n_id, rank FROM (
   SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rank FROM s
 ) WHERE rank <= 10
 """
+    # deterministic hyperplane signatures: the exact plane literals the
+    # Spark ops embed (ops/similarity.py), mirrored into DuckDB
+    duck_sig = signature_sql(hyperplanes(64, 8, 7), "e", dot_fn="list_dot_product")
+    lsh_topk_sql = f"""
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+sg AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm, ({duck_sig}) AS s FROM v),
+q AS (SELECT * FROM sg WHERE vec_id < 8),
+c AS (
+  SELECT q.vec_id AS q_id, v.vec_id AS n_id,
+    round(list_dot_product(q.e, v.e) / (q.nrm * v.nrm), 6) AS sim
+  FROM q JOIN sg v ON v.s = q.s AND v.vec_id <> q.vec_id
+)
+SELECT q_id, n_id, rank FROM (
+  SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rank FROM c
+) WHERE rank <= 10
+"""
+    near_dups_sql = f"""
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm, ({duck_sig}) AS s FROM v)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) AS sim
+FROM n a JOIN n b ON a.s = b.s AND a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) >= 0.35
+"""
     return {
         "roundtrip_documents": _ident_sql("documents"),
         "roundtrip_lineitem": _ident_sql("lineitem"),
@@ -360,7 +390,10 @@ SELECT q_id, n_id, rank FROM (
                 for c in _T["documents"]
             )
         ),
-        "dedup_exact": "SELECT text, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups FROM documents GROUP BY text",
+        "dedup_exact": (
+            "SELECT md5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups"
+            " FROM documents GROUP BY text"
+        ),
         "token_stats": (
             "SELECT doc_id, n_chars, n_tokens,"
             " (CAST(n_chars AS DOUBLE) - n_tokens + 1) / n_tokens AS avg_token_len,"
@@ -384,18 +417,80 @@ SELECT q_id, n_id, rank FROM (
         "lsh_dup_pairs": lsh_cte,
         "ngram_jaccard_pairs": jacc_sql,
         "embedding_cosine_topk": topk_sql,
-        "embedding_near_dups": """
-WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
-n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v)
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-  round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) AS sim
-FROM n a JOIN n b ON a.vec_id < b.vec_id
-WHERE round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) >= 0.35
-""",
+        "embedding_lsh_topk": lsh_topk_sql,
+        "embedding_near_dups": near_dups_sql,
         "simhash64": _simhash_duck_sql(),
-        # langid_ngram, embedding_lsh_topk: non-SQL-expressible (iterative
-        # profile building / approximate LSH) -> rows-only check
+        "langid_ngram": _langid_duck_sql(),
+        "winnow_fingerprints": _winnow_duck_sql(),
     }
+
+
+def _langid_duck_sql(top_ngrams: int = 40, profile_docs: int = 2000) -> str:
+    """DuckDB mirror of ops/text.py langid_ngram: per-language top-N
+    character-bigram profiles from the deterministic id < N sample, then
+    rank-weighted profile overlap per document."""
+    return f"""
+WITH base AS (SELECT doc_id, lang, lower(text) AS lt FROM documents),
+bg AS (
+  SELECT doc_id, lang, substr(lt, CAST(i AS INT), 2) AS bg
+  FROM base, UNNEST(range(1, length(lt))) AS t(i)
+),
+prof_counts AS (
+  SELECT lang, bg, COUNT(*) AS c FROM bg WHERE doc_id < {profile_docs} GROUP BY lang, bg
+),
+profiles AS (
+  SELECT lang AS profile_lang, bg, rank FROM (
+    SELECT lang, bg, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY c DESC, bg ASC) AS rank
+    FROM prof_counts
+  ) WHERE rank <= {top_ngrams}
+),
+docbg AS (SELECT DISTINCT doc_id, lang, bg FROM bg),
+scored AS (
+  SELECT d.doc_id, d.lang, p.profile_lang, SUM({top_ngrams + 1} - p.rank) AS score
+  FROM docbg d JOIN profiles p USING (bg)
+  GROUP BY d.doc_id, d.lang, p.profile_lang
+)
+SELECT doc_id, lang, lang_pred, correct FROM (
+  SELECT doc_id, lang, profile_lang AS lang_pred, (profile_lang = lang) AS correct,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, profile_lang ASC) AS rn
+  FROM scored
+) WHERE rn = 1
+"""
+
+
+def _winnow_duck_sql(k: int = 8, w: int = 16) -> str:
+    """DuckDB mirror of ops/winnow.py: polynomial rolling hashes of
+    character k-grams (byte arithmetic replicated with HUGEINT modular
+    math — numpy wraps mod 2^64 then masks to 61 bits), rightmost-minimum
+    selection per w-window, consecutive duplicates collapsed (positions
+    are non-decreasing, so DISTINCT is equivalent)."""
+    B, M61, M64 = 1000003, 1 << 61, 1 << 64
+    powers = [pow(B, k - 1 - j, M61) for j in range(k)]
+    hash_terms = " + ".join(
+        f"CAST(ascii(lt[CAST(t + {j} AS INT)]) AS HUGEINT) * {powers[j]}::HUGEINT"
+        for j in range(k)
+    )
+    # hs: 1-based list; hs[i] = hash of gram starting at 0-based pos i-1
+    return f"""
+WITH d AS (SELECT doc_id, text AS lt, length(text) AS n FROM documents WHERE length(text) >= {k}),
+h AS (
+  SELECT doc_id,
+    list_transform(range(1, n - {k} + 2),
+      t -> CAST((({hash_terms}) % {M64}::HUGEINT) % {M61}::HUGEINT AS BIGINT)) AS hs
+  FROM d
+)
+SELECT DISTINCT doc_id,
+  t + {w} - list_position(list_reverse(list_slice(hs, CAST(t + 1 AS INT), CAST(t + {w} AS INT))),
+                          list_min(list_slice(hs, CAST(t + 1 AS INT), CAST(t + {w} AS INT)))) AS pos,
+  list_min(list_slice(hs, CAST(t + 1 AS INT), CAST(t + {w} AS INT))) AS fp
+FROM h, UNNEST(range(0, len(hs) - {w} + 1)) AS u(t)
+WHERE len(hs) > {w}
+UNION ALL
+SELECT doc_id,
+  len(hs) - list_position(list_reverse(hs), list_min(hs)) AS pos,
+  list_min(hs) AS fp
+FROM h WHERE len(hs) <= {w}
+"""
 
 
 def _simhash_duck_sql() -> str:

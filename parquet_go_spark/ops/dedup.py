@@ -16,8 +16,17 @@ __all__ = ["exact_dedup", "minhash_signatures", "lsh_pairs", "ngram_jaccard_pair
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Groups byte-identical texts; keeps the smallest id per group."""
-    return df.groupBy(text_col).agg(
+    """Groups byte-identical texts; keeps the smallest id per group.
+
+    The group key is a 128-bit md5 fingerprint of the text, not the text
+    itself: at corpus scale, grouping on raw text moves every document's
+    full bytes through the shuffle as the key — with the fingerprint the
+    shuffle carries 16 bytes + id per row and map-side partial
+    aggregation collapses local duplicates before the exchange.
+    (Collision probability over 128 bits is negligible below ~2^64
+    documents; a verify pass comparing texts within fingerprint groups
+    can be layered on for forensic settings.)"""
+    return df.groupBy(F.md5(F.col(text_col)).alias("fp")).agg(
         F.min(id_col).alias("keep_id"),
         F.count(F.lit(1)).alias("n_dups"),
     )
@@ -55,10 +64,32 @@ def minhash_signatures(
 
 
 def lsh_pairs(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bands: int = 4, k: int = 3
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bands: int = 4,
+    k: int = 3,
+    max_bucket: int = 4096,
+    two_pass: bool = False,
 ) -> DataFrame:
     """Candidate near-duplicate pairs: docs sharing any band's MinHash.
-    Shuffle key = (band, hash): the classic LSH bucket join."""
+
+    Scale shape: one shuffle on (band, hash) groups each bucket, pairs
+    are expanded inside the group (no self-join, so the signature pass
+    runs once — no cache needed), and a final distinct dedupes pairs
+    that collide in several bands. Buckets larger than ``max_bucket``
+    are dropped before expansion: a hot bucket (boilerplate pages
+    sharing a band hash) would otherwise emit O(bucket²) pairs inside a
+    single key — the classic LSH skew bomb. Dropped buckets are
+    boilerplate by construction; exact dedup already handles identical
+    text.
+
+    ``two_pass=True`` pre-filters oversized buckets with a counted
+    semi-join BEFORE collect_list, so a mega-bucket's id list is never
+    materialized in executor memory — at the cost of computing the
+    signature projection twice. Use it when bucket skew is extreme
+    (boilerplate-heavy web corpora); the single-pass default only
+    briefly materializes each oversized list before dropping it."""
     sig = minhash_signatures(df, text_col, id_col, bands, k)
     stacked = sig.select(
         F.col(id_col),
@@ -66,18 +97,39 @@ def lsh_pairs(
             F.array(*[F.struct(F.lit(b).alias("band"), F.col(f"mh_{b}").alias("h")) for b in range(bands)])
         ).alias("bh"),
     ).select(id_col, "bh.band", "bh.h")
-    # self-join input: cache so the md5 shingle pass runs once, not once
-    # per join side (signatures are ~1% of corpus bytes)
-    stacked = stacked.cache()
-    a = stacked.alias("a")
-    b = stacked.alias("b")
-    pairs = (
-        a.join(b, (F.col(f"a.band") == F.col(f"b.band")) & (F.col("a.h") == F.col("b.h")))
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+    # null signatures (null text) must not form a bucket: groupBy keeps
+    # NULL as a key, which would pair every null-text doc with every
+    # other — join semantics (and the SQL oracle) exclude them
+    stacked = stacked.filter(F.col("h").isNotNull())
+    if two_pass:
+        ok = (
+            stacked.groupBy("band", "h")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter((F.col("__n") >= 2) & (F.col("__n") <= max_bucket))
+            .select("band", "h")
+        )
+        grouped = (
+            stacked.join(ok, ["band", "h"])  # co-partitioned: exchange reuse
+            .groupBy("band", "h")
+            .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("ids"))
+        )
+    else:
+        grouped = (
+            stacked.groupBy("band", "h")
+            .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("ids"))
+            .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
+        )
+    # in-bucket pair expansion: ids sorted, so a < b holds by slicing
+    pair_expr = (
+        "flatten(transform(ids, (a, i) ->"
+        " transform(slice(ids, i + 2, size(ids) - i - 1),"
+        " b -> struct(a AS id_a, b AS id_b))))"
+    )
+    return (
+        grouped.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
-    return pairs
 
 
 def ngram_jaccard_pairs(

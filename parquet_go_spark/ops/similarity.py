@@ -18,7 +18,54 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["cosine_topk", "lsh_bucket_topk", "embedding_near_dups"]
+__all__ = [
+    "cosine_topk",
+    "lsh_bucket_topk",
+    "embedding_near_dups",
+    "hyperplanes",
+    "signature_sql",
+]
+
+
+def hyperplanes(dim: int, n_planes: int = 8, seed: int = 7) -> np.ndarray:
+    """Deterministic random hyperplanes, rounded to 6 decimals so the
+    exact same plane constants can be embedded as literals in any SQL
+    engine (the DuckDB oracle mirrors the Spark plan bit-for-bit)."""
+    rng = np.random.default_rng(seed)
+    return np.round(rng.standard_normal((dim, n_planes)), 6)
+
+
+def signature_sql(planes: np.ndarray, vec_expr: str, dot_fn: str | None = None) -> str:
+    """SQL expression for the hyperplane bucket signature of ``vec_expr``
+    (an array<double>). ``dot_fn=None`` emits Spark's
+    zip_with/aggregate fold; ``dot_fn="list_dot_product"`` emits the
+    DuckDB equivalent."""
+    terms = []
+    for p in range(planes.shape[1]):
+        lits = ", ".join(repr(float(x)) for x in planes[:, p])
+        if dot_fn:
+            dot = f"{dot_fn}({vec_expr}, [{lits}])"
+        else:
+            dot = (
+                f"aggregate(zip_with({vec_expr}, array({lits}),"
+                f" (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+            )
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+def _sig_frame(df: DataFrame, planes: np.ndarray, id_col: str, vec_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("vid"),
+        F.expr(f"transform({vec_col}, x -> cast(x AS double))").alias("e"),
+    ).select(
+        "vid",
+        "e",
+        F.expr(signature_sql(planes, "e")).cast("long").alias("s"),
+        F.expr("sqrt(aggregate(zip_with(e, e, (x, y) -> x * y), 0D, (acc, x) -> acc + x))").alias(
+            "nrm"
+        ),
+    )
 
 
 def embedding_near_dups(
@@ -26,26 +73,42 @@ def embedding_near_dups(
     threshold: float = 0.35,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    mode: str = "lsh",
+    n_planes: int = 8,
+    seed: int = 7,
 ) -> DataFrame:
-    """Exact embedding-cosine near-duplicate pairs (id_a < id_b,
-    cosine >= threshold), entirely JVM-side: zip_with/aggregate dot
-    products inside whole-stage codegen, norms precomputed once.
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >=
+    threshold), entirely JVM-side: zip_with/aggregate dot products inside
+    whole-stage codegen, norms precomputed once.
 
-    This is the exact verifier; at corpus scale candidate generation goes
-    through the random-hyperplane buckets of ``lsh_bucket_topk`` so only
-    same-bucket pairs reach this scorer."""
-    v = df.select(
-        F.col(id_col).alias("vid"),
-        F.expr(f"transform({vec_col}, x -> cast(x AS double))").alias("e"),
-    ).withColumn(
-        "nrm",
-        F.expr("sqrt(aggregate(zip_with(e, e, (x, y) -> x * y), 0D, (acc, x) -> acc + x))"),
-    )
+    ``mode="lsh"`` (default, the scale path): candidates come from
+    random-hyperplane buckets — the self-join keys on the 2^n_planes
+    signature, so each row meets only its bucket (~n²/2^n_planes pairs,
+    a SortMergeJoin on the bucket key, never a cartesian). Recall is the
+    standard SimHash bound (near-identical vectors collide with high
+    probability); the deterministic planes make the result exactly
+    reproducible in any engine (see ``signature_sql``).
+
+    ``mode="exact"`` is the all-pairs verifier — O(n²), only for small n
+    or as the final scorer over externally generated candidates."""
+    if mode == "lsh":
+        dim = len(df.select(vec_col).first()[0])
+        v = _sig_frame(df, hyperplanes(dim, n_planes, seed), id_col, vec_col)
+        join_cond = (F.col("a.s") == F.col("b.s")) & (F.col("a.vid") < F.col("b.vid"))
+    else:
+        v = df.select(
+            F.col(id_col).alias("vid"),
+            F.expr(f"transform({vec_col}, x -> cast(x AS double))").alias("e"),
+        ).withColumn(
+            "nrm",
+            F.expr("sqrt(aggregate(zip_with(e, e, (x, y) -> x * y), 0D, (acc, x) -> acc + x))"),
+        )
+        join_cond = F.col("a.vid") < F.col("b.vid")
     a, b = v.alias("a"), v.alias("b")
     dot = "aggregate(zip_with(a.e, b.e, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
     sim = F.expr(dot) / (F.col("a.nrm") * F.col("b.nrm"))
     return (
-        a.join(b, F.col("a.vid") < F.col("b.vid"))
+        a.join(b, join_cond)
         .select(
             F.col("a.vid").alias("id_a"),
             F.col("b.vid").alias("id_b"),
@@ -123,45 +186,37 @@ def lsh_bucket_topk(
     seed: int = 7,
 ) -> DataFrame:
     """Approximate cosine top-k: random-hyperplane LSH buckets, then the
-    exact scorer over same-bucket candidates only. At 10^12 rows the
-    bucket key becomes the shuffle/partition key and each query touches
-    ~1/2^n_planes of the data."""
-    qids, qv = _collect_queries(queries, id_col, vec_col)
-    dim = qv.shape[1]
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((dim, n_planes))
-    qsig = (qv @ planes > 0) @ (1 << np.arange(n_planes))
-    sig_of_q = dict(zip(qids.tolist(), qsig.tolist()))
-    qn = qv / np.maximum(np.linalg.norm(qv, axis=1, keepdims=True), 1e-30)
+    exact scorer over same-bucket candidates only — entirely JVM-side.
 
-    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for b in batches:
-            if len(b) == 0:
-                continue
-            nids = b[id_col].to_numpy(dtype=np.int64)
-            m = np.array(list(b[vec_col]), dtype=np.float64)
-            sig = (m @ planes > 0) @ (1 << np.arange(n_planes))
-            mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
-            frames = []
-            for j, q in enumerate(qids):
-                mask = sig == sig_of_q[int(q)]
-                if not mask.any():
-                    continue
-                sims = mn[mask] @ qn[j]
-                sub_n = nids[mask]
-                kk = min(k + 1, len(sub_n))
-                idx = np.argpartition(-sims, kk - 1)[:kk]
-                frames.append(
-                    pd.DataFrame({"q_id": np.full(kk, q, np.int64), "n_id": sub_n[idx], "sim": sims[idx]})
-                )
-            if frames:
-                yield pd.concat(frames, ignore_index=True)
-
-    cand = df.mapInPandas(score, schema="q_id long, n_id long, sim double")
+    The query side (tiny) is broadcast and joined on the bucket
+    signature, so the corpus is never shuffled: each row is scored only
+    against queries sharing its bucket (~|Q|/2^n_planes per row), and
+    only the surviving candidates (≪ n) reach the per-query top-k
+    window. Deterministic plane literals (``hyperplanes``) make the
+    whole computation reproducible in any SQL engine; sims are rounded
+    to 6 decimals before ranking so cross-engine summation-order noise
+    cannot reorder ties."""
+    dim = len(queries.select(vec_col).first()[0])
+    planes = hyperplanes(dim, n_planes, seed)
+    v = _sig_frame(df, planes, id_col, vec_col)
+    q = _sig_frame(queries, planes, id_col, vec_col).select(
+        F.col("vid").alias("q_id"),
+        F.col("e").alias("qe"),
+        F.col("s").alias("qs"),
+        F.col("nrm").alias("qnrm"),
+    )
+    dot = "aggregate(zip_with(e, qe, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+    cand = (
+        v.join(F.broadcast(q), (F.col("s") == F.col("qs")) & (F.col("vid") != F.col("q_id")))
+        .select(
+            "q_id",
+            F.col("vid").alias("n_id"),
+            F.round(F.expr(dot) / (F.col("nrm") * F.col("qnrm")), 6).alias("sim"),
+        )
+    )
     w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("n_id"))
     return (
-        cand.filter(F.col("q_id") != F.col("n_id"))
-        .withColumn("rank", F.row_number().over(w))
+        cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("q_id", "n_id", "rank")
     )

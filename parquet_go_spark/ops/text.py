@@ -85,9 +85,12 @@ def langid_ngram(
             "__bg"
         ),
     )
-    # profile pass runs on a bounded sample — at 10^12 docs the profiles
+    # profile pass runs on a bounded, DETERMINISTIC sample (id < N —
+    # limit() is partition-order-dependent); at 10^12 docs the profiles
     # converge long before the corpus is exhausted
-    exploded = base.limit(profile_docs).select(F.col(lang_col), F.explode("__bg").alias("bg"))
+    exploded = base.filter(F.col(id_col) < profile_docs).select(
+        F.col(lang_col), F.explode("__bg").alias("bg")
+    )
     counts = exploded.groupBy(lang_col, "bg").count()
     from pyspark.sql.window import Window
 
