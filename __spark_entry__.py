@@ -154,6 +154,32 @@ def _rt_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rt_decimals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECIMAL columns on the FLBA chunk path (reference
+    type_bytearray.go:328-333): narrow (w=5), mid (w=8), and wide (w=13)
+    carriers with nulls, built from exact integers so the decimal values
+    are engine-independent, round-tripped, then cast to strings for a
+    canonical cross-engine representation."""
+    li = _load(spark, sf_dir, "lineitem")
+    df = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_orderkey").cast("decimal(12,2)").alias("d1"),
+        F.when(F.col("l_linenumber") % 3 != 0, (-F.col("l_partkey")).cast("decimal(18,3)")).alias(
+            "d2"
+        ),
+        (F.col("l_suppkey").cast("decimal(30,10)") * F.lit(1000000)).alias("d3"),
+    )
+    rt = roundtrip_df(df)
+    return rt.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("d1").cast("string").alias("d1"),
+        F.col("d2").cast("string").alias("d2"),
+        F.col("d3").cast("string").alias("d3"),
+    )
+
+
 def _q_dict_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
     st = table_column_stats(_load(spark, sf_dir, "documents"))
     return st.select(
@@ -187,6 +213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_nulls": _rt_nulls,
         "roundtrip_multipage_lineitem": _rt("lineitem", max_page=4096),
         "roundtrip_nested": _rt_nested,
+        "roundtrip_decimals": _rt_decimals,
         "enc_plain_lineitem": _rt("lineitem", encoding="plain"),
         "enc_dict_documents": _rt("documents", encoding="rle_dict"),
         "enc_delta_bp_events": _rt("events", cols=["event_id", "ts", "user_id"], encoding="delta_bp"),
@@ -365,6 +392,14 @@ WHERE round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) >= 0.35
             " CASE WHEN doc_id % 3 <> 0 THEN n_chars * 2 END AS ll_01,"
             " CASE WHEN doc_id % 3 <> 0 AND doc_id % 4 <> 0 THEN n_chars + 1 END AS ll_10"
             " FROM documents"
+        ),
+        "roundtrip_decimals": (
+            "SELECT l_orderkey, l_linenumber,"
+            " CAST(CAST(l_orderkey AS DECIMAL(12,2)) AS VARCHAR) AS d1,"
+            " CASE WHEN l_linenumber % 3 <> 0"
+            "  THEN CAST(CAST(-l_partkey AS DECIMAL(18,3)) AS VARCHAR) END AS d2,"
+            " CAST(CAST(l_suppkey AS DECIMAL(30,10)) * 1000000 AS VARCHAR) AS d3"
+            " FROM lineitem"
         ),
         "enc_plain_lineitem": _ident_sql("lineitem"),
         "enc_dict_documents": _ident_sql("documents"),

@@ -40,7 +40,7 @@ MAX_DECODE_ROWS = 1 << 28
 DICT_MAX = 32767  # math.MaxInt16, type_dict.go:101 / chunk_writer.go:188,200
 DEFAULT_PAGE = 1 << 20  # data_store.go:149-154
 
-PTYPES = {"bool": 0, "int32": 1, "int64": 2, "float": 3, "double": 4, "bytes": 5}
+PTYPES = {"bool": 0, "int32": 1, "int64": 2, "float": 3, "double": 4, "bytes": 5, "flba": 6}
 PTYPES_R = {v: k for k, v in PTYPES.items()}
 
 ENCODINGS = {
@@ -179,12 +179,33 @@ def column_minmax(col: ColumnData) -> tuple[object, object]:
     """Typed chunk min/max (reference O13, ``stats.go:9-225``): exact,
     vectorized. Bytes: big-endian first-8-byte keys narrow the candidates,
     ties resolved exactly by progressive 8-byte key comparison (no
-    candidate cap — shared-prefix columns like urls stay correct)."""
+    candidate cap — shared-prefix columns like urls stay correct).
+    FLBA decimals compare as signed integers (widths <= 8 vectorized;
+    wider report no stats rather than wrong ones)."""
     if col.num_values == 0:
         return None, None
     if col.ptype == "bool":
         v = col.values
         return bool(v.min()), bool(v.max())
+    if col.ptype == "flba":
+        w = col.type_length
+        if w > 8:
+            return None, None
+        vals = col.data.reshape(col.num_values, w).astype(np.int64)
+        pw = np.array([1 << (8 * (w - 1 - i)) for i in range(w)], dtype=np.int64)
+        with np.errstate(over="ignore"):
+            u = vals @ pw
+        if w < 8:
+            wrap = np.int64(1) << np.int64(8 * w - 1)
+            u = np.where(u >= wrap, u - (np.int64(1) << np.int64(8 * w)), u)
+        # w == 8: the int64 matmul already wrapped into two's complement
+        lo, hi = int(u.min()), int(u.max())
+        if col.logical.startswith("decimal128("):
+            import decimal as _dec
+
+            _p, s = (int(x) for x in col.logical[len("decimal128(") : -1].split(","))
+            return _dec.Decimal(lo).scaleb(-s), _dec.Decimal(hi).scaleb(-s)
+        return lo, hi
     if col.ptype != "bytes":
         v = col.values
         return v.min().item(), v.max().item()
@@ -205,6 +226,19 @@ def column_minmax(col: ColumnData) -> tuple[object, object]:
 def _factorize(col: ColumnData) -> tuple[np.ndarray, ColumnData | np.ndarray, int]:
     """First-occurrence factorization (reference dict order,
     chunk_writer.go:191-209). Returns (codes_int32, uniques, n_distinct)."""
+    if col.ptype == "flba":
+        w = col.type_length
+        arr = pa.Array.from_buffers(
+            pa.binary(w), col.num_values, [None, pa.py_buffer(np.ascontiguousarray(col.data))]
+        )
+        d = arr.dictionary_encode()
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int32)
+        uq = d.dictionary
+        udata = np.frombuffer(uq.buffers()[1], np.uint8, len(uq) * w)
+        uniques = ColumnData(
+            "flba", np.ones(len(uq), bool), data=np.asarray(udata), type_length=w
+        )
+        return codes, uniques, len(uq)
     if col.ptype == "bytes":
         offsets = np.concatenate([[0], np.cumsum(col.lengths)]).astype(np.int64)
         arr = pa.LargeBinaryArray.from_buffers(
@@ -234,6 +268,8 @@ def _factorize(col: ColumnData) -> tuple[np.ndarray, ColumnData | np.ndarray, in
 def _encode_dict_values(uniques, ptype: str) -> bytes:
     if ptype == "bytes":
         return plain.encode_byte_array(uniques.lengths, uniques.data)
+    if ptype == "flba":
+        return plain.encode_fixed_byte_array(uniques.data)
     return plain.encode_fixed(uniques, _FIXED_KIND[ptype])
 
 
@@ -248,6 +284,8 @@ def _page_boundaries(col: ColumnData, max_page: int) -> list[tuple[int, int]]:
     if col.ptype == "bytes":
         per_value = np.zeros(n, dtype=np.int64)
         per_value[col.validity] = col.lengths + 4
+    elif col.ptype == "flba":
+        per_value = np.where(col.validity, col.type_length, 0).astype(np.int64)
     else:
         itemsize = {"bool": 1, "int32": 4, "int64": 8, "float": 4, "double": 8}[col.ptype]
         per_value = np.where(col.validity, itemsize, 0).astype(np.int64)
@@ -298,6 +336,21 @@ def _chunk_fsst_table(col: ColumnData):
 def _encode_values(enc: str, col: ColumnData, vlo: int, vhi: int, dlo: int, dhi: int, codes, dict_size: int, index_mode: str, fsst_table=None) -> bytes:
     if enc == "rle_dict":
         return dictenc.encode_indices(codes[vlo:vhi].astype(np.uint64), dict_size, mode=index_mode)
+    if col.ptype == "flba":
+        w = col.type_length
+        data = col.data[dlo:dhi]
+        if enc == "plain":
+            return plain.encode_fixed_byte_array(data)
+        if enc == "bss":
+            # byte-stream-split generalizes to any fixed width: transpose
+            # the (n, w) byte matrix so same-significance bytes stream
+            # together (compresses like the float case)
+            k = (dhi - dlo) // w if w else 0
+            return np.ascontiguousarray(data.reshape(k, w).T).tobytes()
+        if enc == "delta_bytes":
+            k = (dhi - dlo) // w if w else 0
+            return bytearrays.encode_delta(np.full(k, w, np.int64), data)
+        raise ValueError(f"bad flba encoding {enc}")
     if col.ptype == "bytes":
         lens = col.lengths[vlo:vhi]
         data = col.data[dlo:dhi]
@@ -324,7 +377,7 @@ def _encode_values(enc: str, col: ColumnData, vlo: int, vhi: int, dlo: int, dhi:
     raise ValueError(f"bad encoding {enc} for {col.ptype}")
 
 
-def _decode_values(enc: str, ptype: str, payload: bytes, pos: int, nvals: int, dict_vals):
+def _decode_values(enc: str, ptype: str, payload: bytes, pos: int, nvals: int, dict_vals, type_length: int = 0):
     """-> (values_repr, pos). values_repr: ndarray or (lengths, data)."""
     if enc == "rle_dict":
         bw = payload[pos]
@@ -337,7 +390,26 @@ def _decode_values(enc: str, ptype: str, payload: bytes, pos: int, nvals: int, d
             starts = np.concatenate([[0], np.cumsum(u_lens)[:-1]]) if len(u_lens) else u_lens
             lens = u_lens[idx]
             return (lens, gather_segments(u_data, starts[idx], lens)), len(payload)
+        if ptype == "flba":
+            w = type_length
+            ds = len(dict_vals) // w if w else 0
+            if len(idx) == 0:
+                return np.empty(0, np.uint8), len(payload)
+            return dict_vals.reshape(ds, w)[idx].reshape(-1), len(payload)
         return dict_vals[idx], len(payload)
+    if ptype == "flba":
+        w = type_length
+        if enc == "plain":
+            _lens, data, pos = plain.decode_fixed_byte_array(payload, nvals, w, pos)
+            return np.asarray(data), pos
+        if enc == "bss":
+            total = nvals * w
+            data = np.frombuffer(payload, np.uint8, total, pos)
+            return np.ascontiguousarray(data.reshape(w, nvals).T).reshape(-1), pos + total
+        if enc == "delta_bytes":
+            _lens, data, pos = bytearrays.decode_delta(payload, pos)
+            return np.asarray(data), pos
+        raise ValueError(f"bad flba encoding {enc}")
     if ptype == "bytes":
         if enc == "plain":
             lens, data, pos = plain.decode_byte_array(payload, nvals, pos)
@@ -462,6 +534,8 @@ def encode_chunk(
     out += bytes([VERSION, PTYPES[col.ptype], ENCODINGS[enc], COMPRESSIONS[compression], flags])
     out += uvarint(col.num_rows)
     out += uvarint(col.num_rows - col.num_values)
+    if col.ptype == "flba":
+        out += uvarint(col.type_length)
     if enc == "rle_dict":
         dict_payload = (
             _encode_dict_values(uniques, col.ptype) if uniques is not None and dict_size else b""
@@ -483,6 +557,8 @@ def encode_chunk(
         vend = vstart + nvals
         if col.ptype == "bytes":
             dlo, dhi = int(vcum[vstart]), int(vcum[vend])
+        elif col.ptype == "flba":
+            dlo, dhi = vstart * col.type_length, vend * col.type_length
         else:
             dlo = dhi = 0
         lvl = levels.encode_def_levels(validity, mode=level_mode)
@@ -545,6 +621,11 @@ def decode_chunk(blob, logical: str = ""):
     # absolute allocation budget, not blob-relative
     if num_rows > MAX_DECODE_ROWS or null_count > num_rows:
         raise ValueError(f"implausible chunk header: rows={num_rows} nulls={null_count}")
+    type_length = 0
+    if ptype == "flba":
+        type_length, pos = read_uvarint(mv, pos)
+        if type_length == 0 or type_length > 1 << 16:
+            raise ValueError(f"implausible flba type_length {type_length}")
     dict_vals = None
     if flags & 1:
         dict_size, pos = read_uvarint(mv, pos)
@@ -557,6 +638,9 @@ def decode_chunk(blob, logical: str = ""):
         if ptype == "bytes":
             u_lens, u_data, _ = plain.decode_byte_array(dict_payload, dict_size)
             dict_vals = (u_lens, u_data)
+        elif ptype == "flba":
+            _ul, dict_vals, _ = plain.decode_fixed_byte_array(dict_payload, dict_size, type_length)
+            dict_vals = np.asarray(dict_vals)
         else:
             dict_vals, _ = plain.decode_fixed(dict_payload, dict_size, _FIXED_KIND[ptype])
     num_pages, pos = read_uvarint(mv, pos)
@@ -578,7 +662,7 @@ def decode_chunk(blob, logical: str = ""):
         validity, ppos = levels.decode_def_levels(payload, rows, 0)
         validity_parts.append(validity)
         nvals = rows - nulls
-        repr_, _ = _decode_values(enc, ptype, payload, ppos, nvals, dict_vals)
+        repr_, _ = _decode_values(enc, ptype, payload, ppos, nvals, dict_vals, type_length)
         if ptype == "bytes":
             len_parts.append(repr_[0])
             data_parts.append(repr_[1])
@@ -589,6 +673,11 @@ def decode_chunk(blob, logical: str = ""):
         lengths = np.concatenate(len_parts) if len_parts else np.empty(0, np.int64)
         data = np.concatenate(data_parts) if data_parts else np.empty(0, np.uint8)
         return ColumnData(ptype, validity, lengths=lengths.astype(np.int64), data=data, logical=logical or "binary")
+    if ptype == "flba":
+        data = np.concatenate(value_parts) if value_parts else np.empty(0, np.uint8)
+        return ColumnData(
+            ptype, validity, data=data, type_length=type_length, logical=logical or f"fixed_size_binary[{type_length}]"
+        )
     dt = {"bool": np.bool_, "int32": np.int32, "int64": np.int64, "float": np.float32, "double": np.float64}[ptype]
     values = (
         np.concatenate([v.astype(dt, copy=False).view(dt) if v.dtype != dt else v for v in value_parts])

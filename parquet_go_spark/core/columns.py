@@ -44,7 +44,18 @@ def gather_segments(src: np.ndarray, starts: np.ndarray, lengths: np.ndarray) ->
     return src[idx]
 
 # physical types (SURVEY.md §1.2); int96 kept only as a decode-compat shim
-PHYSICAL = ("bool", "int32", "int64", "float", "double", "bytes")
+PHYSICAL = ("bool", "int32", "int64", "float", "double", "bytes", "flba")
+
+
+def decimal_width(precision: int) -> int:
+    """Minimal FLBA byte width holding ±(10^precision - 1) in two's
+    complement — the reference's DECIMAL carrier sizing
+    (``type_bytearray.go:328-333``, parquet-format DECIMAL spec)."""
+    w = 1
+    limit = 10**precision - 1
+    while (1 << (8 * w - 1)) <= limit:
+        w += 1
+    return w
 
 _ARROW_TO_PHYS = {
     pa.bool_(): "bool",
@@ -78,8 +89,9 @@ class ColumnData:
     validity: np.ndarray  # bool[n_rows]; True = non-null
     values: np.ndarray | None = None  # fixed kinds: non-null values
     lengths: np.ndarray | None = None  # bytes kind: per-value byte lengths
-    data: np.ndarray | None = None  # bytes kind: concatenated bytes
+    data: np.ndarray | None = None  # bytes/flba kind: concatenated bytes
     logical: str = ""  # original Arrow type string (for reassembly)
+    type_length: int = 0  # flba kind: fixed byte width per value
 
     @property
     def num_rows(self) -> int:
@@ -94,6 +106,8 @@ class ColumnData:
         """Uncompressed payload size (the GB measured by the bench)."""
         if self.ptype == "bytes":
             return int(self.lengths.sum()) + len(self.validity) // 8
+        if self.ptype == "flba":
+            return self.num_values * self.type_length + len(self.validity) // 8
         return self.num_values * np.dtype(_NUMPY_OF[self.ptype]).itemsize
 
 
@@ -179,8 +193,8 @@ def _phys_of(t: pa.DataType) -> str:
         return _ARROW_TO_PHYS[t]
     if pa.types.is_timestamp(t):
         return "int64"
-    if pa.types.is_decimal(t):
-        return "bytes"
+    if pa.types.is_decimal(t) or pa.types.is_fixed_size_binary(t):
+        return "flba"
     if pa.types.is_dictionary(t):
         return _phys_of(t.value_type)
     raise TypeError(f"unsupported arrow type {t}")
@@ -233,6 +247,21 @@ def from_arrow(arr: pa.Array | pa.ChunkedArray) -> "ColumnData | ListData | Stru
     n = len(arr)
     validity = np.ones(n, dtype=bool) if arr.null_count == 0 else arr.is_valid().to_numpy(zero_copy_only=False)
     logical = str(arr.type)
+    if ptype == "flba":
+        if pa.types.is_decimal(arr.type):
+            # decimal128 -> minimal-width big-endian two's complement, the
+            # reference's FLBA DECIMAL carrier (type_bytearray.go:328-333)
+            w = decimal_width(arr.type.precision)
+            buf = arr.buffers()[1]
+            raw = np.frombuffer(buf, np.uint8, 16 * (n + arr.offset))[16 * arr.offset :]
+            be = raw.reshape(n, 16)[:, ::-1]  # LE int128 -> BE bytes
+            data = np.ascontiguousarray(be[validity][:, 16 - w :]).reshape(-1)
+        else:  # fixed_size_binary
+            w = arr.type.byte_width
+            buf = arr.buffers()[1]
+            raw = np.frombuffer(buf, np.uint8, w * (n + arr.offset))[w * arr.offset :]
+            data = np.ascontiguousarray(raw.reshape(n, w)[validity]).reshape(-1)
+        return ColumnData("flba", validity, data=data, type_length=w, logical=logical)
     if ptype == "bytes":
         # normalize to large_binary for 64-bit offsets, then strip nulls
         target = pa.large_binary()
@@ -298,6 +327,27 @@ def to_arrow(col: "ColumnData | ListData | StructData") -> pa.Array:
         return out
     n = col.num_rows
     mask = ~col.validity  # pyarrow mask: True = null
+    if col.ptype == "flba":
+        w = col.type_length
+        nv = col.num_values
+        vals = col.data.reshape(nv, w)
+        vbuf = pa.py_buffer(np.packbits(col.validity, bitorder="little"))
+        if col.logical.startswith("decimal128("):
+            p, s = (int(x) for x in col.logical[len("decimal128(") : -1].split(","))
+            be16 = np.zeros((nv, 16), np.uint8)
+            be16[:, 16 - w :] = vals
+            neg = (vals[:, 0] & 0x80) != 0
+            be16[neg, : 16 - w] = 0xFF  # sign-extend
+            full = np.zeros((n, 16), np.uint8)
+            full[col.validity] = be16[:, ::-1]  # BE -> LE int128
+            return pa.Array.from_buffers(
+                pa.decimal128(p, s), n, [vbuf, pa.py_buffer(full)], null_count=int(mask.sum())
+            )
+        full = np.zeros((n, w), np.uint8)
+        full[col.validity] = vals
+        return pa.Array.from_buffers(
+            pa.binary(w), n, [vbuf, pa.py_buffer(full)], null_count=int(mask.sum())
+        )
     if col.ptype == "bytes":
         lens_all = np.zeros(n, dtype=np.int64)
         lens_all[col.validity] = col.lengths

@@ -142,6 +142,7 @@ def decode_list_chunk(blob, logical: str = "") -> ListData:
             lengths=elem.lengths,
             data=elem.data,
             logical=elem.logical,
+            type_length=elem.type_length,
         )
     # nested list/struct elems carry their own (identical) validity stream
     return ListData(row_validity, lens, elem, logical=logical or "list")

@@ -45,6 +45,12 @@ def _sample_distinct_ratio(col: ColumnData, k: int = 4096) -> float:
     if n == 0:
         return 0.0
     k = min(k, n)
+    if col.ptype == "flba":
+        w = col.type_length
+        vals = col.data[: k * w].reshape(k, w).astype(np.uint64)
+        pw = np.array([1 << (8 * (i % 8)) for i in range(w)], dtype=np.uint64)
+        h = (vals * pw[None, :]).sum(axis=1, dtype=np.uint64)
+        return len(np.unique(h)) / k
     if col.ptype == "bytes":
         # hash length + first 8 + last 8 bytes as a cheap distinct proxy;
         # a weak proxy (length+first byte) collides on long near-unique
@@ -162,6 +168,10 @@ def choose_encoding(col: ColumnData, compression: str = "none"):
                     fsst_table = _fsst.train(lens_a, data_a, sample_bytes=train_bytes)
                     s_enc = _fsst.encode_column(lens_b, data_b, fsst_table)
                     est["fsst"] = len(s_enc) / b_total * total
+    elif col.ptype == "flba":
+        est["plain"] = n * col.type_length
+        if compression != "none":
+            est["bss"] = n * col.type_length * 0.999  # wins only via compression
     else:
         itemsize = 4 if col.ptype in ("int32", "float") else 8
         est["plain"] = n * itemsize
@@ -177,7 +187,7 @@ def choose_encoding(col: ColumnData, compression: str = "none"):
         from .chunk import _encode_values
 
         ranked = sorted(est, key=est.get)[:3]
-        if col.ptype in ("float", "double", "int32", "int64") and "bss" not in ranked and "bss" in est:
+        if "bss" not in ranked and "bss" in est:
             ranked.append("bss")
         for e in ranked:
             try:
@@ -188,6 +198,10 @@ def choose_encoding(col: ColumnData, compression: str = "none"):
                     dhi = int(col.lengths[:k].sum())
                     enc_s = _encode_values(e, col, 0, k, 0, dhi, codes, dict_size, "auto")
                     raw_s = dhi + 4 * k
+                elif col.ptype == "flba":
+                    dhi = k * col.type_length
+                    enc_s = _encode_values(e, col, 0, k, 0, dhi, codes, dict_size, "auto")
+                    raw_s = dhi
                 else:
                     enc_s = _encode_values(e, col, 0, k, 0, 0, codes, dict_size, "auto")
                     raw_s = k * (4 if col.ptype in ("int32", "float") else 8)

@@ -64,6 +64,8 @@ def decode_table(
             return ddl  # only the map< prefix matters; entries self-describe
         if ddl.startswith("struct<"):
             return "struct"  # PGSS container stores field names + logicals
+        if ddl.startswith("decimal(") and ddl.endswith(")"):
+            return "decimal128(" + ddl[len("decimal(") :]
         return _DDL_LOGICAL.get(ddl, "binary")
     import glob as _glob
 
