@@ -36,6 +36,7 @@ from parquet_go_spark.ops.similarity import (
     lsh_bucket_topk,
     signature_sql,
 )
+from parquet_go_spark.ops.multimodal import image_features
 from parquet_go_spark.ops.stats import table_column_stats, table_numeric_minmax
 from parquet_go_spark.ops.text import fingerprint, langid_ngram, text_quality, token_stats
 from parquet_go_spark.ops.winnow import winnowing_fingerprints
@@ -180,6 +181,55 @@ def _rt_decimals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_multimodal_image_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing under the oracle gate: documents become a
+    deterministic media table (text bytes as the image payload, metadata
+    derived from doc_id), the image featurizer (mapInPandas over Arrow
+    batches; deterministic codec stub tiles payload bytes to the declared
+    shape) emits a 48-float histogram feature, exploded to scalars. The
+    DuckDB oracle reproduces the tiling + per-channel 16-bin histogram
+    exactly, float32 rounding included."""
+    d = _load(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "UTF-8").alias("content"),
+        F.struct(
+            (F.lit(32) + F.col("doc_id") % 64).cast("int").alias("width"),
+            (F.lit(24) + F.col("doc_id") % 48).cast("int").alias("height"),
+            F.lit(3).alias("channels"),
+            F.lit(0).alias("sample_rate"),
+            F.lit(0).alias("duration_ms"),
+            F.lit("fake").alias("codec"),
+        ).alias("meta"),
+    )
+    feats = image_features(media)
+    return feats.select(
+        "media_id", F.posexplode("feature").alias("pos", "val")
+    ).withColumn("val", F.col("val").cast("double"))
+
+
+_MULTIMODAL_DUCK = """
+WITH d AS (
+  SELECT doc_id AS media_id, text,
+         (32 + doc_id % 64) AS w, (24 + doc_id % 48) AS h
+  FROM documents WHERE length(text) > 0
+),
+tiled AS (
+  SELECT media_id, CAST(j % 3 AS BIGINT) AS ch,
+         ascii(text[CAST(j % length(text) AS INT) + 1]) // 16 AS bin
+  FROM d, UNNEST(range(w * h * 3)) AS t(j)
+),
+cnt AS (SELECT media_id, ch, bin, COUNT(*) AS c FROM tiled GROUP BY 1, 2, 3),
+tot AS (SELECT media_id, w * h * 3 AS n FROM d),
+dense AS (SELECT t.media_id, t.n, u.p AS pos FROM tot t, UNNEST(range(48)) AS u(p))
+SELECT dense.media_id, CAST(pos AS INT) AS pos,
+  CAST(CAST(CAST(COALESCE(c.c, 0) AS DOUBLE) / dense.n AS REAL) AS DOUBLE) AS val
+FROM dense
+LEFT JOIN cnt c ON c.media_id = dense.media_id AND c.ch = pos // 16 AND c.bin = pos % 16
+"""
+
+
 def _q_dict_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
     st = table_column_stats(_load(spark, sf_dir, "documents"))
     return st.select(
@@ -220,6 +270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "enc_delta_length_documents": _rt("documents", cols=["text", "lang", "source"], encoding="delta_length"),
         "enc_delta_bytes_documents": _rt("documents", cols=["text", "lang", "source"], encoding="delta_bytes"),
         "enc_fsst_documents": _rt("documents", cols=["text", "lang", "source"], encoding="fsst"),
+        "enc_zdict_documents": _rt("documents", cols=["text", "lang", "source"], encoding="zdict"),
         "enc_bss_lineitem": _rt(
             "lineitem", cols=["l_quantity", "l_extendedprice", "l_discount", "l_tax"], encoding="bss"
         ),
@@ -256,6 +307,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": lambda spark, sf_dir: winnowing_fingerprints(
             _load(spark, sf_dir, "documents")
         ),
+        # multimodal
+        "multimodal_image_hist": _q_multimodal_image_hist,
         # similarity search
         "embedding_cosine_topk": _q_cosine_topk,
         "embedding_lsh_topk": _q_lsh_topk,
@@ -407,6 +460,7 @@ WHERE round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) >= 0.35
         "enc_delta_length_documents": _ident_sql("documents", ["text", "lang", "source"]),
         "enc_delta_bytes_documents": _ident_sql("documents", ["text", "lang", "source"]),
         "enc_fsst_documents": _ident_sql("documents", ["text", "lang", "source"]),
+        "enc_zdict_documents": _ident_sql("documents", ["text", "lang", "source"]),
         "enc_bss_lineitem": _ident_sql(
             "lineitem", ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
         ),
@@ -451,6 +505,7 @@ WHERE round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) >= 0.35
         "minhash_signatures": mh_sql,
         "lsh_dup_pairs": lsh_cte,
         "ngram_jaccard_pairs": jacc_sql,
+        "multimodal_image_hist": _MULTIMODAL_DUCK,
         "embedding_cosine_topk": topk_sql,
         "embedding_lsh_topk": lsh_topk_sql,
         "embedding_near_dups": near_dups_sql,

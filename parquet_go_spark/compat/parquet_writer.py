@@ -6,17 +6,23 @@ parquet-mr; here: write with these kernels, read with pyarrow/DuckDB).
 V1 data pages, flat optional columns, reference-default layout:
 dictionary unless distinct > 32767 (``chunk_writer.go:174-227``), else
 the column's fallback encoding; def levels as length-prefixed RLE/BP
-hybrid; SNAPPY/ZSTD/GZIP/UNCOMPRESSED codecs; 1 MiB page cuts.
+hybrid; SNAPPY/ZSTD/GZIP/UNCOMPRESSED codecs; 1 MiB page cuts; multiple
+row groups (``WithMaxRowGroupSize``, ``file_writer.go:114-118``); and
+per-chunk column statistics (min_value/max_value/null_count/
+distinct_count) in ColumnMetaData, matching the reference's stats
+emission (``chunk_writer.go:283-314``, ``stats.go:9-225``) so downstream
+engines can prune on our files.
 """
 
 from __future__ import annotations
 
+import struct
 import zlib
 
 import numpy as np
 import pyarrow as pa
 
-from ..core.chunk import DICT_MAX, _encode_dict_values, _factorize, _page_boundaries
+from ..core.chunk import DICT_MAX, _encode_dict_values, _factorize, _page_boundaries, column_minmax
 from ..core.columns import ColumnData, from_arrow
 from ..kernels import bytearrays, deltabp, dictenc, levels, plain
 from .thrift_writer import write_struct
@@ -81,144 +87,201 @@ def _choose(col: ColumnData, encoding: str | None):
     return E_RLE_DICT if distinct <= DICT_MAX else E_PLAIN
 
 
+def _stats_bytes(v, ptype: str) -> bytes:
+    """Parquet plain-encoded single value for the Statistics struct."""
+    if ptype == "bool":
+        return b"\x01" if v else b"\x00"
+    if ptype == "int32":
+        return struct.pack("<i", int(v))
+    if ptype == "int64":
+        return struct.pack("<q", int(v))
+    if ptype == "float":
+        return struct.pack("<f", float(v))
+    if ptype == "double":
+        return struct.pack("<d", float(v))
+    return bytes(v)  # byte arrays: raw bytes
+
+
+def _statistics_struct(col: ColumnData, distinct: int):
+    """thrift Statistics (parquet.thrift): 3=null_count, 4=distinct_count,
+    5=max_value, 6=min_value. Reference parity: chunk_writer.go:283-290
+    + stats.go minMax/nullCount/distinctCount."""
+    mn, mx = column_minmax(col)
+    st = {3: ("i64", col.num_rows - col.num_values)}
+    if distinct >= 0:
+        st[4] = ("i64", distinct)
+    if mn is not None:
+        st[5] = ("binary", _stats_bytes(mx, col.ptype))
+        st[6] = ("binary", _stats_bytes(mn, col.ptype))
+    return st
+
+
+def _write_chunk(out: bytearray, col: ColumnData, name: str, enc_name: str | None, compression: str, codec: int, max_page: int):
+    """Write one column chunk (dict page + data pages) into ``out``;
+    returns (col_chunk_struct, meta_row)."""
+    enc = _choose(col, enc_name)
+    codes = uniques = None
+    dict_size = 0
+    distinct = -1
+    if enc == E_RLE_DICT:
+        codes, uniques, dict_size = _factorize(col)
+        distinct = dict_size
+    chunk_start = len(out)
+    dict_offset = None
+    encodings_used = {E_RLE}
+    total_raw = total_comp = 0
+    if enc == E_RLE_DICT and dict_size:
+        payload = _encode_dict_values(uniques, col.ptype)
+        comp = _compress(payload, compression)
+        hdr = write_struct(
+            {
+                1: ("i32", 2),  # DICTIONARY_PAGE
+                2: ("i32", len(payload)),
+                3: ("i32", len(comp)),
+                7: ("struct", {1: ("i32", dict_size), 2: ("i32", E_PLAIN)}),
+            }
+        )
+        dict_offset = len(out)
+        out += hdr + comp
+        total_raw += len(payload) + len(hdr)
+        total_comp += len(comp) + len(hdr)
+        encodings_used.add(E_PLAIN)
+    data_offset = len(out)
+    encodings_used.add(enc)
+    vstart = 0
+    vcum = (
+        np.concatenate([[0], np.cumsum(col.lengths)]).astype(np.int64)
+        if col.ptype == "bytes"
+        else None
+    )
+    for row_lo, row_hi in _page_boundaries(col, max_page):
+        validity = col.validity[row_lo:row_hi]
+        nvals = int(validity.sum())
+        vend = vstart + nvals
+        dlo, dhi = (int(vcum[vstart]), int(vcum[vend])) if vcum is not None else (0, 0)
+        lvl = levels.encode_def_levels(validity, mode="auto")
+        body = bytes(lvl) + _encode_page_values(enc, col, vstart, vend, dlo, dhi, codes, dict_size)
+        comp = _compress(body, compression)
+        hdr = write_struct(
+            {
+                1: ("i32", 0),  # DATA_PAGE
+                2: ("i32", len(body)),
+                3: ("i32", len(comp)),
+                5: (
+                    "struct",
+                    {
+                        1: ("i32", row_hi - row_lo),
+                        2: ("i32", enc),
+                        3: ("i32", E_RLE),
+                        4: ("i32", E_RLE),
+                    },
+                ),
+            }
+        )
+        out += hdr + comp
+        total_raw += len(body) + len(hdr)
+        total_comp += len(comp) + len(hdr)
+        vstart = vend
+    meta = {
+        1: ("i32", _PQ_TYPE[col.ptype]),
+        2: ("list", ("i32", sorted(encodings_used))),
+        3: ("list", ("binary", [name])),
+        4: ("i32", codec),
+        5: ("i64", col.num_rows),
+        6: ("i64", total_raw),
+        7: ("i64", total_comp),
+        9: ("i64", data_offset),
+        12: ("struct", _statistics_struct(col, distinct)),
+    }
+    if dict_offset is not None:
+        meta[11] = ("i64", dict_offset)
+    col_chunk = {2: ("i64", chunk_start), 3: ("struct", meta)}
+    meta_row = {
+        "column": name,
+        "ptype": col.ptype,
+        "encoding": {
+            E_PLAIN: "plain",
+            E_RLE_DICT: "rle_dict",
+            E_DELTA_BP: "delta_bp",
+            E_DELTA_LEN: "delta_length",
+            E_DELTA_BA: "delta_bytes",
+        }[enc],
+        "num_rows": col.num_rows,
+        "null_count": col.num_rows - col.num_values,
+        "raw_bytes": col.raw_bytes,
+        "encoded_bytes": total_comp,
+    }
+    return col_chunk, meta_row
+
+
 def write_parquet(
     table: pa.Table,
     compression: str = "none",
     encodings: dict[str, str] | None = None,
     max_page: int = 1 << 20,
+    max_row_group: int | None = None,
     return_meta: bool = False,
 ):
-    """pa.Table -> Parquet file bytes (flat schema, one row group).
+    """pa.Table -> Parquet file bytes (flat schema).
 
-    ``return_meta=True`` -> (bytes, [{column, encoding, raw/comp bytes}])."""
+    ``max_row_group``: rows per row group (None = one group, matching the
+    reference's unbounded default; ``WithMaxRowGroupSize`` analogue).
+    ``return_meta=True`` -> (bytes, [{column, encoding, raw/comp bytes}]).
+    """
     metas: list[dict] = []
     out = bytearray(MAGIC)
     codec = _CODEC[compression]
-    col_chunks = []
     schema_elems = [{4: ("binary", "schema"), 5: ("i32", table.num_columns)}]
-    for name in table.column_names:
-        col = from_arrow(table.column(name))
-        if isinstance(col, ColumnData) is False:
+    for i, name in enumerate(table.column_names):
+        t = table.schema.field(i).type
+        col0 = from_arrow(table.column(name).slice(0, 0))
+        if not isinstance(col0, ColumnData):
             raise TypeError("write_parquet supports flat columns only")
-        enc_name = (encodings or {}).get(name)
-        enc = _choose(col, enc_name)
-        codes = uniques = None
-        dict_size = 0
-        if enc == E_RLE_DICT:
-            codes, uniques, dict_size = _factorize(col)
         el = {
-            1: ("i32", _PQ_TYPE[col.ptype]),
+            1: ("i32", _PQ_TYPE[col0.ptype]),
             3: ("i32", 1),  # OPTIONAL
             4: ("binary", name),
         }
-        if col.logical in ("string", "large_string"):
+        if pa.types.is_string(t) or pa.types.is_large_string(t):
             el[6] = ("i32", 0)  # ConvertedType UTF8
-        elif col.logical.startswith("timestamp"):
+        elif pa.types.is_timestamp(t):
             el[6] = ("i32", 10)  # TIMESTAMP_MICROS
         schema_elems.append(el)
 
-        chunk_start = len(out)
-        dict_offset = None
-        encodings_used = {E_RLE}
-        total_raw = total_comp = 0
-        if enc == E_RLE_DICT and dict_size:
-            payload = _encode_dict_values(uniques, col.ptype)
-            comp = _compress(payload, compression)
-            hdr = write_struct(
-                {
-                    1: ("i32", 2),  # DICTIONARY_PAGE
-                    2: ("i32", len(payload)),
-                    3: ("i32", len(comp)),
-                    7: ("struct", {1: ("i32", dict_size), 2: ("i32", E_PLAIN)}),
-                }
+    n_rows = table.num_rows
+    group_rows = max_row_group or max(n_rows, 1)
+    row_groups = []
+    off = 0
+    while off == 0 or off < n_rows:
+        part = table.slice(off, min(group_rows, n_rows - off) if n_rows else 0)
+        col_chunks = []
+        for name in table.column_names:
+            col = from_arrow(part.column(name))
+            cc, mrow = _write_chunk(
+                out, col, name, (encodings or {}).get(name), compression, codec, max_page
             )
-            dict_offset = len(out)
-            out += hdr + comp
-            total_raw += len(payload) + len(hdr)
-            total_comp += len(comp) + len(hdr)
-            encodings_used.add(E_PLAIN)
-        data_offset = len(out)
-        encodings_used.add(enc)
-        vstart = 0
-        vcum = (
-            np.concatenate([[0], np.cumsum(col.lengths)]).astype(np.int64)
-            if col.ptype == "bytes"
-            else None
-        )
-        for row_lo, row_hi in _page_boundaries(col, max_page):
-            validity = col.validity[row_lo:row_hi]
-            nvals = int(validity.sum())
-            vend = vstart + nvals
-            dlo, dhi = (int(vcum[vstart]), int(vcum[vend])) if vcum is not None else (0, 0)
-            lvl = levels.encode_def_levels(validity, mode="auto")
-            body = bytes(lvl) + _encode_page_values(enc, col, vstart, vend, dlo, dhi, codes, dict_size)
-            comp = _compress(body, compression)
-            hdr = write_struct(
-                {
-                    1: ("i32", 0),  # DATA_PAGE
-                    2: ("i32", len(body)),
-                    3: ("i32", len(comp)),
-                    5: (
-                        "struct",
-                        {
-                            1: ("i32", row_hi - row_lo),
-                            2: ("i32", enc),
-                            3: ("i32", E_RLE),
-                            4: ("i32", E_RLE),
-                        },
-                    ),
-                }
-            )
-            out += hdr + comp
-            total_raw += len(body) + len(hdr)
-            total_comp += len(comp) + len(hdr)
-            vstart = vend
-        meta = {
-            1: ("i32", _PQ_TYPE[col.ptype]),
-            2: ("list", ("i32", sorted(encodings_used))),
-            3: ("list", ("binary", [name])),
-            4: ("i32", codec),
-            5: ("i64", col.num_rows),
-            6: ("i64", total_raw),
-            7: ("i64", total_comp),
-            9: ("i64", data_offset),
-        }
-        if dict_offset is not None:
-            meta[11] = ("i64", dict_offset)
-        col_chunks.append(
+            col_chunks.append(cc)
+            mrow["row_group"] = len(row_groups)
+            metas.append(mrow)
+        row_groups.append(
             {
-                2: ("i64", chunk_start),
-                3: ("struct", meta),
+                1: ("list", ("struct", col_chunks)),
+                2: ("i64", sum(c[3][1][7][1] for c in col_chunks)),
+                3: ("i64", part.num_rows),
             }
         )
-        metas.append(
-            {
-                "column": name,
-                "ptype": col.ptype,
-                "encoding": {
-                    E_PLAIN: "plain",
-                    E_RLE_DICT: "rle_dict",
-                    E_DELTA_BP: "delta_bp",
-                    E_DELTA_LEN: "delta_length",
-                    E_DELTA_BA: "delta_bytes",
-                }[enc],
-                "num_rows": col.num_rows,
-                "null_count": col.num_rows - col.num_values,
-                "raw_bytes": col.raw_bytes,
-                "encoded_bytes": total_comp,
-            }
-        )
-    row_group = {
-        1: ("list", ("struct", col_chunks)),
-        2: ("i64", sum(c[3][1][7][1] for c in col_chunks)),
-        3: ("i64", table.num_rows),
-    }
+        off += max(part.num_rows, 1)
+        if n_rows == 0:
+            break
     fmeta = {
         1: ("i32", 1),
         2: ("list", ("struct", schema_elems)),
         3: ("i64", table.num_rows),
-        4: ("list", ("struct", [row_group])),
+        4: ("list", ("struct", row_groups)),
         6: ("binary", "parquet_go_spark"),
+        # ColumnOrder TYPE_ORDER per column: readers only trust
+        # min_value/max_value when the footer declares the sort order
+        7: ("list", ("struct", [{1: ("struct", {})} for _ in range(table.num_columns)])),
     }
     footer = write_struct(fmeta)
     out += footer

@@ -52,6 +52,7 @@ ENCODINGS = {
     "fsst": 6,
     "bss": 7,
     "rle_bool": 8,
+    "zdict": 9,  # delta-length layout, DEFLATE values + trained dict
 }
 ENCODINGS_R = {v: k for k, v in ENCODINGS.items()}
 
@@ -333,7 +334,7 @@ def _chunk_fsst_table(col: ColumnData):
     return fsst.train(lens, data)
 
 
-def _encode_values(enc: str, col: ColumnData, vlo: int, vhi: int, dlo: int, dhi: int, codes, dict_size: int, index_mode: str, fsst_table=None) -> bytes:
+def _encode_values(enc: str, col: ColumnData, vlo: int, vhi: int, dlo: int, dhi: int, codes, dict_size: int, index_mode: str, fsst_table=None, codec_dict: bytes = b"") -> bytes:
     if enc == "rle_dict":
         return dictenc.encode_indices(codes[vlo:vhi].astype(np.uint64), dict_size, mode=index_mode)
     if col.ptype == "flba":
@@ -362,6 +363,8 @@ def _encode_values(enc: str, col: ColumnData, vlo: int, vhi: int, dlo: int, dhi:
             return bytearrays.encode_delta(lens, data)
         if enc == "fsst":
             return fsst.encode_column(lens, data, fsst_table)
+        if enc == "zdict":
+            return bytearrays.encode_zdict(lens, data, codec_dict)
         raise ValueError(f"bad bytes encoding {enc}")
     vals = col.values[vlo:vhi]
     if enc == "plain":
@@ -377,7 +380,7 @@ def _encode_values(enc: str, col: ColumnData, vlo: int, vhi: int, dlo: int, dhi:
     raise ValueError(f"bad encoding {enc} for {col.ptype}")
 
 
-def _decode_values(enc: str, ptype: str, payload: bytes, pos: int, nvals: int, dict_vals, type_length: int = 0):
+def _decode_values(enc: str, ptype: str, payload: bytes, pos: int, nvals: int, dict_vals, type_length: int = 0, codec_dict: bytes = b""):
     """-> (values_repr, pos). values_repr: ndarray or (lengths, data)."""
     if enc == "rle_dict":
         bw = payload[pos]
@@ -419,6 +422,8 @@ def _decode_values(enc: str, ptype: str, payload: bytes, pos: int, nvals: int, d
             lens, data, pos = bytearrays.decode_delta(payload, pos)
         elif enc == "fsst":
             lens, data, pos = fsst.decode_column(payload, pos)
+        elif enc == "zdict":
+            lens, data, pos = bytearrays.decode_zdict(payload, pos, codec_dict)
         else:
             raise ValueError(enc)
         return (lens, data), pos
@@ -493,7 +498,7 @@ def encode_chunk(
     uniques = None
     distinct = -1
     enc = None
-    sel_fsst_table = None
+    sel_aux = None
     if encoding is not None:
         enc = encoding
         if enc == "rle_dict":
@@ -521,16 +526,23 @@ def encode_chunk(
                 codes = np.empty(0, dtype=np.int32)
                 uniques, distinct, dict_size = None, 0, 0
     else:
-        enc, codes, uniques, distinct, dict_size, sel_fsst_table = choose_encoding(col, compression)
+        enc, codes, uniques, distinct, dict_size, sel_aux = choose_encoding(col, compression)
 
     bounds = _page_boundaries(col, max_page)
     fsst_table = None
+    codec_dict = b""
     if enc == "fsst":
-        fsst_table = sel_fsst_table or _chunk_fsst_table(col)
+        fsst_table = sel_aux if sel_aux is not None else _chunk_fsst_table(col)
+    elif enc == "zdict":
+        codec_dict = (
+            sel_aux
+            if isinstance(sel_aux, bytes)
+            else bytearrays.train_zdict(col.lengths, col.data)
+        )
 
     out = bytearray()
     out += MAGIC
-    flags = 1 if enc == "rle_dict" else 0
+    flags = (1 if enc == "rle_dict" else 0) | (2 if codec_dict else 0)
     out += bytes([VERSION, PTYPES[col.ptype], ENCODINGS[enc], COMPRESSIONS[compression], flags])
     out += uvarint(col.num_rows)
     out += uvarint(col.num_rows - col.num_values)
@@ -545,6 +557,11 @@ def encode_chunk(
         out += uvarint(len(dict_payload))
         out += uvarint(len(dcomp))
         out += dcomp
+    if codec_dict:
+        # per-chunk trained compression dictionary, stored once and shared
+        # by every page's zdict stream
+        out += uvarint(len(codec_dict))
+        out += codec_dict
     out += uvarint(len(bounds))
 
     # precompute byte offsets for bytes-typed pages
@@ -563,7 +580,7 @@ def encode_chunk(
             dlo = dhi = 0
         lvl = levels.encode_def_levels(validity, mode=level_mode)
         vals = _encode_values(
-            enc, col, vstart, vend, dlo, dhi, codes, dict_size or 0, index_mode, fsst_table
+            enc, col, vstart, vend, dlo, dhi, codes, dict_size or 0, index_mode, fsst_table, codec_dict
         )
         payload = lvl + vals
         comp = _compress(payload, compression)
@@ -643,6 +660,13 @@ def decode_chunk(blob, logical: str = ""):
             dict_vals = np.asarray(dict_vals)
         else:
             dict_vals, _ = plain.decode_fixed(dict_payload, dict_size, _FIXED_KIND[ptype])
+    codec_dict = b""
+    if flags & 2:
+        cd_len, pos = read_uvarint(mv, pos)
+        if cd_len > 1 << 20:
+            raise ValueError("implausible codec dict length")
+        codec_dict = bytes(mv[pos : pos + cd_len])
+        pos += cd_len
     num_pages, pos = read_uvarint(mv, pos)
     validity_parts = []
     value_parts = []
@@ -662,7 +686,7 @@ def decode_chunk(blob, logical: str = ""):
         validity, ppos = levels.decode_def_levels(payload, rows, 0)
         validity_parts.append(validity)
         nvals = rows - nulls
-        repr_, _ = _decode_values(enc, ptype, payload, ppos, nvals, dict_vals, type_length)
+        repr_, _ = _decode_values(enc, ptype, payload, ppos, nvals, dict_vals, type_length, codec_dict)
         if ptype == "bytes":
             len_parts.append(repr_[0])
             data_parts.append(repr_[1])

@@ -91,20 +91,18 @@ def image_features(df: DataFrame, bins: int = 16) -> DataFrame:
 
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            ids, out = [], []
-            for _, row in b.iterrows():
-                m = row["meta"]
-                img = _codec_image_decode(
-                    row["content"], m["width"], m["height"], m["channels"]
-                )
+            out = []
+            # column-array zip, not iterrows: payload work dominates, but
+            # per-row pandas Series construction is pure overhead
+            for payload, m in zip(b["content"].to_numpy(), b["meta"].to_numpy()):
+                img = _codec_image_decode(payload, m["width"], m["height"], m["channels"])
                 hist = [
                     np.histogram(img[..., c], bins=bins, range=(0, 256))[0]
                     for c in range(img.shape[-1])
                 ]
                 v = np.concatenate(hist).astype(np.float64)
                 out.append((v / max(v.sum(), 1)).astype(np.float32))
-                ids.append(row["media_id"])
-            yield pd.DataFrame({"media_id": ids, "feature": out})
+            yield pd.DataFrame({"media_id": b["media_id"].to_numpy(), "feature": out})
 
     sel = df.filter(F.col("kind") == "image").select("media_id", "content", "meta")
     return sel.mapInPandas(feats, schema="media_id long, feature array<float>")
@@ -115,18 +113,16 @@ def audio_features(df: DataFrame, n_windows: int = 32) -> DataFrame:
 
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            ids, out = [], []
-            for _, row in b.iterrows():
-                m = row["meta"]
-                pcm = _codec_audio_decode(row["content"], m["sample_rate"], m["duration_ms"])
+            out = []
+            for payload, m in zip(b["content"].to_numpy(), b["meta"].to_numpy()):
+                pcm = _codec_audio_decode(payload, m["sample_rate"], m["duration_ms"])
                 w = len(pcm) // n_windows
                 if w == 0:
                     pcm = np.pad(pcm, (0, n_windows - len(pcm)))
                     w = 1
                 trimmed = pcm[: w * n_windows].reshape(n_windows, w)
                 out.append(np.sqrt((trimmed**2).mean(axis=1)).astype(np.float32))
-                ids.append(row["media_id"])
-            yield pd.DataFrame({"media_id": ids, "feature": out})
+            yield pd.DataFrame({"media_id": b["media_id"].to_numpy(), "feature": out})
 
     sel = df.filter(F.col("kind") == "audio").select("media_id", "content", "meta")
     return sel.mapInPandas(feats, schema="media_id long, feature array<float>")
@@ -139,12 +135,11 @@ def video_frame_sample(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             ids, idxs, payloads = [], [], []
-            for _, row in b.iterrows():
-                m = row["meta"]
-                for i, fr in enumerate(
-                    _codec_video_keyframes(row["content"], m["duration_ms"], every_ms)
-                ):
-                    ids.append(row["media_id"])
+            for mid, payload, m in zip(
+                b["media_id"].to_numpy(), b["content"].to_numpy(), b["meta"].to_numpy()
+            ):
+                for i, fr in enumerate(_codec_video_keyframes(payload, m["duration_ms"], every_ms)):
+                    ids.append(mid)
                     idxs.append(i)
                     payloads.append(fr)
             yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame": payloads})

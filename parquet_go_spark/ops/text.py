@@ -74,16 +74,21 @@ def langid_ngram(
     on a sample; the join is a broadcast (profiles are KBs).
     Returns (id, lang, lang_pred, correct).
     """
-    # materialize lower(text) and the bigram array once — a lambda body
-    # referencing lower(text) re-evaluates it per element (O(len²))
-    base = df.select(
-        F.col(id_col), F.col(lang_col), F.lower(F.col(text_col)).alias("__lt")
-    ).select(
-        F.col(id_col),
-        F.col(lang_col),
-        F.expr("transform(sequence(1, length(__lt) - 1), i -> substring(__lt, i, 2))").alias(
-            "__bg"
-        ),
+    # materialize lower(text) and the bigram array once. Bigrams come from
+    # a char split + shifted zip_with, NOT substring(i, 2) in a transform:
+    # UTF8String.substring walks from the string start, so that form is
+    # O(len²) per document — the split/zip form is O(len)
+    base = (
+        df.select(F.col(id_col), F.col(lang_col), F.lower(F.col(text_col)).alias("__lt"))
+        .select(F.col(id_col), F.col(lang_col), F.expr("split(__lt, '')").alias("__ch"))
+        .select(
+            F.col(id_col),
+            F.col(lang_col),
+            F.expr(
+                "zip_with(slice(__ch, 1, size(__ch) - 1),"
+                " slice(__ch, 2, size(__ch) - 1), (a, b) -> concat(a, b))"
+            ).alias("__bg"),
+        )
     )
     # profile pass runs on a bounded, DETERMINISTIC sample (id < N —
     # limit() is partition-order-dependent); at 10^12 docs the profiles
@@ -100,24 +105,60 @@ def langid_ngram(
         .filter(F.col("rank") <= top_ngrams)
         .select(F.col(lang_col).alias("profile_lang"), "bg", "rank")
     )
-    # classify: per doc, score = sum over doc bigrams present in profile
+    # classify: per doc, score = sum over doc bigrams present in each
+    # profile. One broadcast hash join (O(1) lookups — profiles are KBs)
+    # and ONE groupBy with conditional per-language aggregation; the best
+    # language falls out of a sort_array projection over the pivoted
+    # scores. No second aggregation and no window sort — the shuffle
+    # carries one row per (doc, matched bigram) with map-side partial
+    # aggregation collapsing it to one row per doc.
+    # profile languages == distinct langs of the bounded sample (cheap
+    # build-time job over <= profile_docs rows; running the full profile
+    # aggregation here would execute it twice)
+    langs = sorted(
+        r[0]
+        for r in df.filter(F.col(id_col) < profile_docs).select(lang_col).distinct().collect()
+        if r[0] is not None
+    )
+    if not langs:
+        return base.select(
+            F.col(id_col),
+            F.col(lang_col),
+            F.lit(None).cast("string").alias("lang_pred"),
+            F.lit(None).cast("boolean").alias("correct"),
+        ).filter(F.lit(False))
     doc_bigrams = base.select(
         F.col(id_col), F.col(lang_col), F.explode(F.array_distinct(F.col("__bg"))).alias("bg")
     )
+    w = F.lit(top_ngrams + 1) - F.col("rank")
     scored = (
         doc_bigrams.join(F.broadcast(profiles), "bg")
-        .groupBy(id_col, lang_col, "profile_lang")
-        .agg(F.count("*").alias("hits"), F.sum(F.lit(top_ngrams + 1) - F.col("rank")).alias("score"))
-    )
-    w2 = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("profile_lang"))
-    best = (
-        scored.withColumn("rn", F.row_number().over(w2))
-        .filter(F.col("rn") == 1)
-        .select(
-            F.col(id_col),
-            F.col(lang_col),
-            F.col("profile_lang").alias("lang_pred"),
-            (F.col("profile_lang") == F.col(lang_col)).alias("correct"),
+        .groupBy(id_col, lang_col)
+        .agg(
+            *[
+                F.sum(F.when(F.col("profile_lang") == l, w).otherwise(F.lit(0))).alias(f"s_{i}")
+                for i, l in enumerate(langs)
+            ]
         )
     )
-    return best
+    # sort_array ascending on struct(-score, lang): element 0 is the max
+    # score with ties broken by smallest lang — identical to the previous
+    # row_number(desc score, asc lang) pick
+    best = F.sort_array(
+        F.array(
+            *[
+                F.struct((-F.col(f"s_{i}")).alias("ns"), F.lit(l).alias("lang"))
+                for i, l in enumerate(langs)
+            ]
+        )
+    )[0]
+    return scored.select(
+        F.col(id_col),
+        F.col(lang_col),
+        best.alias("best"),
+    ).select(
+        F.col(id_col),
+        F.col(lang_col),
+        F.col("best.lang").alias("lang_pred"),
+        (F.col("best.lang") == F.col(lang_col)).alias("correct"),
+    )

@@ -101,3 +101,46 @@ def test_bss_improves_compressibility():
     plain = vals.tobytes()
     split = bss.encode(vals)
     assert len(zlib.compress(split)) < len(zlib.compress(plain))
+
+
+def test_zdict_roundtrip_and_training():
+    import numpy as np
+    import pyarrow as pa
+
+    from parquet_go_spark.core.chunk import decode_chunk, encode_chunk
+    from parquet_go_spark.core.columns import from_arrow, to_arrow
+    from parquet_go_spark.kernels import bytearrays
+
+    rng = np.random.default_rng(5)
+    vocab = ["alpha", "beta", "gamma", "delta", "common-prefix/path"]
+    texts = [" ".join(rng.choice(vocab, rng.integers(1, 40))) for _ in range(2000)]
+    texts[3] = None
+    arr = pa.array(texts)
+    cd = from_arrow(arr)
+    for comp in ("none", "snappy", "zlib"):
+        blob, meta = encode_chunk(cd, encoding="zdict", compression=comp)
+        assert to_arrow(decode_chunk(blob, logical=cd.logical)).equals(arr)
+    # entropy coding must beat plain by a wide margin on repetitive text
+    assert meta.encoded_bytes < meta.raw_bytes // 3
+    # trained dict: empty for tiny streams, contiguous slices otherwise
+    assert bytearrays.train_zdict(np.array([10], np.int64), np.zeros(10, np.uint8)) == b""
+    zd = bytearrays.train_zdict(cd.lengths, cd.data)
+    assert 0 < len(zd) <= 1 << 13
+    # dict actually used: chunk flags bit 2 set
+    blob2, _ = encode_chunk(cd, encoding="zdict")
+    assert blob2[8] & 2
+
+
+def test_zdict_kernel_truncation():
+    import numpy as np
+    import pytest as _pytest
+
+    from parquet_go_spark.kernels import bytearrays
+
+    lens = np.array([3, 0, 5], np.int64)
+    data = np.frombuffer(b"abcdefgh", np.uint8)
+    enc = bytearrays.encode_zdict(lens, data)
+    ol, od, pos = bytearrays.decode_zdict(enc)
+    assert np.array_equal(ol, lens) and bytes(od) == b"abcdefgh" and pos == len(enc)
+    with _pytest.raises(Exception):
+        bytearrays.decode_zdict(enc[: len(enc) // 2])

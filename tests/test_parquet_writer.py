@@ -83,3 +83,55 @@ def test_empty_and_all_null():
     assert _readback_equal(write_parquet(t), t)
     t0 = pa.table({"x": pa.array([], type=pa.int64())})
     assert _readback_equal(write_parquet(t0), t0)
+
+
+def test_multi_row_group():
+    # WithMaxRowGroupSize analogue (file_writer.go:114-118): 1200 rows at
+    # 500/group -> 3 groups, content identical
+    t = pa.table(
+        {
+            "a": pa.array([5, None, -3, 17] * 300, type=pa.int64()),
+            "s": pa.array(["zeta", "alpha", None, "mid"] * 300),
+        }
+    )
+    buf = write_parquet(t, max_row_group=500)
+    f = pq.ParquetFile(io.BytesIO(buf))
+    assert f.num_row_groups == 3
+    assert [f.metadata.row_group(i).num_rows for i in range(3)] == [500, 500, 200]
+    assert _readback_equal(buf, t)
+
+
+def test_footer_statistics_readback():
+    # chunk_writer.go:283-314 / stats.go parity: min/max/null/distinct in
+    # ColumnMetaData, trusted by pyarrow (ColumnOrder declared) and DuckDB
+    t = pa.table(
+        {
+            "a": pa.array([5, None, -3, 17] * 300, type=pa.int64()),
+            "s": pa.array(["zeta", "alpha", None, "mid"] * 300),
+            "f": pa.array([1.5, -2.5, 0.0, None] * 300, type=pa.float64()),
+        }
+    )
+    buf = write_parquet(t, max_row_group=500)
+    f = pq.ParquetFile(io.BytesIO(buf))
+    for rg in range(f.num_row_groups):
+        st = f.metadata.row_group(rg).column(0).statistics
+        assert st.has_min_max and (st.min, st.max) == (-3, 17)
+        assert st.null_count == st.num_values / 3  # every 4th row null
+        assert st.distinct_count == 3
+        ss = f.metadata.row_group(rg).column(1).statistics
+        assert (ss.min, ss.max) == ("alpha", "zeta")
+        sf = f.metadata.row_group(rg).column(2).statistics
+        assert (sf.min, sf.max) == (-2.5, 1.5)
+
+
+def test_footer_statistics_duckdb(tmp_path):
+    t = pa.table({"a": pa.array([7, 1, None, 9], type=pa.int64())})
+    p = str(tmp_path / "stats.parquet")
+    with open(p, "wb") as f:
+        f.write(write_parquet(t))
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT stats_min_value, stats_max_value, stats_null_count"
+        f" FROM parquet_metadata('{p}')"
+    ).fetchall()
+    assert rows == [("1", "9", 1)]
