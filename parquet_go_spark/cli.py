@@ -49,6 +49,7 @@ def cmd_encode(args) -> int:
             profile=args.profile,
             compression=args.compression,
             resume=not args.no_resume,
+            page_crc=args.page_crc,
         ).collect()
     raw = sum(r["raw_bytes"] for r in man)
     enc = sum(r["encoded_bytes"] for r in man)
@@ -134,6 +135,7 @@ def main(argv=None) -> int:
     e.add_argument("--profile", default="auto", choices=["auto", "reference"])
     e.add_argument("--compression", default="none", choices=["none", "zlib", "snappy", "zstd", "lz4", "gzip"])
     e.add_argument("--no-resume", action="store_true")
+    e.add_argument("--page-crc", action="store_true", help="per-page CRC32 (WithCRC analogue)")
     e.add_argument(
         "--format",
         default="chunks",

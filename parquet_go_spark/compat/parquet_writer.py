@@ -24,7 +24,7 @@ import pyarrow as pa
 
 from ..core.chunk import DICT_MAX, _encode_dict_values, _factorize, _page_boundaries, column_minmax
 from ..core.columns import ColumnData, from_arrow
-from ..kernels import bytearrays, deltabp, dictenc, levels, plain
+from ..kernels import bytearrays, deltabp, dictenc, hybrid, levels, plain
 from .thrift_writer import write_struct
 
 __all__ = ["write_parquet"]
@@ -116,7 +116,7 @@ def _statistics_struct(col: ColumnData, distinct: int):
     return st
 
 
-def _write_chunk(out: bytearray, col: ColumnData, name: str, enc_name: str | None, compression: str, codec: int, max_page: int):
+def _write_chunk(out: bytearray, col: ColumnData, name: str, enc_name: str | None, compression: str, codec: int, max_page: int, page_version: int = 1, crc: bool = False):
     """Write one column chunk (dict page + data pages) into ``out``;
     returns (col_chunk_struct, meta_row)."""
     enc = _choose(col, enc_name)
@@ -133,14 +133,16 @@ def _write_chunk(out: bytearray, col: ColumnData, name: str, enc_name: str | Non
     if enc == E_RLE_DICT and dict_size:
         payload = _encode_dict_values(uniques, col.ptype)
         comp = _compress(payload, compression)
-        hdr = write_struct(
-            {
-                1: ("i32", 2),  # DICTIONARY_PAGE
-                2: ("i32", len(payload)),
-                3: ("i32", len(comp)),
-                7: ("struct", {1: ("i32", dict_size), 2: ("i32", E_PLAIN)}),
-            }
-        )
+        dict_hdr = {
+            1: ("i32", 2),  # DICTIONARY_PAGE
+            2: ("i32", len(payload)),
+            3: ("i32", len(comp)),
+            7: ("struct", {1: ("i32", dict_size), 2: ("i32", E_PLAIN)}),
+        }
+        if crc:  # page_dict.go:124-128
+            c = zlib.crc32(comp)
+            dict_hdr[4] = ("i32", c - (1 << 32) if c >= 1 << 31 else c)
+        hdr = write_struct(dict_hdr)
         dict_offset = len(out)
         out += hdr + comp
         total_raw += len(payload) + len(hdr)
@@ -159,11 +161,38 @@ def _write_chunk(out: bytearray, col: ColumnData, name: str, enc_name: str | Non
         nvals = int(validity.sum())
         vend = vstart + nvals
         dlo, dhi = (int(vcum[vstart]), int(vcum[vend])) if vcum is not None else (0, 0)
-        lvl = levels.encode_def_levels(validity, mode="auto")
-        body = bytes(lvl) + _encode_page_values(enc, col, vstart, vend, dlo, dhi, codes, dict_size)
-        comp = _compress(body, compression)
-        hdr = write_struct(
-            {
+        vals = _encode_page_values(enc, col, vstart, vend, dlo, dhi, codes, dict_size)
+        if page_version == 2:
+            # V2: def levels (no size prefix) OUTSIDE the compressed
+            # region; byte length in the header (page_v2.go:111-125,
+            # 173-190, 237-245)
+            lvl = hybrid.encode_auto(validity.astype("uint64"), 1)
+            comp = _compress(vals, compression)
+            page_bytes = bytes(lvl) + comp
+            hdr_fields = {
+                1: ("i32", 3),  # DATA_PAGE_V2
+                2: ("i32", len(lvl) + len(vals)),
+                3: ("i32", len(lvl) + len(comp)),
+                8: (
+                    "struct",
+                    {
+                        1: ("i32", row_hi - row_lo),
+                        2: ("i32", (row_hi - row_lo) - nvals),
+                        3: ("i32", row_hi - row_lo),
+                        4: ("i32", enc),
+                        5: ("i32", len(lvl)),
+                        6: ("i32", 0),
+                        7: ("bool", compression != "none"),
+                    },
+                ),
+            }
+            raw_add = len(lvl) + len(vals)
+        else:
+            lvl = levels.encode_def_levels(validity, mode="auto")
+            body = bytes(lvl) + vals
+            comp = _compress(body, compression)
+            page_bytes = comp
+            hdr_fields = {
                 1: ("i32", 0),  # DATA_PAGE
                 2: ("i32", len(body)),
                 3: ("i32", len(comp)),
@@ -177,10 +206,16 @@ def _write_chunk(out: bytearray, col: ColumnData, name: str, enc_name: str | Non
                     },
                 ),
             }
-        )
-        out += hdr + comp
-        total_raw += len(body) + len(hdr)
-        total_comp += len(comp) + len(hdr)
+            raw_add = len(body)
+        if crc:
+            # page CRC32 in the header (WithCRC, page_v1.go:210-214 /
+            # page_v2.go:224-228), over the page bytes following it
+            c = zlib.crc32(page_bytes)
+            hdr_fields[4] = ("i32", c - (1 << 32) if c >= 1 << 31 else c)
+        hdr = write_struct(hdr_fields)
+        out += hdr + page_bytes
+        total_raw += raw_add + len(hdr)
+        total_comp += len(page_bytes) + len(hdr)
         vstart = vend
     meta = {
         1: ("i32", _PQ_TYPE[col.ptype]),
@@ -220,12 +255,17 @@ def write_parquet(
     encodings: dict[str, str] | None = None,
     max_page: int = 1 << 20,
     max_row_group: int | None = None,
+    page_version: int = 1,
+    crc: bool = False,
     return_meta: bool = False,
 ):
     """pa.Table -> Parquet file bytes (flat schema).
 
     ``max_row_group``: rows per row group (None = one group, matching the
     reference's unbounded default; ``WithMaxRowGroupSize`` analogue).
+    ``page_version``: 1 (default) or 2 — V2 keeps levels outside the
+    compressed region (``page_v2.go``). ``crc=True`` writes per-page
+    CRC32 into page headers (``WithCRC``).
     ``return_meta=True`` -> (bytes, [{column, encoding, raw/comp bytes}]).
     """
     metas: list[dict] = []
@@ -258,7 +298,8 @@ def write_parquet(
         for name in table.column_names:
             col = from_arrow(part.column(name))
             cc, mrow = _write_chunk(
-                out, col, name, (encodings or {}).get(name), compression, codec, max_page
+                out, col, name, (encodings or {}).get(name), compression, codec, max_page,
+                page_version, crc,
             )
             col_chunks.append(cc)
             mrow["row_group"] = len(row_groups)

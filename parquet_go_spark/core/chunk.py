@@ -6,12 +6,20 @@ stats and lineage live in the manifest instead of the footer).
 
 Chunk container layout (little-endian, all varints = LEB128):
   magic "PGSC" | version u8 | ptype u8 | encoding u8 | compression u8
-  | flags u8 (bit0 = has dict) | uvarint num_rows | uvarint null_count
+  | flags u8 (bit0 = has dict, bit1 = has codec dict, bit2 = page CRCs)
+  | uvarint num_rows | uvarint null_count
+  [ if flba: uvarint type_length ]
   [ if dict: uvarint dict_count | uvarint raw_len | uvarint comp_len
              | compressed PLAIN-encoded uniques ]
+  [ if codec dict: uvarint len | trained DEFLATE dictionary ]
   | uvarint num_pages
   | per page: uvarint rows | uvarint nulls | uvarint raw_len
-              | uvarint comp_len | compressed (def-levels V1 + values)
+              | uvarint comp_len [ | u32 crc of compressed bytes ]
+              | compressed (def-levels V1 + values)
+
+Per-page CRC32 (flags bit2, reference ``WithCRC`` / ``page_v1.go:210-214``
+validated at ``chunk_reader.go:173-177``) localizes corruption to a page;
+the whole-chunk CRC in the manifest stays the job-level integrity check.
 
 The per-page payload byte layout (def levels with 4-byte size prefix, then
 the value stream) matches the reference's uncompressed page-V1 block
@@ -454,6 +462,7 @@ def encode_chunk(
     max_page: int = DEFAULT_PAGE,
     level_mode: str | None = None,
     encoding: str | None = None,
+    page_crc: bool = False,
 ) -> tuple[bytes, ChunkMeta]:
     """Encode one column chunk. ``profile``:
     * ``"reference"`` — the exact reference decision (chunk_writer.go:
@@ -542,7 +551,7 @@ def encode_chunk(
 
     out = bytearray()
     out += MAGIC
-    flags = (1 if enc == "rle_dict" else 0) | (2 if codec_dict else 0)
+    flags = (1 if enc == "rle_dict" else 0) | (2 if codec_dict else 0) | (4 if page_crc else 0)
     out += bytes([VERSION, PTYPES[col.ptype], ENCODINGS[enc], COMPRESSIONS[compression], flags])
     out += uvarint(col.num_rows)
     out += uvarint(col.num_rows - col.num_values)
@@ -588,6 +597,9 @@ def encode_chunk(
         out += uvarint((row_hi - row_lo) - nvals)
         out += uvarint(len(payload))
         out += uvarint(len(comp))
+        if page_crc:
+            # per-page checksum of the compressed bytes (page_v1.go:210-214)
+            out += zlib.crc32(comp).to_bytes(4, "little")
         out += comp
         vstart = vend
 
@@ -674,14 +686,23 @@ def decode_chunk(blob, logical: str = ""):
     data_parts = []
     if num_pages > len(mv):
         raise ValueError("implausible page count")
-    for _ in range(num_pages):
+    for page_i in range(num_pages):
         rows, pos = read_uvarint(mv, pos)
         nulls, pos = read_uvarint(mv, pos)
         raw_len, pos = read_uvarint(mv, pos)
         comp_len, pos = read_uvarint(mv, pos)
+        want_crc = None
+        if flags & 4:
+            want_crc = int.from_bytes(mv[pos : pos + 4], "little")
+            pos += 4
         if rows > num_rows or nulls > rows or pos + comp_len > len(mv) or raw_len > (comp_len + 64) * 1024:
             raise ValueError("implausible page header")
-        payload = _decompress(bytes(mv[pos : pos + comp_len]), compression, raw_len)
+        comp_bytes = bytes(mv[pos : pos + comp_len])
+        if want_crc is not None and zlib.crc32(comp_bytes) != want_crc:
+            raise ValueError(
+                f"page {page_i} CRC mismatch: corruption localized to this page"
+            )
+        payload = _decompress(comp_bytes, compression, raw_len)
         pos += comp_len
         validity, ppos = levels.decode_def_levels(payload, rows, 0)
         validity_parts.append(validity)

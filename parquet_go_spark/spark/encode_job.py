@@ -77,6 +77,7 @@ def encode_table(
     salt: int = 0x5A17,
     resume: bool = True,
     sort_within: str | list[str] | None = None,
+    page_crc: bool = False,
 ) -> DataFrame:
     """Encode ``df`` into ``out_dir``; returns the manifest DataFrame.
 
@@ -145,7 +146,9 @@ def encode_table(
         if table is not None:
             for name in cols:
                 col = from_arrow(table.column(name))
-                blob, meta = encode_chunk(col, profile=profile, compression=compression)
+                blob, meta = encode_chunk(
+                    col, profile=profile, compression=compression, page_crc=page_crc
+                )
                 named_blobs.append((name, blob))
                 rows.append(
                     {

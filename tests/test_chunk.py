@@ -169,3 +169,43 @@ def test_size_gate_vs_reference_profile():
             auto_meta.as_dict(),
             ref_meta.as_dict(),
         )
+
+
+def test_page_crc_roundtrip_and_corruption():
+    """Per-page CRC32 (reference WithCRC, page_v1.go:210-214 /
+    chunk_reader.go:173-177): intact pages decode, a flipped byte inside
+    one page is caught and localized."""
+    import numpy as np
+    import pyarrow as pa
+
+    from parquet_go_spark.core.chunk import decode_chunk, encode_chunk
+    from parquet_go_spark.core.columns import from_arrow, to_arrow
+
+    rng = np.random.default_rng(11)
+    arr = pa.array(rng.integers(0, 1 << 40, 20000))
+    cd = from_arrow(arr)
+    blob, meta = encode_chunk(cd, max_page=8192, page_crc=True)
+    assert meta.num_pages > 2
+    assert to_arrow(decode_chunk(blob, logical=cd.logical)).equals(arr)
+    # flip one byte in the middle of the last page's data region
+    bad = bytearray(blob)
+    bad[-10] ^= 0xFF
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="CRC mismatch"):
+        decode_chunk(bytes(bad), logical=cd.logical)
+    # without page_crc the same chunk layout has no CRC fields
+    blob2, _ = encode_chunk(cd, max_page=8192, page_crc=False)
+    assert len(blob2) < len(blob)
+
+
+def test_page_crc_through_encode_table_flag():
+    from parquet_go_spark.core.chunk import decode_chunk, encode_chunk
+    from parquet_go_spark.core.columns import from_arrow, to_arrow
+    import pyarrow as pa
+
+    arr = pa.array(["alpha", None, "beta"] * 200)
+    cd = from_arrow(arr)
+    for comp in ("none", "zlib"):
+        blob, _ = encode_chunk(cd, compression=comp, page_crc=True)
+        assert to_arrow(decode_chunk(blob, logical=cd.logical)).equals(arr)

@@ -135,3 +135,21 @@ def test_footer_statistics_duckdb(tmp_path):
         f" FROM parquet_metadata('{p}')"
     ).fetchall()
     assert rows == [("1", "9", 1)]
+
+
+def test_v2_pages_and_page_crc():
+    # V2 data pages (levels outside the compressed region, page_v2.go) and
+    # per-page CRC (WithCRC): pyarrow reads both, verifies checksums, and
+    # flags corruption anywhere in the file
+    t = pa.table({"a": pa.array([f"value-{i % 50}" for i in range(5000)])})
+    for pv in (1, 2):
+        for comp in ("none", "snappy"):
+            buf = write_parquet(t, compression=comp, page_version=pv, crc=True)
+            back = pq.read_table(io.BytesIO(buf), page_checksum_verification=True)
+            assert back.column("a").to_pylist() == t.column("a").to_pylist()
+        clean = write_parquet(t, page_version=pv, crc=True)
+        for spot in (60, len(clean) // 2, len(clean) - 300):
+            bad = bytearray(clean)
+            bad[spot] ^= 0xFF
+            with pytest.raises(Exception):
+                pq.read_table(io.BytesIO(bytes(bad)), page_checksum_verification=True)
