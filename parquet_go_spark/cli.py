@@ -53,6 +53,19 @@ def cmd_encode(args) -> int:
         ).collect()
     raw = sum(r["raw_bytes"] for r in man)
     enc = sum(r["encoded_bytes"] for r in man)
+    from .spark import manifest as mf
+
+    snap = mf.commit_snapshot(
+        args.out,
+        "encode",
+        {
+            "key_col": args.key_col,
+            "partitions": args.partitions,
+            "profile": getattr(args, "profile", None),
+            "compression": args.compression,
+            "format": args.format,
+        },
+    )
     print(
         json.dumps(
             {
@@ -61,6 +74,7 @@ def cmd_encode(args) -> int:
                 "raw_bytes": raw,
                 "encoded_bytes": enc,
                 "ratio": round(raw / max(enc, 1), 4),
+                "snapshot": snap["seq"],
             }
         )
     )
@@ -107,6 +121,52 @@ def cmd_gen_pages(args) -> int:
 
     pages_df(spark, args.rows).write.mode("overwrite").parquet(args.out)
     print(json.dumps({"rows": args.rows, "out": args.out}))
+    return 0
+
+
+def cmd_head(args) -> int:
+    """First N rows of an encoded table as JSON lines (parquet-tool
+    cat/head analogue, cmd/parquet-tool/cmds)."""
+    spark = _spark(args)
+    from .spark.decode_job import decode_table
+
+    df = decode_table(
+        spark, args.enc, columns=args.columns.split(",") if args.columns else None
+    )
+    for row in df.limit(args.n).collect():
+        print(json.dumps(row.asDict(), default=str))
+    return 0
+
+
+def cmd_schema(args) -> int:
+    """Table schema (parquet-tool schema analogue)."""
+    from .spark import manifest as mf
+
+    print(json.dumps({"fields": mf.read_table_schema(args.enc)}))
+    return 0
+
+
+def cmd_rowcount(args) -> int:
+    """Row count from the manifest alone — no chunk is decoded
+    (parquet-tool rowcount analogue)."""
+    from .spark import manifest as mf
+
+    total = 0
+    for pid in sorted(mf.committed_partitions(args.enc)):
+        rows = mf.read_partition_manifest(args.enc, pid)
+        if rows:
+            first_col = rows[0]["column"]
+            total += sum(r["num_rows"] for r in rows if r["column"] == first_col)
+    print(json.dumps({"rows": total}))
+    return 0
+
+
+def cmd_snapshots(args) -> int:
+    """Snapshot lineage log (Iceberg snapshots analogue)."""
+    from .spark import manifest as mf
+
+    for snap in mf.read_snapshots(args.enc):
+        print(json.dumps(snap))
     return 0
 
 
@@ -165,6 +225,24 @@ def main(argv=None) -> int:
     v.add_argument("--enc", required=True)
     v.add_argument("--key-col", default="url")
     v.set_defaults(fn=cmd_verify)
+
+    h = sub.add_parser("head")
+    h.add_argument("--enc", required=True)
+    h.add_argument("-n", type=int, default=10)
+    h.add_argument("--columns", default=None, help="comma-separated projection")
+    h.set_defaults(fn=cmd_head)
+
+    s = sub.add_parser("schema")
+    s.add_argument("--enc", required=True)
+    s.set_defaults(fn=cmd_schema)
+
+    rc = sub.add_parser("rowcount")
+    rc.add_argument("--enc", required=True)
+    rc.set_defaults(fn=cmd_rowcount)
+
+    sn = sub.add_parser("snapshots")
+    sn.add_argument("--enc", required=True)
+    sn.set_defaults(fn=cmd_snapshots)
 
     args = p.parse_args(argv)
     return args.fn(args)

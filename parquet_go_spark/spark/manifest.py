@@ -85,6 +85,71 @@ def read_manifest(spark, out_dir: str):
     return spark.read.schema(MANIFEST_DDL).parquet(os.path.join(manifest_dir(out_dir)))
 
 
+# ------------------------------------------------------- snapshot lineage
+def snapshot_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, "snapshots")
+
+
+def commit_snapshot(out_dir: str, operation: str, config: dict | None = None) -> dict:
+    """Append one job-level snapshot (Iceberg-snapshot analogue): a
+    sequenced, immutable JSON record of what is committed right now —
+    partition count, byte totals, per-encoding mix, the job config, and
+    the parent snapshot. Written tmp+rename, so readers only ever see
+    complete snapshots; the latest sequence number is the table's current
+    version. Call after the encode job's manifest DataFrame has been
+    acted on (the partitions are committed by then)."""
+    import time as _time
+
+    os.makedirs(snapshot_dir(out_dir), exist_ok=True)
+    existing = sorted(glob.glob(os.path.join(snapshot_dir(out_dir), "snap-*.json")))
+    seq = 0
+    parent = None
+    if existing:
+        with open(existing[-1]) as f:
+            parent_snap = json.load(f)
+        seq = parent_snap["seq"] + 1
+        parent = parent_snap["seq"]
+    total_raw = total_enc = n_rows = 0
+    encodings: dict[str, int] = {}
+    pids = committed_partitions(out_dir)
+    first_col = None
+    for pid in sorted(pids):
+        for r in read_partition_manifest(out_dir, pid):
+            total_raw += r["raw_bytes"]
+            total_enc += r["encoded_bytes"]
+            encodings[r["encoding"]] = encodings.get(r["encoding"], 0) + 1
+            if first_col is None:
+                first_col = r["column"]
+            if r["column"] == first_col:
+                n_rows += r["num_rows"]
+    snap = {
+        "seq": seq,
+        "parent": parent,
+        "ts": _time.strftime("%Y-%m-%dT%H:%M:%SZ", _time.gmtime()),
+        "operation": operation,
+        "partitions": len(pids),
+        "num_rows": n_rows,
+        "raw_bytes": total_raw,
+        "encoded_bytes": total_enc,
+        "encodings": encodings,
+        "config": config or {},
+    }
+    path = os.path.join(snapshot_dir(out_dir), f"snap-{seq:06d}.json")
+    tmp = path + f".tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(snap, f)
+    os.replace(tmp, path)
+    return snap
+
+
+def read_snapshots(out_dir: str) -> list[dict]:
+    out = []
+    for p in sorted(glob.glob(os.path.join(snapshot_dir(out_dir), "snap-*.json"))):
+        with open(p) as f:
+            out.append(json.load(f))
+    return out
+
+
 def write_table_schema(out_dir: str, fields: list[dict]):
     os.makedirs(out_dir, exist_ok=True)
     tmp = os.path.join(out_dir, "_schema.json.tmp")

@@ -103,3 +103,72 @@ def test_forced_encoding_roundtrip_empty_strings(enc):
     dec = decode_chunk(blob)
     assert np.array_equal(dec.lengths, lengths)
     assert np.array_equal(dec.data, data)
+
+
+# ---- round-2 containers: struct / flba / zdict / page-CRC ----
+@settings(max_examples=150, deadline=2000)
+@given(st.binary(max_size=300))
+def test_fuzz_struct_chunk_decoder(buf):
+    from parquet_go_spark.core.structchunk import STRUCT_MAGIC, decode_struct_chunk
+
+    try:
+        decode_struct_chunk(STRUCT_MAGIC + b"\x01" + buf)
+    except ACCEPTABLE:
+        pass
+    try:
+        decode_chunk(STRUCT_MAGIC + b"\x01" + buf)
+    except ACCEPTABLE:
+        pass
+
+
+@settings(max_examples=150, deadline=2000)
+@given(st.binary(max_size=300))
+def test_fuzz_flba_chunk_decoder(buf):
+    # ptype 6 = flba; random headers must never crash outside ValueError
+    try:
+        decode_chunk(MAGIC + b"\x01\x06" + buf)
+    except ACCEPTABLE:
+        pass
+
+
+@settings(max_examples=150, deadline=2000)
+@given(st.binary(max_size=300))
+def test_fuzz_zdict_stream_decoder(buf):
+    import zlib as _z
+
+    from parquet_go_spark.kernels import bytearrays
+
+    try:
+        bytearrays.decode_zdict(buf, 0)
+    except ACCEPTABLE + (_z.error,):
+        pass
+
+
+@settings(max_examples=60, deadline=5000)
+@given(st.lists(st.one_of(st.none(), st.binary(min_size=3, max_size=3)), max_size=100))
+def test_property_flba_roundtrip(vals):
+    validity = np.array([v is not None for v in vals], dtype=bool)
+    nn = b"".join(v for v in vals if v is not None)
+    col = ColumnData(
+        "flba", validity, data=np.frombuffer(nn, np.uint8), type_length=3, logical=""
+    )
+    for kw in ({}, {"page_crc": True}, {"compression": "zlib"}):
+        blob, _ = encode_chunk(col, **kw)
+        dec = decode_chunk(blob)
+        assert dec.type_length == 3
+        assert np.array_equal(dec.validity, validity)
+        assert bytes(dec.data) == nn
+
+
+@settings(max_examples=40, deadline=5000)
+@given(st.lists(st.one_of(st.none(), st.binary(max_size=30)), max_size=100))
+def test_property_zdict_roundtrip(vals):
+    validity = np.array([v is not None for v in vals], dtype=bool)
+    nn = [v for v in vals if v is not None]
+    lengths = np.array([len(v) for v in nn], dtype=np.int64)
+    data = np.frombuffer(b"".join(nn), dtype=np.uint8)
+    col = ColumnData("bytes", validity, lengths=lengths, data=data, logical="binary")
+    blob, _ = encode_chunk(col, encoding="zdict", page_crc=True)
+    dec = decode_chunk(blob)
+    assert np.array_equal(dec.lengths, lengths)
+    assert np.array_equal(dec.data, data)

@@ -134,3 +134,27 @@ def test_manifest_readable_as_table(spark, tmp_path):
     man = mf.read_manifest(spark, out)
     agg = man.groupBy("column").count().collect()
     assert all(r["count"] == 3 for r in agg)
+
+
+def test_snapshot_lineage(spark, tmp_path):
+    """Iceberg-snapshot analogue: sequenced append-only job records with
+    parent links, byte totals, and the per-encoding mix."""
+    from parquet_go_spark.spark import manifest as mf
+    from parquet_go_spark.spark.encode_job import encode_table
+    from parquet_go_spark.spark.pages_table import pages_df
+
+    out = str(tmp_path / "enc")
+    df = pages_df(spark, 500, partitions=2)
+    encode_table(df, out, key_col="url", partitions=2).collect()
+    s0 = mf.commit_snapshot(out, "encode", {"partitions": 2})
+    assert s0["seq"] == 0 and s0["parent"] is None
+    assert s0["partitions"] == 2 and s0["num_rows"] == 500
+    assert s0["raw_bytes"] > s0["encoded_bytes"] > 0
+    assert sum(s0["encodings"].values()) == 2 * 5  # partitions x columns
+    # a second job run (resume: no-op) appends a child snapshot
+    encode_table(df, out, key_col="url", partitions=2).collect()
+    s1 = mf.commit_snapshot(out, "encode", {"partitions": 2})
+    assert s1["seq"] == 1 and s1["parent"] == 0
+    snaps = mf.read_snapshots(out)
+    assert [s["seq"] for s in snaps] == [0, 1]
+    assert snaps[0]["encoded_bytes"] == snaps[1]["encoded_bytes"]
