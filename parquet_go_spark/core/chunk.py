@@ -165,16 +165,36 @@ def _extreme_bytes(
         pw = np.array([1 << (8 * (7 - i)) for i in range(8)], dtype=np.uint64)
         off = 8  # first 8 bytes already tied
         limit = len(data)
+        skip = 64  # fast-skip width, doubles while prefixes stay shared
+        mode_skip = False
         while len(cand) > 1:
             rem = lens[cand] - off
             if (rem <= 0).all():
                 break
+            # fast-skip: boilerplate columns (html headers, url scheme)
+            # share prefixes for hundreds of bytes; once a key round fails
+            # to narrow (identical window everywhere), leap whole blocks
+            # with one vectorized compare, doubling the block width
+            if mode_skip and (rem >= skip).all():
+                p0 = int(starts[cand[0]] + off)
+                ref = data[p0 : p0 + skip]
+                blk = pad[
+                    np.minimum(starts[cand] + off, limit)[:, None] + np.arange(skip)
+                ]
+                if (blk == ref[None, :]).all():
+                    off += skip
+                    skip = min(skip * 2, 1 << 16)
+                    continue
+                mode_skip = False
+                skip = 64
             pos = np.minimum(starts[cand] + off, limit)
             b = pad[pos[:, None] + offj].astype(np.uint64)
             b *= offj[None, :] < rem[:, None]
             keys = b @ pw
             sel = keys.min() if want_min else keys.max()
-            cand = cand[keys == sel]
+            new = cand[keys == sel]
+            mode_skip = len(new) == len(cand)  # no narrowing: shared window
+            cand = new
             off += 8
         if len(cand) > 1:
             # byte-equal up to the shorter length: length breaks the tie

@@ -158,3 +158,28 @@ def test_snapshot_lineage(spark, tmp_path):
     snaps = mf.read_snapshots(out)
     assert [s["seq"] for s in snaps] == [0, 1]
     assert snaps[0]["encoded_bytes"] == snaps[1]["encoded_bytes"]
+
+
+def test_near_dups_lsh_subset_of_exact(spark):
+    """Bucketed near-dup pairs must be a subset of the exact all-pairs
+    result (LSH trades recall, never precision: same-bucket pairs get the
+    exact scorer)."""
+    import numpy as np
+
+    from parquet_go_spark.ops.similarity import embedding_near_dups
+
+    rng = np.random.default_rng(9)
+    base = rng.standard_normal((60, 16))
+    # plant near-duplicates
+    vecs = np.concatenate([base, base[:10] + 0.01 * rng.standard_normal((10, 16))])
+    rows = [(i, v.astype("float32").tolist()) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = {
+        (r["id_a"], r["id_b"]) for r in embedding_near_dups(df, threshold=0.9, mode="exact").collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"]) for r in embedding_near_dups(df, threshold=0.9).collect()
+    }
+    assert lsh <= exact
+    assert len(exact) >= 10  # the planted duplicates are found by exact
+    assert len(lsh) >= len(exact) // 2  # and LSH recalls a healthy share
