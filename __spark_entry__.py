@@ -267,6 +267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "enc_plain_lineitem": _rt("lineitem", encoding="plain"),
         "enc_dict_documents": _rt("documents", encoding="rle_dict"),
         "enc_delta_bp_events": _rt("events", cols=["event_id", "ts", "user_id"], encoding="delta_bp"),
+        "enc_for_bp_events": _rt("events", cols=["event_id", "ts", "user_id"], encoding="for_bp"),
         "enc_delta_length_documents": _rt("documents", cols=["text", "lang", "source"], encoding="delta_length"),
         "enc_delta_bytes_documents": _rt("documents", cols=["text", "lang", "source"], encoding="delta_bytes"),
         "enc_fsst_documents": _rt("documents", cols=["text", "lang", "source"], encoding="fsst"),
@@ -457,6 +458,7 @@ WHERE round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) >= 0.35
         "enc_plain_lineitem": _ident_sql("lineitem"),
         "enc_dict_documents": _ident_sql("documents"),
         "enc_delta_bp_events": _ident_sql("events", ["event_id", "ts", "user_id"]),
+        "enc_for_bp_events": _ident_sql("events", ["event_id", "ts", "user_id"]),
         "enc_delta_length_documents": _ident_sql("documents", ["text", "lang", "source"]),
         "enc_delta_bytes_documents": _ident_sql("documents", ["text", "lang", "source"]),
         "enc_fsst_documents": _ident_sql("documents", ["text", "lang", "source"]),

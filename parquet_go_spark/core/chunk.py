@@ -35,7 +35,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..kernels import bitpack  # noqa: F401  (re-exported for selectors)
-from ..kernels import bytearrays, bytestreamsplit, deltabp, dictenc, fsst, hybrid, levels, plain
+from ..kernels import bytearrays, bytestreamsplit, deltabp, dictenc, forbp, fsst, hybrid, levels, plain
 from ..kernels.varint import read_uvarint, uvarint
 from .columns import ColumnData, gather_segments
 
@@ -61,6 +61,7 @@ ENCODINGS = {
     "bss": 7,
     "rle_bool": 8,
     "zdict": 9,  # delta-length layout, DEFLATE values + trained dict
+    "for_bp": 10,  # frame-of-reference + bit-pack (north-star ts pairing)
 }
 ENCODINGS_R = {v: k for k, v in ENCODINGS.items()}
 
@@ -403,6 +404,8 @@ def _encode_values(enc: str, col: ColumnData, vlo: int, vhi: int, dlo: int, dhi:
         return hybrid.with_size_prefix(hybrid.encode_auto(vals.astype(np.uint64), 1), 1)
     if enc == "delta_bp":
         return deltabp.encode(vals, 32 if col.ptype == "int32" else 64)
+    if enc == "for_bp":
+        return forbp.encode(vals, 32 if col.ptype == "int32" else 64)
     if enc == "bss":
         return bytestreamsplit.encode(vals)
     raise ValueError(f"bad encoding {enc} for {col.ptype}")
@@ -466,6 +469,9 @@ def _decode_values(enc: str, ptype: str, payload: bytes, pos: int, nvals: int, d
         return vals.astype(bool), pos
     if enc == "delta_bp":
         vals, pos = deltabp.decode(payload, pos, 32 if ptype == "int32" else 64)
+        return vals, pos
+    if enc == "for_bp":
+        vals, pos = forbp.decode(payload, pos, 32 if ptype == "int32" else 64)
         return vals, pos
     if enc == "bss":
         dt = {"int32": np.int32, "int64": np.int64, "float": np.float32, "double": np.float64}[ptype]

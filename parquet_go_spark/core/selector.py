@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..kernels import bytearrays, deltabp, dictenc, hybrid
+from ..kernels import bytearrays, deltabp, dictenc, forbp, hybrid
 from .columns import ColumnData
 
 __all__ = ["choose_encoding", "COST_PENALTY"]
@@ -33,6 +33,7 @@ COST_PENALTY = {
     "rle_bool": 0.0,
     "rle_dict": 0.03,
     "delta_bp": 0.03,
+    "for_bp": 0.01,  # encode/decode are one pack/unpack pass, no prefix-sum
     "delta_length": 0.02,
     "delta_bytes": 0.08,
     "bss": 0.02,
@@ -187,9 +188,13 @@ def choose_encoding(col: ColumnData, compression: str = "none"):
         itemsize = 4 if col.ptype in ("int32", "float") else 8
         est["plain"] = n * itemsize
         if col.ptype in ("int32", "int64"):
+            bits = 32 if col.ptype == "int32" else 64
             k = min(n, SAMPLE_VALUES)
-            s_enc = deltabp.encode(col.values[:k], 32 if col.ptype == "int32" else 64)
+            s_enc = deltabp.encode(col.values[:k], bits)
             est["delta_bp"] = len(s_enc) / max(k * itemsize, 1) * n * itemsize
+            # frame-of-reference on values: closed-form exact size (one
+            # min/max pass over the full column — no sample encode needed)
+            est["for_bp"] = forbp.estimate_size(col.values, bits)
         if compression != "none" and col.ptype in ("float", "double", "int64", "int32"):
             est["bss"] = n * itemsize * 0.999  # wins only via compression, below
 

@@ -78,12 +78,24 @@ def encode_table(
     resume: bool = True,
     sort_within: str | list[str] | None = None,
     page_crc: bool = False,
+    encodings: dict[str, str] | None = None,
 ) -> DataFrame:
     """Encode ``df`` into ``out_dir``; returns the manifest DataFrame.
+
+    ``encodings`` pins specific columns to a codec (the reference's
+    per-column configured encoding, ``schema.go:519-558``); unlisted
+    columns stay on the ``profile`` path.
 
     The returned DataFrame is the job: nothing runs until it is acted on
     (``.count()`` / ``.write`` / ``collect``).
     """
+    if encodings:
+        from ..core.chunk import ENCODINGS as _ENC_IDS
+
+        unknown = set(encodings) - set(cols_ := columns or df.columns)
+        bad = {e for e in encodings.values() if e not in _ENC_IDS}
+        if unknown or bad:
+            raise ValueError(f"encodings: unknown columns {unknown or '{}'} / codecs {bad or '{}'}")
     spark = df.sparkSession
     cols = columns or df.columns
     df = df.select(*cols)
@@ -147,7 +159,11 @@ def encode_table(
             for name in cols:
                 col = from_arrow(table.column(name))
                 blob, meta = encode_chunk(
-                    col, profile=profile, compression=compression, page_crc=page_crc
+                    col,
+                    profile=profile,
+                    compression=compression,
+                    page_crc=page_crc,
+                    encoding=(encodings or {}).get(name),
                 )
                 named_blobs.append((name, blob))
                 rows.append(

@@ -51,13 +51,39 @@ def test_codec_selection_on_pages(spark, tmp_path):
     for r in rows:
         if r["num_rows"] > 0:  # empty partitions carry the empty-dict chunk
             enc_of.setdefault(r["column"], set()).add(r["encoding"])
-    # FIXTURES.md verification contract #3
+    # FIXTURES.md verification contract #3. warc_ts after the url-hash
+    # shuffle is clustered-but-unsorted: the FOR family (delta_bp = FOR
+    # on deltas, for_bp = FOR on values) must win; which member depends
+    # on the partition's sortedness.
     assert enc_of["lang"] <= {"rle_dict"}, enc_of
-    assert enc_of["warc_ts"] <= {"delta_bp"}, enc_of
+    assert enc_of["warc_ts"] <= {"delta_bp", "for_bp"}, enc_of
     # compression must actually help on every column vs raw
     total_raw = sum(r["raw_bytes"] for r in rows)
     total_enc = sum(r["encoded_bytes"] for r in rows)
     assert total_enc < total_raw
+
+
+def test_per_column_encodings_override(spark, tmp_path):
+    # the reference's per-column configured encoding (schema.go:519-558):
+    # pinned columns bypass the selector, others stay on the profile path
+    out = str(tmp_path / "enc_pin")
+    df = pages_df(spark, N_ROWS, partitions=2).select("url", "warc_ts", "lang")
+    rows = encode_table(
+        df, out, key_col="url", partitions=2,
+        encodings={"warc_ts": "for_bp", "url": "delta_length"},
+    ).collect()
+    enc_of = {}
+    for r in rows:
+        if r["num_rows"] > 0:
+            enc_of.setdefault(r["column"], set()).add(r["encoding"])
+    assert enc_of["warc_ts"] == {"for_bp"}
+    assert enc_of["url"] == {"delta_length"}
+    assert enc_of["lang"] <= {"rle_dict"}  # unpinned: selector's choice
+    assert verify_roundtrip(df, decode_table(spark, out), key="url")["ok"]
+    with pytest.raises(ValueError, match="unknown columns"):
+        encode_table(df, str(tmp_path / "x"), encodings={"nope": "plain"})
+    with pytest.raises(ValueError, match="codecs"):
+        encode_table(df, str(tmp_path / "y"), encodings={"url": "martian"})
 
 
 def test_resume_skips_committed_partitions(spark, tmp_path):
