@@ -30,9 +30,12 @@ from parquet_go_spark.ops.dedup import (
     simhash64,
 )
 from parquet_go_spark.ops.similarity import (
+    cell_scores_sql,
     cosine_topk,
     embedding_near_dups,
     hyperplanes,
+    ivf_centroids,
+    ivf_topk,
     lsh_bucket_topk,
     signature_sql,
 )
@@ -249,6 +252,12 @@ def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucket_topk(emb, queries, k=10).withColumn("rank", F.col("rank").cast("long"))
 
 
+def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return ivf_topk(emb, queries, k=10).withColumn("rank", F.col("rank").cast("long"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # encoding layer: identity round-trips (auto selector + per-codec)
@@ -313,6 +322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search
         "embedding_cosine_topk": _q_cosine_topk,
         "embedding_lsh_topk": _q_lsh_topk,
+        "embedding_ivf_topk": _q_ivf_topk,
         "embedding_near_dups": lambda spark, sf_dir: embedding_near_dups(
             _load(spark, sf_dir, "embeddings")
         ),
@@ -393,6 +403,27 @@ SELECT q_id, n_id, rank FROM (
     # deterministic hyperplane signatures: the exact plane literals the
     # Spark ops embed (ops/similarity.py), mirrored into DuckDB
     duck_sig = signature_sql(hyperplanes(64, 8, 7), "e", dot_fn="list_dot_product")
+    duck_cells = cell_scores_sql(ivf_centroids(64, 16, 13), "e", dot_fn="list_dot_product")
+    ivf_topk_sql = f"""
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+s AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm, ({duck_cells}) AS ds FROM v),
+c AS (SELECT vec_id, e, nrm, CAST(list_position(ds, list_max(ds)) AS INT) AS cell FROM s),
+q0 AS (SELECT vec_id AS q_id, e AS qe, nrm AS qnrm, ds FROM s WHERE vec_id < 8),
+qp AS (
+  SELECT q_id, qe, qnrm, CAST(i + 1 AS INT) AS cell,
+    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY ds[i + 1] DESC, i ASC) AS pr
+  FROM q0, UNNEST(range(len(ds))) AS t(i)
+),
+cand AS (
+  SELECT p.q_id, c.vec_id AS n_id,
+    round(list_dot_product(p.qe, c.e) / (p.qnrm * c.nrm), 6) AS sim
+  FROM (SELECT * FROM qp WHERE pr <= 4) p
+  JOIN c ON c.cell = p.cell AND c.vec_id <> p.q_id
+)
+SELECT q_id, n_id, rank FROM (
+  SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rank FROM cand
+) WHERE rank <= 10
+"""
     lsh_topk_sql = f"""
 WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
 sg AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm, ({duck_sig}) AS s FROM v),
@@ -510,6 +541,7 @@ WHERE round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) >= 0.35
         "multimodal_image_hist": _MULTIMODAL_DUCK,
         "embedding_cosine_topk": topk_sql,
         "embedding_lsh_topk": lsh_topk_sql,
+        "embedding_ivf_topk": ivf_topk_sql,
         "embedding_near_dups": near_dups_sql,
         "simhash64": _simhash_duck_sql(),
         "langid_ngram": _langid_duck_sql(),

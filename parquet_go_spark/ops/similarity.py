@@ -21,9 +21,12 @@ from pyspark.sql.window import Window
 __all__ = [
     "cosine_topk",
     "lsh_bucket_topk",
+    "ivf_topk",
     "embedding_near_dups",
     "hyperplanes",
     "signature_sql",
+    "ivf_centroids",
+    "cell_scores_sql",
 ]
 
 
@@ -171,6 +174,110 @@ def cosine_topk(
     return (
         cand.filter(F.col("q_id") != F.col("n_id"))
         .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "rank")
+    )
+
+
+def ivf_centroids(dim: int, n_cells: int = 16, seed: int = 13) -> np.ndarray:
+    """Deterministic unit-norm coarse-quantizer centroids, rounded to 6
+    decimals so the identical constants embed as literals in any SQL
+    engine (same cross-engine-parity trick as ``hyperplanes``). A seeded
+    random quantizer, not k-means: at scale a trained quantizer slots in
+    here unchanged (the assignment/probe plan is identical), but the
+    oracle gate needs constants both engines share."""
+    rng = np.random.default_rng(seed)
+    c = rng.standard_normal((dim, n_cells))
+    c /= np.linalg.norm(c, axis=0, keepdims=True)
+    return np.round(c, 6)
+
+
+def cell_scores_sql(cents: np.ndarray, vec_expr: str, dot_fn: str | None = None) -> str:
+    """SQL array expression of round(dot(vec, centroid_j), 6) per cell.
+    ``dot_fn=None`` emits Spark zip_with/aggregate folds;
+    ``dot_fn="list_dot_product"`` the DuckDB form. Rounding before the
+    argmax/rank keeps cell assignment identical across engines."""
+    dots = []
+    for j in range(cents.shape[1]):
+        lits = ", ".join(repr(float(x)) for x in cents[:, j])
+        if dot_fn:
+            d = f"{dot_fn}({vec_expr}, [{lits}])"
+        else:
+            d = (
+                f"aggregate(zip_with({vec_expr}, array({lits}),"
+                f" (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+            )
+        dots.append(f"round({d}, 6)")
+    if dot_fn:
+        return "[" + ", ".join(dots) + "]"
+    return "array(" + ", ".join(dots) + ")"
+
+
+def ivf_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 13,
+) -> DataFrame:
+    """Approximate cosine top-k via an IVF (inverted-file) index: every
+    corpus vector is assigned to its argmax-dot coarse cell in one
+    projection (no shuffle of the corpus), each query probes its
+    ``n_probe`` best cells, and the exact scorer runs only over probed
+    cells — each corpus row meets ~|Q|·n_probe/n_cells queries through a
+    broadcast join on the cell id.
+
+    This is the complementary scale path to ``lsh_bucket_topk``: LSH
+    buckets by signature equality (recall from collision probability),
+    IVF buckets by quantizer proximity (recall tuned by n_probe with the
+    standard nprobe/ncells trade-off). All constants are deterministic
+    literals, so the DuckDB oracle reproduces the result exactly."""
+    dim = len(queries.select(vec_col).first()[0])
+    cents = ivf_centroids(dim, n_cells, seed)
+    ds = cell_scores_sql(cents, "e")
+    nrm = "sqrt(aggregate(zip_with(e, e, (x, y) -> x * y), 0D, (acc, x) -> acc + x))"
+
+    def base(d: DataFrame) -> DataFrame:
+        return d.select(
+            F.col(id_col).alias("vid"),
+            F.expr(f"transform({vec_col}, x -> cast(x AS double))").alias("e"),
+        ).select("vid", "e", F.expr(nrm).alias("nrm"), F.expr(ds).alias("ds"))
+
+    v = base(df).select(
+        "vid", "e", "nrm", F.expr("array_position(ds, array_max(ds))").cast("int").alias("cell")
+    )
+    qw = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("pos"))
+    probes = (
+        base(queries)
+        .select(
+            F.col("vid").alias("q_id"),
+            F.col("e").alias("qe"),
+            F.col("nrm").alias("qnrm"),
+            F.posexplode("ds").alias("pos", "score"),
+        )
+        .withColumn("pr", F.row_number().over(qw))
+        .filter(F.col("pr") <= n_probe)
+        .select("q_id", "qe", "qnrm", (F.col("pos") + 1).alias("cell"))
+    )
+    dot = "aggregate(zip_with(a.e, p.qe, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+    cand = (
+        v.alias("a")
+        .join(
+            F.broadcast(probes.alias("p")),
+            (F.col("a.cell") == F.col("p.cell")) & (F.col("a.vid") != F.col("p.q_id")),
+        )
+        .select(
+            "p.q_id",
+            F.col("a.vid").alias("n_id"),
+            F.round(F.expr(dot) / (F.col("a.nrm") * F.col("p.qnrm")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("n_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("q_id", "n_id", "rank")
     )

@@ -186,6 +186,34 @@ def test_snapshot_lineage(spark, tmp_path):
     assert snaps[0]["encoded_bytes"] == snaps[1]["encoded_bytes"]
 
 
+def test_ivf_topk_recall_and_plan(spark):
+    """IVF top-k: planted near-duplicates land in the same coarse cell,
+    so rank-1 neighbors match the exact scorer; the plan must broadcast
+    the probe side (never shuffle or nested-loop the corpus)."""
+    import numpy as np
+
+    from parquet_go_spark.ops.similarity import cosine_topk, ivf_topk
+
+    rng = np.random.default_rng(31)
+    base = rng.standard_normal((80, 16))
+    vecs = np.concatenate([base, base[:8] + 0.005 * rng.standard_normal((8, 16))])
+    rows = [(i, v.astype("float32").tolist()) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = df.filter("vec_id < 8")
+    res = ivf_topk(df, queries, k=5, n_cells=8, n_probe=3)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan, plan
+    got1 = {r["q_id"]: r["n_id"] for r in res.collect() if r["rank"] == 1}
+    want1 = {
+        r["q_id"]: r["n_id"] for r in cosine_topk(df, queries, k=5).collect() if r["rank"] == 1
+    }
+    # a vector and its tiny perturbation quantize to the same argmax cell,
+    # so every query's true rank-1 (its planted twin, id+80) is probed
+    hits = sum(got1.get(q) == n for q, n in want1.items())
+    assert hits == len(want1), (got1, want1)
+
+
 def test_near_dups_lsh_subset_of_exact(spark):
     """Bucketed near-dup pairs must be a subset of the exact all-pairs
     result (LSH trades recall, never precision: same-bucket pairs get the
