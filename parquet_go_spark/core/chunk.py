@@ -116,8 +116,16 @@ class ChunkMeta:
             if isinstance(v, bytes):
                 try:
                     s = v.decode("utf-8")
-                except UnicodeDecodeError:
-                    return None
+                except UnicodeDecodeError as err:
+                    # a multibyte char split at the truncation cap (or any
+                    # non-UTF8 tail): the clean head is still a valid
+                    # prefix, and UTF-8 byte order == codepoint order, so
+                    # head (for min) / incremented head (for max) remain
+                    # prune-safe bounds; an empty head disables pruning
+                    s = v[: err.start].decode("utf-8")
+                    if not s:
+                        return None
+                    return _increment_str(s[:64]) if is_max else s[:64]
                 if len(s) <= 64:
                     return s
                 return _increment_str(s[:64]) if is_max else s[:64]
@@ -154,12 +162,30 @@ def _increment_str(p: str) -> str | None:
 
 
 def _extreme_bytes(
-    data: np.ndarray, starts: np.ndarray, lens: np.ndarray, cand: np.ndarray, want_min: bool
+    data: np.ndarray,
+    starts: np.ndarray,
+    lens: np.ndarray,
+    cand: np.ndarray,
+    want_min: bool,
+    cap: int = 280,
 ) -> bytes:
-    """Exact lexicographic min/max over candidate byte strings that tie on
+    """Lexicographic min/max over candidate byte strings that tie on
     their first 8 bytes: compare successive 8-byte big-endian keys,
-    narrowing the candidate set each round (O(tied bytes / 8) total work,
-    no per-candidate cap)."""
+    narrowing the candidate set each round.
+
+    Exact up to ``cap`` prefix bytes. Past the cap (boilerplate columns
+    where thousands of multi-KB values share hundreds of bytes) the
+    result degrades to a prune-safe BOUND instead of an exact value:
+    min -> the shortest surviving candidate truncated to the tied prefix
+    (a prefix of the true min, hence a valid lower bound); max -> the
+    tied prefix with its last non-0xFF byte incremented (Parquet's
+    truncate-and-increment: a strict upper bound for every string
+    sharing the prefix). Every consumer (manifest ``as_dict`` truncates
+    to 64 chars anyway; the Parquet footer writes bounds, not values)
+    needs only bound semantics, and ``cap`` = 280 > 4 bytes/char * 64
+    chars + 8 keeps the 64-char manifest strings byte-identical to the
+    exact computation. Exactness beyond the cap was pure waste: ~66% of
+    html-column encode time went to resolving KB-deep ties."""
     if len(cand) > 1:
         pad = np.concatenate([data, np.zeros(8, np.uint8)])
         offj = np.arange(8)
@@ -169,6 +195,18 @@ def _extreme_bytes(
         skip = 64  # fast-skip width, doubles while prefixes stay shared
         mode_skip = False
         while len(cand) > 1:
+            if off >= cap:
+                if want_min:
+                    i = int(cand[np.argmin(lens[cand])])
+                    return bytes(data[starts[i] : starts[i] + min(int(lens[i]), off)])
+                i = int(cand[np.argmax(lens[cand])])
+                p = bytearray(data[starts[i] : starts[i] + min(int(lens[i]), off)])
+                while p and p[-1] == 0xFF:
+                    p.pop()
+                if p:
+                    p[-1] += 1
+                    return bytes(p)
+                cap = 1 << 62  # all-0xFF prefix: no increment exists, go exact
             rem = lens[cand] - off
             if (rem <= 0).all():
                 break
@@ -206,10 +244,12 @@ def _extreme_bytes(
 
 
 def column_minmax(col: ColumnData) -> tuple[object, object]:
-    """Typed chunk min/max (reference O13, ``stats.go:9-225``): exact,
-    vectorized. Bytes: big-endian first-8-byte keys narrow the candidates,
-    ties resolved exactly by progressive 8-byte key comparison (no
-    candidate cap — shared-prefix columns like urls stay correct).
+    """Typed chunk min/max (reference O13, ``stats.go:9-225``),
+    vectorized. Bytes: big-endian first-8-byte keys narrow the
+    candidates, ties resolved by progressive 8-byte key comparison with
+    no candidate-count cap (shared-prefix columns like urls stay
+    correct); ties deeper than ~280 prefix bytes return prune-safe
+    truncated bounds instead of exact values (see ``_extreme_bytes``).
     FLBA decimals compare as signed integers (widths <= 8 vectorized;
     wider report no stats rather than wrong ones)."""
     if col.num_values == 0:

@@ -101,3 +101,41 @@ def test_meta_carries_minmax():
     _, meta = encode_chunk(col)
     d = meta.as_dict()
     assert d["min_str"] == "a" and d["max_str"] == "z"
+
+
+def test_minmax_bytes_deep_ties_return_prune_safe_bounds():
+    # boilerplate column: thousands of multi-KB values sharing a long
+    # prefix. Past the exactness cap the result degrades to bounds:
+    # min <= every value, max >= every value, and the 64-char manifest
+    # strings match what the exact computation would store.
+    base = b"<div class='content'>" + b"lorem ipsum " * 60  # ~740 shared bytes
+    vals = [base + (b"tail-%04d" % (i % 7)) + b"y" * (i % 50) for i in range(3000)]
+    col = from_arrow(pa.array(vals, type=pa.binary()))
+    mn, mx = column_minmax(col)
+    assert mn <= min(vals) and mx >= max(vals)
+    from parquet_go_spark.core.chunk import ChunkMeta
+
+    meta = ChunkMeta("bytes", "plain", "none", 1, 0, 1, 1, 1, 1, 0, mn, mx)
+    d = meta.as_dict()
+    exact_min, exact_max = min(vals).decode(), max(vals).decode()
+    assert d["min_str"] == exact_min[:64]
+    inc = exact_max[:64]
+    assert d["max_str"] is not None and d["max_str"] > inc[:63]
+
+
+def test_minmax_multibyte_split_at_cap_stays_prune_safe():
+    # a 2-byte UTF-8 char straddling the truncation cap: the stored
+    # bounds must decode the clean head and stay conservative
+    base = ("é" * 200).encode()  # 400 bytes of 2-byte chars
+    vals = [base + b"a" * i for i in range(1200)]
+    col = from_arrow(pa.array(vals, type=pa.binary()))
+    mn, mx = column_minmax(col)
+    assert mn <= min(vals) and mx >= max(vals)
+    from parquet_go_spark.core.chunk import ChunkMeta
+
+    d = ChunkMeta("bytes", "plain", "none", 1, 0, 1, 1, 1, 1, 0, mn, mx).as_dict()
+    # bounds either disabled (None) or valid as strings
+    if d["min_str"] is not None:
+        assert d["min_str"] <= min(vals).decode()
+    if d["max_str"] is not None:
+        assert d["max_str"] >= max(vals).decode()[:64]
