@@ -154,7 +154,12 @@ def choose_encoding(col: ColumnData, compression: str = "none"):
         # and overstates the ratio badly on heterogeneous columns.
         # Budgets scale with chunk size so the selector's fixed cost stays
         # a bounded fraction of the encode itself on small chunks.
-        if total >= 4096:
+        # Skip candidacy outright when the trained-dict DEFLATE estimate
+        # already exceeds 4x: FSST's table (<=255 symbols of <=8 bytes)
+        # tops out well under the ~6.7x it would need to overcome its
+        # 0.60 cost penalty from there, and training is the selector's
+        # single most expensive probe (~35% of boilerplate-column encode).
+        if total >= 4096 and est.get("zdict", float("inf")) > total / 4:
             from ..kernels import fsst as _fsst
 
             sample_bytes = int(min(SAMPLE_BYTES, max(total // 8, 4096)))
