@@ -50,6 +50,11 @@ def cmd_encode(args) -> int:
             compression=args.compression,
             resume=not args.no_resume,
             page_crc=args.page_crc,
+            encodings=(
+                dict(kv.split("=", 1) for kv in args.encodings.split(","))
+                if args.encodings
+                else None
+            ),
         ).collect()
     raw = sum(r["raw_bytes"] for r in man)
     enc = sum(r["encoded_bytes"] for r in man)
@@ -196,6 +201,12 @@ def main(argv=None) -> int:
     e.add_argument("--compression", default="none", choices=["none", "zlib", "snappy", "zstd", "lz4", "gzip"])
     e.add_argument("--no-resume", action="store_true")
     e.add_argument("--page-crc", action="store_true", help="per-page CRC32 (WithCRC analogue)")
+    e.add_argument(
+        "--encodings",
+        default=None,
+        help="pin columns to codecs, e.g. warc_ts=for_bp,url=delta_length "
+        "(per-column configured encoding; chunks format only)",
+    )
     e.add_argument(
         "--format",
         default="chunks",
