@@ -63,6 +63,10 @@ def decode(buf, pos: int, bits: int) -> tuple[np.ndarray, int]:
     sdt, _udt = _dtypes(bits)
     mv = memoryview(buf) if not isinstance(buf, memoryview) else buf
     n, pos = read_uvarint(mv, pos)
+    if n > 1 << 28:
+        # allocation governor: a width-0 stream stores no packed bytes,
+        # so a forged count would otherwise allocate unbounded zeros
+        raise ValueError(f"for_bp: implausible count {n}")
     if n == 0:
         return np.empty(0, dtype=sdt), pos
     ref, pos = read_varint(mv, pos)

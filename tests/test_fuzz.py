@@ -11,7 +11,7 @@ from hypothesis import given, settings, strategies as st
 
 from parquet_go_spark.core.chunk import MAGIC, decode_chunk, encode_chunk
 from parquet_go_spark.core.columns import ColumnData
-from parquet_go_spark.kernels import deltabp, fsst, hybrid
+from parquet_go_spark.kernels import deltabp, forbp, fsst, hybrid
 
 ACCEPTABLE = (ValueError, IndexError, KeyError, OverflowError, EOFError, MemoryError)
 
@@ -50,6 +50,31 @@ def test_fuzz_deltabp_decoder(buf, bits):
         deltabp.decode(buf, 0, bits)
     except ACCEPTABLE:
         pass
+
+
+@settings(max_examples=200, deadline=2000)
+@given(st.binary(max_size=256), st.sampled_from([32, 64]))
+def test_fuzz_forbp_decoder(buf, bits):
+    try:
+        forbp.decode(buf, 0, bits)
+    except ACCEPTABLE:
+        pass
+
+
+@settings(max_examples=100, deadline=5000)
+@given(
+    st.lists(st.integers(min_value=-(2**63), max_value=2**63 - 1), max_size=300),
+    st.sampled_from([32, 64]),
+)
+def test_property_forbp_roundtrip(vals, bits):
+    import numpy as np
+
+    arr = np.array(vals, dtype=np.int64)
+    if bits == 32:
+        arr = arr.astype(np.int32)
+    out, pos = forbp.decode(forbp.encode(arr, bits), 0, bits)
+    assert pos == len(forbp.encode(arr, bits))
+    np.testing.assert_array_equal(out, arr)
 
 
 @settings(max_examples=150, deadline=2000)
