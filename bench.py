@@ -36,6 +36,7 @@ OP_QUERIES = [
     "simhash64",
     "langid_ngram",
     "embedding_cosine_topk",
+    "embedding_ivf_topk",
 ]
 
 
@@ -110,32 +111,35 @@ def main() -> None:
         extras["encode_rows_per_s"] = round(rows / q["encode_pages"], 1)
         extras["compression_ratio"] = round(raw / max(enc_b, 1), 4)
 
-        best = None
-        for _ in range(2):
-            t0 = time.perf_counter()
-            _force(decode_table(spark, enc_dir))
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        q["decode_pages"] = round(best, 3)
-        extras["decode_gbps"] = round(raw / 1e9 / q["decode_pages"], 4)
+        if os.environ.get("SPARK_GRAFT_BENCH_ONLY") != "encode":
+            # scaling runs (BENCH_ONLY=encode) only consume encode_gbps +
+            # compression_ratio; skip the decode and size-gate passes there
+            best = None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                _force(decode_table(spark, enc_dir))
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            q["decode_pages"] = round(best, 3)
+            extras["decode_gbps"] = round(raw / 1e9 / q["decode_pages"], 4)
 
-        # size gate: identical data through the reference's exact encoding
-        # decision (dict-or-plain, chunk_writer.go:174-227) — our auto
-        # selector must come in at or under it
-        t0 = time.perf_counter()
-        man_ref = encode_table(
-            src,
-            f"{tmp}/enc_ref",
-            key_col="url",
-            partitions=enc_parts,
-            profile="reference",
-            compression="snappy",
-        ).collect()
-        q["encode_pages_reference"] = round(time.perf_counter() - t0, 3)
-        ref_b = sum(r["encoded_bytes"] for r in man_ref)
-        extras["bytes_auto"] = enc_b
-        extras["bytes_reference_profile"] = ref_b
-        extras["size_vs_reference"] = round(enc_b / max(ref_b, 1), 4)
+            # size gate: identical data through the reference's exact
+            # encoding decision (dict-or-plain, chunk_writer.go:174-227) —
+            # our auto selector must come in at or under it
+            t0 = time.perf_counter()
+            man_ref = encode_table(
+                src,
+                f"{tmp}/enc_ref",
+                key_col="url",
+                partitions=enc_parts,
+                profile="reference",
+                compression="snappy",
+            ).collect()
+            q["encode_pages_reference"] = round(time.perf_counter() - t0, 3)
+            ref_b = sum(r["encoded_bytes"] for r in man_ref)
+            extras["bytes_auto"] = enc_b
+            extras["bytes_reference_profile"] = ref_b
+            extras["size_vs_reference"] = round(enc_b / max(ref_b, 1), 4)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

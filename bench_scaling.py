@@ -17,8 +17,21 @@ import sys
 HERE = os.path.dirname(os.path.abspath(__file__))
 
 
-def run_level(cpus: int, rows: int, repeats: int = 3) -> dict:
-    """Best-of-N fresh-process runs (this sandbox VM is noisy)."""
+def _noise_probe() -> float:
+    """Single-thread ms for a fixed DEFLATE workload: a host-steal
+    canary recorded next to every rep (this multi-tenant VM shows
+    minute-long bursts where the same probe runs 5-50x slower)."""
+    import time
+    import zlib
+
+    buf = (b"the quick brown fox jumps over the lazy dog " * 4096)[: 1 << 18]
+    t0 = time.perf_counter()
+    zlib.compress(buf, 6)
+    return round((time.perf_counter() - t0) * 1000, 2)
+
+
+def run_once(cpus: int, rows: int) -> dict:
+    """One fresh-process bench run at ``cpus`` cores."""
     env = dict(os.environ)
     env.update(
         {
@@ -31,20 +44,44 @@ def run_level(cpus: int, rows: int, repeats: int = 3) -> dict:
             ),
         }
     )
-    best = None
-    for _ in range(repeats):
-        out = subprocess.run(
-            [sys.executable, os.path.join(HERE, "bench.py")],
-            env=env,
-            capture_output=True,
-            text=True,
-            timeout=3600,
+    out = subprocess.run(
+        [sys.executable, os.path.join(HERE, "bench.py")],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=3600,
+    )
+    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+    r = json.loads(line)
+    r["noise_probe_ms"] = _noise_probe()
+    return r
+
+
+def run_levels(n: int, rows: int, repeats: int = 3) -> tuple[dict, dict, list]:
+    """INTERLEAVED best-of-N: (N-core run, 4N-core run) pairs
+    back-to-back, so a multi-minute host-steal burst degrades both
+    levels rather than silently sinking one phase (phase-ordered runs
+    measured 0.41 'efficiency' purely from a burst that covered the
+    whole 4N phase)."""
+    lo = hi = None
+    trace = []
+    for i in range(repeats):
+        a = run_once(n, rows)
+        b = run_once(4 * n, rows)
+        trace.append(
+            {
+                "rep": i,
+                "gbps_n": a["encode_gbps"],
+                "gbps_4n": b["encode_gbps"],
+                "probe_ms_n": a["noise_probe_ms"],
+                "probe_ms_4n": b["noise_probe_ms"],
+            }
         )
-        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-        r = json.loads(line)
-        if best is None or r["encode_gbps"] > best["encode_gbps"]:
-            best = r
-    return best
+        if lo is None or a["encode_gbps"] > lo["encode_gbps"]:
+            lo = a
+        if hi is None or b["encode_gbps"] > hi["encode_gbps"]:
+            hi = b
+    return lo, hi, trace
 
 
 def main() -> None:
@@ -77,10 +114,10 @@ def main() -> None:
         env["PYTHONPATH"] = HERE + os.pathsep + env.get("PYTHONPATH", "")
         subprocess.run([sys.executable, "-c", gen], env=env, check=True, timeout=3600)
         os.environ["SPARK_GRAFT_PAGES_DIR"] = pages_dir
-    lo = run_level(n, rows)
-    hi = run_level(4 * n, rows)
+    lo, hi, trace = run_levels(n, rows)
     eff = hi["encode_gbps"] / (4 * lo["encode_gbps"])
     result = {
+        "reps": trace,
         "rows": rows,
         "n_cores": n,
         "4n_cores": 4 * n,
