@@ -233,6 +233,63 @@ LEFT JOIN cnt c ON c.media_id = dense.media_id AND c.ch = pos // 16 AND c.bin = 
 """
 
 
+def _q_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest bloom-filter point lookup (kernels/bloom.py): encode the
+    documents table salted on doc_id with per-chunk split-block blooms,
+    then decode with an equality prune. The salted layout makes every
+    partition span the full doc_id range, so min/max stats can prune
+    nothing — partition skips come from the bloom proving absence. The
+    oracle is the plain point SELECT; correctness = pruning never drops
+    the matching row (blooms have no false negatives)."""
+    import tempfile
+
+    from parquet_go_spark.spark.decode_job import decode_table
+    from parquet_go_spark.spark.encode_job import encode_table
+
+    d = _load(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="pgs_bloom_q_") + "/enc"
+    encode_table(
+        d, out, key_col="doc_id", partitions=8, bloom_columns=["doc_id", "source"]
+    ).collect()
+    dec = decode_table(spark, out, prune=[("doc_id", "==", 123)])
+    return dec.filter(F.col("doc_id") == 123).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+
+
+def _q_page_prune_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-level stats pruning (chunk flags bit3, chunk_page_index):
+    encode lineitem sorted-within-partition on l_orderkey with per-page
+    min/max bounds and small pages, then decode under a range predicate —
+    only the pages whose bounds overlap [2000, 2400] are decompressed
+    (the Parquet ColumnIndex read path; the reference writes page stats
+    at data_store.go:166-179 but never reads them). The oracle is the
+    plain BETWEEN select; correctness = page skips never drop a match."""
+    import tempfile
+
+    from parquet_go_spark.spark.decode_job import decode_table
+    from parquet_go_spark.spark.encode_job import encode_table
+
+    li = _load(spark, sf_dir, "lineitem")
+    out = tempfile.mkdtemp(prefix="pgs_pstats_q_") + "/enc"
+    encode_table(
+        li,
+        out,
+        key_col="l_orderkey",
+        partitions=8,
+        sort_within="l_orderkey",
+        page_stats=True,
+        max_page=16384,
+        compression="snappy",
+    ).collect()
+    dec = decode_table(
+        spark, out, prune=[("l_orderkey", ">=", 2000), ("l_orderkey", "<=", 2400)]
+    )
+    return dec.filter(F.col("l_orderkey").between(2000, 2400)).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+
+
 def _q_dict_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
     st = table_column_stats(_load(spark, sf_dir, "documents"))
     return st.select(
@@ -300,6 +357,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
         ),
         "dict_decision_documents": _q_dict_decision,
+        "prune_bloom_lookup": _q_bloom_lookup,
+        "prune_page_range": _q_page_prune_range,
         # training-data pipeline ops
         "dedup_exact": lambda spark, sf_dir: exact_dedup(_load(spark, sf_dir, "documents")),
         "token_stats": lambda spark, sf_dir: token_stats(_load(spark, sf_dir, "documents")),
@@ -511,6 +570,13 @@ WHERE round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) >= 0.35
                 f" COUNT(DISTINCT {c}) <= 32767 AS use_dict FROM documents"
                 for c in _T["documents"]
             )
+        ),
+        "prune_bloom_lookup": (
+            "SELECT doc_id, text, lang, source, n_chars FROM documents WHERE doc_id = 123"
+        ),
+        "prune_page_range": (
+            "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice"
+            " FROM lineitem WHERE l_orderkey BETWEEN 2000 AND 2400"
         ),
         "dedup_exact": (
             "SELECT md5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups"

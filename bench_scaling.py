@@ -51,8 +51,14 @@ def run_once(cpus: int, rows: int) -> dict:
         text=True,
         timeout=3600,
     )
-    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-    r = json.loads(line)
+    lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+    if not lines:
+        sys.stderr.write(
+            f"--- bench.py produced no JSON at {cpus} cores (rc={out.returncode})\n"
+            f"--- stdout tail:\n{out.stdout[-2000:]}\n--- stderr tail:\n{out.stderr[-4000:]}\n"
+        )
+        raise RuntimeError(f"bench run at {cpus} cores failed")
+    r = json.loads(lines[-1])
     r["noise_probe_ms"] = _noise_probe()
     return r
 

@@ -50,6 +50,9 @@ def cmd_encode(args) -> int:
             compression=args.compression,
             resume=not args.no_resume,
             page_crc=args.page_crc,
+            page_stats=args.page_stats,
+            sort_within=args.sort_within.split(",") if args.sort_within else None,
+            bloom_columns=args.bloom_columns.split(",") if args.bloom_columns else None,
             encodings=(
                 dict(kv.split("=", 1) for kv in args.encodings.split(","))
                 if args.encodings
@@ -201,6 +204,21 @@ def main(argv=None) -> int:
     e.add_argument("--compression", default="none", choices=["none", "zlib", "snappy", "zstd", "lz4", "gzip"])
     e.add_argument("--no-resume", action="store_true")
     e.add_argument("--page-crc", action="store_true", help="per-page CRC32 (WithCRC analogue)")
+    e.add_argument(
+        "--page-stats",
+        action="store_true",
+        help="per-page min/max bounds (ColumnIndex analogue; enables page-seek decode)",
+    )
+    e.add_argument(
+        "--sort-within",
+        default=None,
+        help="comma-separated columns for sortWithinPartitions (tight page bounds / longer runs)",
+    )
+    e.add_argument(
+        "--bloom-columns",
+        default=None,
+        help="comma-separated columns to build manifest bloom filters for (point-lookup prune)",
+    )
     e.add_argument(
         "--encodings",
         default=None,

@@ -6,7 +6,8 @@ stats and lineage live in the manifest instead of the footer).
 
 Chunk container layout (little-endian, all varints = LEB128):
   magic "PGSC" | version u8 | ptype u8 | encoding u8 | compression u8
-  | flags u8 (bit0 = has dict, bit1 = has codec dict, bit2 = page CRCs)
+  | flags u8 (bit0 = has dict, bit1 = has codec dict, bit2 = page CRCs,
+              bit3 = page stats)
   | uvarint num_rows | uvarint null_count
   [ if flba: uvarint type_length ]
   [ if dict: uvarint dict_count | uvarint raw_len | uvarint comp_len
@@ -15,11 +16,16 @@ Chunk container layout (little-endian, all varints = LEB128):
   | uvarint num_pages
   | per page: uvarint rows | uvarint nulls | uvarint raw_len
               | uvarint comp_len [ | u32 crc of compressed bytes ]
+              [ | page stats: u8 present-bits | per bound uvarint len + utf8 ]
               | compressed (def-levels V1 + values)
 
 Per-page CRC32 (flags bit2, reference ``WithCRC`` / ``page_v1.go:210-214``
 validated at ``chunk_reader.go:173-177``) localizes corruption to a page;
 the whole-chunk CRC in the manifest stays the job-level integrity check.
+Page stats (flags bit3) are the Parquet ColumnIndex analogue: prune-safe
+min/max bounds readable from the header walk alone (``chunk_page_index``),
+so a predicate can skip whole pages without decompressing them
+(``decode_chunk(row_sel=...)``).
 
 The per-page payload byte layout (def levels with 4-byte size prefix, then
 the value stream) matches the reference's uncompressed page-V1 block
@@ -39,7 +45,15 @@ from ..kernels import bytearrays, bytestreamsplit, deltabp, dictenc, forbp, fsst
 from ..kernels.varint import read_uvarint, uvarint
 from .columns import ColumnData, gather_segments
 
-__all__ = ["encode_chunk", "decode_chunk", "ENCODINGS", "DICT_MAX", "ChunkMeta"]
+__all__ = [
+    "encode_chunk",
+    "decode_chunk",
+    "chunk_page_index",
+    "ENCODINGS",
+    "DICT_MAX",
+    "ChunkMeta",
+    "bound_str",
+]
 
 MAGIC = b"PGSC"
 VERSION = 1
@@ -104,33 +118,7 @@ class ChunkMeta:
     max_value: object = None
 
     def as_dict(self) -> dict:
-        def _s(v, is_max=False):
-            # Manifest bounds must stay prune-safe (decode_job compares
-            # them as strings): non-UTF8 bytes -> None (pruning disabled,
-            # conservative); long strings -> truncated prefix for min
-            # (valid lower bound) and truncate-and-increment for max
-            # (Parquet's convention: the incremented prefix upper-bounds
-            # every string sharing the original prefix).
-            if v is None:
-                return None
-            if isinstance(v, bytes):
-                try:
-                    s = v.decode("utf-8")
-                except UnicodeDecodeError as err:
-                    # a multibyte char split at the truncation cap (or any
-                    # non-UTF8 tail): the clean head is still a valid
-                    # prefix, and UTF-8 byte order == codepoint order, so
-                    # head (for min) / incremented head (for max) remain
-                    # prune-safe bounds; an empty head disables pruning
-                    s = v[: err.start].decode("utf-8")
-                    if not s:
-                        return None
-                    return _increment_str(s[:64]) if is_max else s[:64]
-                if len(s) <= 64:
-                    return s
-                return _increment_str(s[:64]) if is_max else s[:64]
-            return str(v)
-
+        _s = bound_str
         return {
             "ptype": self.ptype,
             "encoding": self.encoding,
@@ -148,6 +136,36 @@ class ChunkMeta:
 
 
 # ------------------------------------------------------------- chunk stats
+def bound_str(v, is_max=False) -> str | None:
+    """Prune-safe string bound for a typed min/max value.
+
+    Manifest and page bounds are compared as strings on the prune path
+    (decode_job ``_le``): non-UTF8 bytes -> None (pruning disabled,
+    conservative); long strings -> truncated prefix for min (a valid
+    lower bound) and truncate-and-increment for max (Parquet's
+    convention: the incremented prefix upper-bounds every string sharing
+    the original prefix)."""
+    if v is None:
+        return None
+    if isinstance(v, bytes):
+        try:
+            s = v.decode("utf-8")
+        except UnicodeDecodeError as err:
+            # a multibyte char split at the truncation cap (or any
+            # non-UTF8 tail): the clean head is still a valid
+            # prefix, and UTF-8 byte order == codepoint order, so
+            # head (for min) / incremented head (for max) remain
+            # prune-safe bounds; an empty head disables pruning
+            s = v[: err.start].decode("utf-8")
+            if not s:
+                return None
+            return _increment_str(s[:64]) if is_max else s[:64]
+        if len(s) <= 64:
+            return s
+        return _increment_str(s[:64]) if is_max else s[:64]
+    return str(v)
+
+
 def _increment_str(p: str) -> str | None:
     """Smallest-effort strict upper bound for every string starting with
     ``p``: increment the last incrementable codepoint (skipping the
@@ -187,7 +205,6 @@ def _extreme_bytes(
     exact computation. Exactness beyond the cap was pure waste: ~66% of
     html-column encode time went to resolving KB-deep ties."""
     if len(cand) > 1:
-        pad = np.concatenate([data, np.zeros(8, np.uint8)])
         offj = np.arange(8)
         pw = np.array([1 << (8 * (7 - i)) for i in range(8)], dtype=np.uint64)
         off = 8  # first 8 bytes already tied
@@ -208,8 +225,25 @@ def _extreme_bytes(
                     return bytes(p)
                 cap = 1 << 62  # all-0xFF prefix: no increment exists, go exact
             rem = lens[cand] - off
-            if (rem <= 0).all():
+            exhausted = rem <= 0
+            if exhausted.all():
                 break
+            if exhausted.any():
+                # an exhausted candidate is byte-equal to the survivors up
+                # to its own end ⇒ it is a strict PREFIX of every longer
+                # tied value. For min the shortest prefix IS the minimum
+                # (resolve by the length tie-break below); for max the
+                # prefixes are strictly smaller — drop them, which also
+                # unblocks fast-skip (a short candidate otherwise gates
+                # `(rem >= skip).all()` forever, forcing 8-byte rounds
+                # through kilobyte boilerplate prefixes)
+                if want_min:
+                    cand = cand[exhausted]
+                    break
+                cand = cand[~exhausted]
+                rem = rem[~exhausted]
+                if len(cand) == 1:
+                    break
             # fast-skip: boilerplate columns (html headers, url scheme)
             # share prefixes for hundreds of bytes; once a key round fails
             # to narrow (identical window everywhere), leap whole blocks
@@ -217,17 +251,21 @@ def _extreme_bytes(
             if mode_skip and (rem >= skip).all():
                 p0 = int(starts[cand[0]] + off)
                 ref = data[p0 : p0 + skip]
-                blk = pad[
-                    np.minimum(starts[cand] + off, limit)[:, None] + np.arange(skip)
-                ]
+                # rem >= skip for every candidate ⇒ the window is inside
+                # each value ⇒ indices stay in bounds without padding
+                blk = data[(starts[cand] + off)[:, None] + np.arange(skip)]
                 if (blk == ref[None, :]).all():
                     off += skip
                     skip = min(skip * 2, 1 << 16)
                     continue
                 mode_skip = False
                 skip = 64
-            pos = np.minimum(starts[cand] + off, limit)
-            b = pad[pos[:, None] + offj].astype(np.uint64)
+            # masked lanes (offj >= rem) may index past the value into a
+            # neighbor or past the buffer end: clamp in-bounds and zero
+            # them — no whole-buffer pad copy (this ran 3x per chunk on a
+            # 268 MB html column before)
+            pos = np.minimum((starts[cand] + off)[:, None] + offj, limit - 1)
+            b = data[pos].astype(np.uint64)
             b *= offj[None, :] < rem[:, None]
             keys = b @ pw
             sel = keys.min() if want_min else keys.max()
@@ -281,11 +319,17 @@ def column_minmax(col: ColumnData) -> tuple[object, object]:
         return v.min().item(), v.max().item()
     lens = col.lengths
     starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
-    pad = np.concatenate([col.data, np.zeros(8, np.uint8)])
+    data = col.data
     off = np.arange(8)
-    vals = pad[starts[:, None] + off] * (off[None, :] < lens[:, None])
-    pw = np.array([1 << (8 * (7 - i)) for i in range(8)], dtype=np.uint64)  # big-endian
-    keys = vals.astype(np.uint64) @ pw
+    if len(data) == 0:
+        keys = np.zeros(len(lens), dtype=np.uint64)
+    else:
+        # clamped gather + mask instead of padding a copy of the whole
+        # value buffer (268 MB/chunk on html columns)
+        pos = np.minimum(starts[:, None] + off, len(data) - 1)
+        vals = data[pos] * (off[None, :] < lens[:, None])
+        pw = np.array([1 << (8 * (7 - i)) for i in range(8)], dtype=np.uint64)  # big-endian
+        keys = vals.astype(np.uint64) @ pw
     lo_key, hi_key = keys.min(), keys.max()
     lo = _extreme_bytes(col.data, starts, lens, np.flatnonzero(keys == lo_key), True)
     hi = _extreme_bytes(col.data, starts, lens, np.flatnonzero(keys == hi_key), False)
@@ -381,6 +425,56 @@ def _value_slice(col: ColumnData, row_lo: int, row_hi: int, vstart: int):
         dstart = int(col.lengths[:vstart].sum())  # cached below by caller
         return (lens, None), vend
     return col.values[vstart:vend], vend
+
+
+_PAGE_STATS_MAX_LEN = 1 << 12  # bounds are <= 64 chars (<= 260 UTF-8 bytes)
+
+
+def _page_slice_column(col: ColumnData, vstart: int, vend: int, dlo: int, dhi: int) -> ColumnData:
+    """A ColumnData view of one page's non-null values (validity all-true:
+    nulls never contribute to bounds)."""
+    nvals = vend - vstart
+    valid = np.ones(nvals, dtype=bool)
+    if col.ptype == "bytes":
+        return ColumnData("bytes", valid, lengths=col.lengths[vstart:vend], data=col.data[dlo:dhi])
+    if col.ptype == "flba":
+        return ColumnData(
+            "flba", valid, data=col.data[dlo:dhi], type_length=col.type_length, logical=col.logical
+        )
+    return ColumnData(col.ptype, valid, values=col.values[vstart:vend], logical=col.logical)
+
+
+def _encode_page_stats(col: ColumnData, vstart: int, vend: int, dlo: int, dhi: int) -> bytes:
+    """Serialized prune-safe min/max for one page: present-bits byte
+    (bit0 = min, bit1 = max) then uvarint-length-prefixed UTF-8 bound
+    strings (same ``bound_str`` semantics as the manifest columns)."""
+    if vend <= vstart:
+        return b"\x00"
+    page = _page_slice_column(col, vstart, vend, dlo, dhi)
+    mn, mx = column_minmax(page)
+    smn, smx = bound_str(mn), bound_str(mx, is_max=True)
+    out = bytearray([(1 if smn is not None else 0) | (2 if smx is not None else 0)])
+    for s in (smn, smx):
+        if s is not None:
+            b = s.encode("utf-8")
+            out += uvarint(len(b))
+            out += b
+    return bytes(out)
+
+
+def _read_page_stats(mv, pos: int) -> tuple[str | None, str | None, int]:
+    """Parse one page-stats record; returns (min_str, max_str, new_pos)."""
+    present = mv[pos]
+    pos += 1
+    vals: list[str | None] = [None, None]
+    for i in range(2):
+        if present & (1 << i):
+            ln, pos = read_uvarint(mv, pos)
+            if ln > _PAGE_STATS_MAX_LEN or pos + ln > len(mv):
+                raise ValueError("implausible page stats length")
+            vals[i] = bytes(mv[pos : pos + ln]).decode("utf-8")
+            pos += ln
+    return vals[0], vals[1], pos
 
 
 # ------------------------------------------------------------ value codecs
@@ -529,6 +623,7 @@ def encode_chunk(
     level_mode: str | None = None,
     encoding: str | None = None,
     page_crc: bool = False,
+    page_stats: bool = False,
 ) -> tuple[bytes, ChunkMeta]:
     """Encode one column chunk. ``profile``:
     * ``"reference"`` — the exact reference decision (chunk_writer.go:
@@ -539,7 +634,14 @@ def encode_chunk(
     ``encoding`` forces a specific codec (bypasses the selector), the
     analogue of the reference's per-column configured encoding
     (``schema.go:519-558``).
-    """
+
+    ``page_stats=True`` (flags bit3) writes prune-safe min/max bounds
+    into every page header — the Parquet ColumnIndex analogue (the
+    reference stores page stats in ``data_store.go:166-179`` but nothing
+    reads them; parquet-format's PageIndex.md is the public design this
+    follows). ``chunk_page_index`` reads them back without decompressing
+    any page, and ``decode_chunk(row_sel=...)`` decodes only the pages a
+    predicate's surviving row ranges touch."""
     from .selector import choose_encoding  # local import to avoid cycle
 
     if type(col).__name__ == "ListData":
@@ -617,7 +719,12 @@ def encode_chunk(
 
     out = bytearray()
     out += MAGIC
-    flags = (1 if enc == "rle_dict" else 0) | (2 if codec_dict else 0) | (4 if page_crc else 0)
+    flags = (
+        (1 if enc == "rle_dict" else 0)
+        | (2 if codec_dict else 0)
+        | (4 if page_crc else 0)
+        | (8 if page_stats else 0)
+    )
     out += bytes([VERSION, PTYPES[col.ptype], ENCODINGS[enc], COMPRESSIONS[compression], flags])
     out += uvarint(col.num_rows)
     out += uvarint(col.num_rows - col.num_values)
@@ -666,6 +773,8 @@ def encode_chunk(
         if page_crc:
             # per-page checksum of the compressed bytes (page_v1.go:210-214)
             out += zlib.crc32(comp).to_bytes(4, "little")
+        if page_stats:
+            out += _encode_page_stats(col, vstart, vend, dlo, dhi)
         out += comp
         vstart = vend
 
@@ -689,15 +798,92 @@ def encode_chunk(
 
 
 # ------------------------------------------------------------------ decode
-def decode_chunk(blob, logical: str = ""):
+def chunk_page_index(blob) -> list[dict] | None:
+    """Per-page ``{"row_lo", "row_hi", "min_str", "max_str"}`` from the
+    header walk alone — no page is decompressed (the Parquet PageIndex /
+    ColumnIndex analogue).  ``None`` when the chunk was written without
+    ``page_stats`` or is a nested container (no page stats there)."""
+    mv = memoryview(blob)
+    if bytes(mv[:4]) != MAGIC or len(mv) < 9:
+        return None
+    flags = mv[8]
+    if not flags & 8:
+        return None
+    ptype = PTYPES_R[mv[5]]
+    pos = 9
+    num_rows, pos = read_uvarint(mv, pos)
+    _nulls, pos = read_uvarint(mv, pos)
+    if num_rows > MAX_DECODE_ROWS:
+        raise ValueError("implausible chunk header")
+    if ptype == "flba":
+        _tl, pos = read_uvarint(mv, pos)
+    if flags & 1:
+        _ds, pos = read_uvarint(mv, pos)
+        _rl, pos = read_uvarint(mv, pos)
+        comp_len, pos = read_uvarint(mv, pos)
+        if pos + comp_len > len(mv):
+            raise ValueError("implausible dict header")
+        pos += comp_len
+    if flags & 2:
+        cd_len, pos = read_uvarint(mv, pos)
+        pos += cd_len
+    num_pages, pos = read_uvarint(mv, pos)
+    if num_pages > len(mv):
+        raise ValueError("implausible page count")
+    out = []
+    cursor = 0
+    for _ in range(num_pages):
+        rows, pos = read_uvarint(mv, pos)
+        _pn, pos = read_uvarint(mv, pos)
+        _rl, pos = read_uvarint(mv, pos)
+        comp_len, pos = read_uvarint(mv, pos)
+        if flags & 4:
+            pos += 4
+        mn, mx, pos = _read_page_stats(mv, pos)
+        if rows > num_rows or pos + comp_len > len(mv):
+            raise ValueError("implausible page header")
+        out.append({"row_lo": cursor, "row_hi": cursor + rows, "min_str": mn, "max_str": mx})
+        cursor += rows
+        pos += comp_len
+    return out
+
+
+def _page_row_mask(row_sel, cursor: int, rows: int) -> np.ndarray | None:
+    """Bool mask over one page's rows for global row ranges ``row_sel``;
+    None when the page is entirely outside every range (skip it)."""
+    mask = None
+    for lo, hi in row_sel:
+        a, b = max(lo - cursor, 0), min(hi - cursor, rows)
+        if a < b:
+            if mask is None:
+                mask = np.zeros(rows, dtype=bool)
+            mask[a:b] = True
+    return mask
+
+
+def decode_chunk(blob, logical: str = "", row_sel=None):
+    """Decode a chunk container back to ColumnData.
+
+    ``row_sel`` = sorted, non-overlapping global row ranges
+    ``[(row_lo, row_hi), ...]``: only pages overlapping a range are
+    decompressed and decoded (the rest are seeked past), and decoded
+    pages are trimmed to the exact ranges — so two columns of the same
+    partition decoded with the same ``row_sel`` stay row-aligned even
+    though their page boundaries differ.  Nested containers (PGSL/PGSS)
+    do not support ``row_sel``; callers fall back to a full decode plus
+    an Arrow-level take."""
     mv = memoryview(blob)
     if bytes(mv[:4]) == b"PGSL":
         from .listchunk import decode_list_chunk  # local: avoid cycle
 
+        if row_sel is not None:
+            raise ValueError("row_sel is unsupported for nested (list) chunks")
         return decode_list_chunk(blob, logical=logical)
     if bytes(mv[:4]) == b"PGSS":
         from .structchunk import decode_struct_chunk  # local: avoid cycle
 
+        if row_sel is not None:
+            raise ValueError("row_sel is unsupported for nested (struct) chunks")
         return decode_struct_chunk(blob, logical=logical)
     if bytes(mv[:4]) != MAGIC:
         raise ValueError("bad chunk magic")
@@ -752,6 +938,7 @@ def decode_chunk(blob, logical: str = ""):
     data_parts = []
     if num_pages > len(mv):
         raise ValueError("implausible page count")
+    row_cursor = 0
     for page_i in range(num_pages):
         rows, pos = read_uvarint(mv, pos)
         nulls, pos = read_uvarint(mv, pos)
@@ -761,8 +948,19 @@ def decode_chunk(blob, logical: str = ""):
         if flags & 4:
             want_crc = int.from_bytes(mv[pos : pos + 4], "little")
             pos += 4
+        if flags & 8:
+            _mn, _mx, pos = _read_page_stats(mv, pos)
         if rows > num_rows or nulls > rows or pos + comp_len > len(mv) or raw_len > (comp_len + 64) * 1024:
             raise ValueError("implausible page header")
+        if row_sel is not None:
+            mask = _page_row_mask(row_sel, row_cursor, rows)
+            row_cursor += rows
+            if mask is None:
+                pos += comp_len  # seek past: never decompressed
+                continue
+        else:
+            mask = None
+            row_cursor += rows
         comp_bytes = bytes(mv[pos : pos + comp_len])
         if want_crc is not None and zlib.crc32(comp_bytes) != want_crc:
             raise ValueError(
@@ -770,10 +968,31 @@ def decode_chunk(blob, logical: str = ""):
             )
         payload = _decompress(comp_bytes, compression, raw_len)
         pos += comp_len
-        validity, ppos = levels.decode_def_levels(payload, rows, 0)
+        # untrusted-bytes contract: a corrupt payload that slips past the
+        # header plausibility checks must still surface as ValueError,
+        # never a kernel-level IndexError/OverflowError
+        try:
+            validity, ppos = levels.decode_def_levels(payload, rows, 0)
+            nvals = rows - nulls
+            repr_, _ = _decode_values(enc, ptype, payload, ppos, nvals, dict_vals, type_length, codec_dict)
+        except ValueError:
+            raise
+        except (IndexError, KeyError, OverflowError, EOFError) as e:
+            raise ValueError(f"corrupt page {page_i} payload: {e}") from e
+        if mask is not None:
+            vmask = mask[validity]  # selected positions among non-null values
+            validity = validity[mask]
+            if ptype == "bytes":
+                lens, data = repr_
+                lens = np.asarray(lens)
+                sel_lens = lens[vmask]
+                starts = np.concatenate([[0], np.cumsum(lens)[:-1]]).astype(np.int64)
+                repr_ = (sel_lens, gather_segments(np.asarray(data), starts[vmask], sel_lens))
+            elif ptype == "flba":
+                repr_ = np.asarray(repr_).reshape(nvals, type_length)[vmask].reshape(-1)
+            else:
+                repr_ = np.asarray(repr_)[vmask]
         validity_parts.append(validity)
-        nvals = rows - nulls
-        repr_, _ = _decode_values(enc, ptype, payload, ppos, nvals, dict_vals, type_length, codec_dict)
         if ptype == "bytes":
             len_parts.append(repr_[0])
             data_parts.append(repr_[1])

@@ -58,22 +58,32 @@ def encode_zdict(
     The codec-selector picks this when entropy coding the values beats the
     lightweight codecs even after the block-compression stage.
 
-    ``level=None`` adapts per stream: a 64 KiB level-1 probe decides — a
-    stream that already crushes (ratio >= 16, e.g. templated html) keeps
-    level 1 (~2x the throughput, ratio within ~1.5x of level 6); anything
-    else gets level 6, where the extra ratio is worth the passes. The
-    DEFLATE stream is self-describing, so decode never needs the choice."""
+    ``level=None`` adapts per stream from STRIDED disjoint samples (a
+    head-only probe mischose whole chunks: one unrepresentative first
+    page sent a 240 MB html stream to level 6 at ~6 MB/s — 20 s for one
+    chunk — while sibling chunks took level 1 at ~200 MB/s, a 30x
+    bimodal task skew that sank the N->4N scaling run). Policy is
+    throughput-first at scale: streams > 32 MiB always take level 1
+    (level 6 on a large chunk costs seconds per task for a minority size
+    win); smaller streams take level 6 only when a sampled side-by-side
+    shows it saving >= 20% over level 1. The DEFLATE stream is
+    self-describing, so decode never needs the choice."""
     import zlib as _z
 
     from .varint import uvarint
 
     raw = np.ascontiguousarray(data, dtype=np.uint8).tobytes()
     if level is None:
-        probe = raw[: 1 << 16]
-        if len(probe) >= (1 << 14) and len(probe) >= 16 * len(_z.compress(probe, 1)):
-            level = 1
+        n = len(raw)
+        if n <= 1 << 16:
+            level = 6  # small stream: level 6 is microseconds anyway
+        elif n > 1 << 25:
+            level = 1  # large chunk: the throughput path, always
         else:
-            level = 6
+            k, w = 8, 1 << 15  # 8 x 32 KiB disjoint strided samples
+            step = n // k
+            s = b"".join(raw[i * step : i * step + w] for i in range(k))
+            level = 6 if len(_z.compress(s, 6)) <= 0.8 * len(_z.compress(s, 1)) else 1
     co = _z.compressobj(level, _z.DEFLATED, 15, 9, 0, zdict) if zdict else _z.compressobj(level)
     comp = co.compress(raw) + co.flush()
     lens = deltabp.encode(lengths.astype(np.int32, copy=False), 32)

@@ -84,7 +84,10 @@ def read_uvarint(buf, pos: int) -> tuple[int, int]:
     """Read one uvarint from ``buf`` at ``pos`` -> (value, new_pos)."""
     result = 0
     shift = 0
+    n = len(buf)
     while True:
+        if pos >= n:
+            raise ValueError("truncated uvarint")
         b = buf[pos]
         pos += 1
         result |= (b & 0x7F) << shift

@@ -12,10 +12,165 @@ from collections.abc import Iterator
 import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
 
-from ..core.chunk import decode_chunk
+import numpy as np
+
+from ..core.chunk import chunk_page_index, decode_chunk
 from ..core.columns import to_arrow
 from . import manifest as mf
 from .encode_job import parse_partition_file
+
+
+def _le_bound(a, b) -> bool:
+    """Conservative bound compare shared by partition- and page-level
+    pruning: numeric when both sides parse as numbers, else string."""
+    try:
+        return float(a) <= float(b)
+    except (TypeError, ValueError):
+        return str(a) <= str(b)
+
+
+def _page_excludes(op: str, value, mn, mx) -> bool:
+    """True when a page's [mn, mx] bounds provably exclude the predicate
+    (None bound = unknown, never excludes)."""
+    if op == "==":
+        if mn is not None and not _le_bound(mn, value):
+            return True
+        if mx is not None and not _le_bound(value, mx):
+            return True
+    elif op == "<=":
+        if mn is not None and not _le_bound(mn, value):
+            return True
+    elif op == ">=":
+        if mx is not None and not _le_bound(value, mx):
+            return True
+    return False
+
+
+def _intersect_ranges(a: list[tuple], b: list[tuple]) -> list[tuple]:
+    """Intersection of two sorted non-overlapping range lists."""
+    out, i, j = [], 0, 0
+    while i < len(a) and j < len(b):
+        lo = max(a[i][0], b[j][0])
+        hi = min(a[i][1], b[j][1])
+        if lo < hi:
+            out.append((lo, hi))
+        if a[i][1] <= b[j][1]:
+            i += 1
+        else:
+            j += 1
+    return out
+
+
+def surviving_partitions(enc_dir: str, prune: list[tuple]) -> list[int]:
+    """Committed partition ids the predicates cannot exclude, from the
+    manifest min/max bounds plus (for equality probes) the per-chunk
+    bloom filter. Conservative: a partition is dropped only on proof of
+    absence."""
+    _le = _le_bound
+    keep = []
+    for pid in mf.committed_partitions(enc_dir):
+        rows = {r["column"]: r for r in mf.read_partition_manifest(enc_dir, pid)}
+        ok = True
+        for col_name, op, value in prune:
+            r = rows.get(col_name)
+            if r is None:
+                continue  # no stats -> cannot prune
+            mn, mx = r["min_str"], r["max_str"]  # each may be None (inexact)
+            if op == "==":
+                if mn is not None and not _le(mn, value):
+                    ok = False
+                if mx is not None and not _le(value, mx):
+                    ok = False
+                # bloom probe: min/max rarely excludes a point lookup
+                # on high-cardinality keys (every partition spans the
+                # range); the manifest bloom proves absence instead
+                if ok and r.get("bloom") is not None:
+                    from ..kernels.bloom import bloom_might_contain, hash_scalar
+
+                    h = hash_scalar(value, r["ptype"])
+                    if h is not None and not bloom_might_contain(r["bloom"], h):
+                        ok = False
+            elif op == "<=" and mn is not None and not _le(mn, value):
+                ok = False
+            elif op == ">=" and mx is not None and not _le(value, mx):
+                ok = False
+        if ok:
+            keep.append(pid)
+    return keep
+
+
+def _surviving_ranges(prune: list[tuple], blobs: dict) -> tuple[list[tuple] | None, int]:
+    """(global row ranges the predicates cannot exclude, chunk row count)
+    from the page stats of each predicate column (``chunk_page_index``);
+    ranges is None when no predicate column carries page stats (full
+    decode)."""
+    ranges = None
+    total = 0
+    for col_name, op, value in prune:
+        blob = blobs.get(col_name)
+        if blob is None:
+            continue
+        pidx = chunk_page_index(blob)
+        if pidx is None:
+            continue
+        total = max(total, pidx[-1]["row_hi"] if pidx else 0)
+        keep = []
+        for p in pidx:
+            if not _page_excludes(op, value, p["min_str"], p["max_str"]):
+                # extend the previous range instead of appending (pages
+                # are already sorted and non-overlapping)
+                if keep and keep[-1][1] == p["row_lo"]:
+                    keep[-1] = (keep[-1][0], p["row_hi"])
+                else:
+                    keep.append((p["row_lo"], p["row_hi"]))
+        keep = [tuple(r) for r in keep]
+        ranges = keep if ranges is None else _intersect_ranges(ranges, keep)
+    return ranges, total
+
+
+def decode_blobs_to_batch(
+    blobs: dict,
+    cols: list[str],
+    nested_cols: set[str],
+    logicals: dict[str, str],
+    prune: list[tuple] | None,
+) -> "pa.RecordBatch | None":
+    """Decode one partition's column blobs into a row-aligned Arrow
+    batch, applying page-level pruning (``_surviving_ranges``) when the
+    predicates and page stats allow it. None when every row is pruned
+    or the partition is empty."""
+    row_sel = None
+    if prune:
+        ranges, total = _surviving_ranges(prune, blobs)
+        if ranges is not None:
+            if not ranges:
+                return None  # every page of some predicate excluded
+            if ranges != [(0, total)]:  # partial ⇒ page-seek decode
+                row_sel = ranges
+    arrays = []
+    n_rows = None
+    for c in cols:
+        logical = logicals[c]
+        if row_sel is not None and c in nested_cols:
+            # nested containers can't seek pages; decode fully and
+            # row-align with an Arrow-level take
+            cd = decode_chunk(blobs[c], logical=logical)
+            idx = np.concatenate([np.arange(lo, hi, dtype=np.int64) for lo, hi in row_sel])
+            arr = to_arrow(cd)
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            arrays.append(arr.take(pa.array(idx)))
+            n_rows = len(idx)
+        else:
+            cd = decode_chunk(blobs[c], logical=logical, row_sel=row_sel)
+            arrays.append(to_arrow(cd))
+            n_rows = cd.num_rows
+    if not n_rows:
+        return None
+    return pa.RecordBatch.from_arrays(
+        [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in arrays],
+        names=list(cols),
+    )
 
 _DDL_LOGICAL = {
     "string": "string",
@@ -30,6 +185,20 @@ _DDL_LOGICAL = {
     "boolean": "bool",
     "date": "date32[day]",
 }
+
+
+def logical_of_ddl(ddl: str) -> str:
+    """Spark DDL type string -> the engine's logical-type tag."""
+    ddl = ddl.strip()
+    if ddl.startswith("array<") and ddl.endswith(">"):
+        return f"list<{logical_of_ddl(ddl[6:-1])}>"
+    if ddl.startswith("map<") and ddl.endswith(">"):
+        return ddl  # only the map< prefix matters; entries self-describe
+    if ddl.startswith("struct<"):
+        return "struct"  # PGSS container stores field names + logicals
+    if ddl.startswith("decimal(") and ddl.endswith(")"):
+        return "decimal128(" + ddl[len("decimal(") :]
+    return _DDL_LOGICAL.get(ddl, "binary")
 
 
 def decode_table(
@@ -49,55 +218,26 @@ def decode_table(
     partitions whose manifest min/max provably exclude the predicate are
     never read (the stats-pruning the reference writes stats for but
     never uses, ``README.md:47`` — here the manifest makes it real).
-    Pruning is conservative (string-ordered min/max); the caller still
-    applies the exact filter."""
+    Equality probes additionally consult the per-chunk bloom filter when
+    the table was encoded with ``bloom_columns`` — the point-lookup path
+    for keys whose min/max spans every partition (urls). When the table
+    was encoded with ``page_stats=True``, surviving partitions are
+    further narrowed to the PAGES the predicates cannot exclude: the
+    predicate column's page index (header walk, no decompression) yields
+    the surviving row ranges, every selected column seeks past
+    non-overlapping pages, and decoded pages are trimmed to the exact
+    ranges so columns stay row-aligned. Pruning is conservative (min/max
+    bounds + no-false-negative blooms); the caller still applies the
+    exact filter."""
     fields = mf.read_table_schema(enc_dir)
     by_name = {f["name"]: f for f in fields}
     cols = columns or [f["name"] for f in fields]
     out_ddl = ", ".join(f"`{c}` {by_name[c]['ddl']}" for c in cols)
-
-    def _logical_of(ddl: str) -> str:
-        ddl = ddl.strip()
-        if ddl.startswith("array<") and ddl.endswith(">"):
-            return f"list<{_logical_of(ddl[6:-1])}>"
-        if ddl.startswith("map<") and ddl.endswith(">"):
-            return ddl  # only the map< prefix matters; entries self-describe
-        if ddl.startswith("struct<"):
-            return "struct"  # PGSS container stores field names + logicals
-        if ddl.startswith("decimal(") and ddl.endswith(")"):
-            return "decimal128(" + ddl[len("decimal(") :]
-        return _DDL_LOGICAL.get(ddl, "binary")
     import glob as _glob
 
     paths = sorted(_glob.glob(f"{enc_dir}/part-*.bin"))
     if prune:
-
-        def _le(a, b) -> bool:
-            try:
-                return float(a) <= float(b)
-            except (TypeError, ValueError):
-                return str(a) <= str(b)
-
-        keep = set()
-        for pid in mf.committed_partitions(enc_dir):
-            rows = {r["column"]: r for r in mf.read_partition_manifest(enc_dir, pid)}
-            ok = True
-            for col_name, op, value in prune:
-                r = rows.get(col_name)
-                if r is None:
-                    continue  # no stats -> cannot prune
-                mn, mx = r["min_str"], r["max_str"]  # each may be None (inexact)
-                if op == "==":
-                    if mn is not None and not _le(mn, value):
-                        ok = False
-                    if mx is not None and not _le(value, mx):
-                        ok = False
-                elif op == "<=" and mn is not None and not _le(mn, value):
-                    ok = False
-                elif op == ">=" and mx is not None and not _le(value, mx):
-                    ok = False
-            if ok:
-                keep.add(f"part-{pid:05d}.bin")
+        keep = {f"part-{pid:05d}.bin" for pid in surviving_partitions(enc_dir, prune)}
         import os as _os
 
         paths = [p for p in paths if _os.path.basename(p) in keep]
@@ -106,14 +246,21 @@ def decode_table(
         return spark.createDataFrame([], schema=out_ddl)
     files = spark.read.format("binaryFile").load(paths).select("path", "content")
 
+    nested_cols = {
+        c for c in cols if by_name[c]["ddl"].strip().startswith(("array<", "map<", "struct<"))
+    }
+    logicals = {c: logical_of_ddl(by_name[c]["ddl"]) for c in cols}
+
     def decode_partition(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        want = set(cols)
+        # predicate columns ride along so their page stats are readable
+        # even when not selected (their pages are never decompressed)
+        want = set(cols) | ({p[0] for p in prune} if prune else set())
         for b in batches:
             for path, content in zip(b.column("path"), b.column("content")):
                 blobs = parse_partition_file(content.as_py(), want)
                 if not blobs:
                     continue
-                missing = want - set(blobs)
+                missing = set(cols) - set(blobs)
                 if missing:
                     raise ValueError(
                         f"selected column(s) {sorted(missing)} absent from "
@@ -128,7 +275,7 @@ def decode_table(
                     crc_of = {
                         r["column"]: r["crc32"] for r in mf.read_partition_manifest(enc_dir, pid)
                     }
-                    for c in want:
+                    for c in sorted(want & set(blobs)):
                         if c not in crc_of:
                             raise ValueError(
                                 f"manifest for {name} has no CRC row for column {c}: "
@@ -140,17 +287,8 @@ def decode_table(
                                 f"crc mismatch for column {c} in {name}: "
                                 f"{got:#x} != manifest {crc_of[c]:#x}"
                             )
-                arrays = []
-                n_rows = None
-                for c in cols:
-                    cd = decode_chunk(blobs[c], logical=_logical_of(by_name[c]["ddl"]))
-                    arrays.append(to_arrow(cd))
-                    n_rows = cd.num_rows
-                if not n_rows:
-                    continue
-                yield pa.RecordBatch.from_arrays(
-                    [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in arrays],
-                    names=list(cols),
-                )
+                batch = decode_blobs_to_batch(blobs, cols, nested_cols, logicals, prune)
+                if batch is not None:
+                    yield batch
 
     return files.mapInArrow(decode_partition, schema=out_ddl)

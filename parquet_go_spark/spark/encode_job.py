@@ -78,13 +78,33 @@ def encode_table(
     resume: bool = True,
     sort_within: str | list[str] | None = None,
     page_crc: bool = False,
+    page_stats: bool = False,
+    max_page: int | None = None,
     encodings: dict[str, str] | None = None,
+    bloom_columns: list[str] | None = None,
+    bloom_bits: int = 16,
+    bloom_cap: int = 1 << 17,
 ) -> DataFrame:
     """Encode ``df`` into ``out_dir``; returns the manifest DataFrame.
 
     ``encodings`` pins specific columns to a codec (the reference's
     per-column configured encoding, ``schema.go:519-558``); unlisted
     columns stay on the ``profile`` path.
+
+    ``bloom_columns`` builds a split-block bloom filter per (partition,
+    column) into the manifest (``kernels/bloom.py``) so equality probes
+    (``decode_table(prune=[(col, "==", v)])``) can skip partitions that
+    min/max can't exclude — the point-lookup path for high-cardinality
+    keys like ``url``, where every partition spans the whole lex range.
+    ``bloom_bits`` is bits per distinct value (16 ≈ 0.1% FPP);
+    ``bloom_cap`` bounds the serialized filter bytes per chunk.
+
+    ``page_stats`` writes prune-safe min/max bounds into every page
+    header (flags bit3, the Parquet ColumnIndex analogue) so range/point
+    predicates on ``decode_table(prune=...)`` skip pages, not just
+    partitions — pair it with ``sort_within`` on the predicate column so
+    page bounds are tight. Nested (array/map/struct) columns carry no
+    page stats.
 
     The returned DataFrame is the job: nothing runs until it is acted on
     (``.count()`` / ``.write`` / ``collect``).
@@ -129,7 +149,7 @@ def encode_table(
         df = df.sortWithinPartitions(*cols_sw)
 
     def _manifest_batch(rows: list[dict]) -> pa.RecordBatch:
-        cols_out = {f.name: [r[f.name] for r in rows] for f in mf.MANIFEST_SCHEMA}
+        cols_out = {f.name: [r.get(f.name) for r in rows] for f in mf.MANIFEST_SCHEMA}
         return pa.RecordBatch.from_pydict(cols_out, schema=mf.MANIFEST_SCHEMA)
 
     def encode_partition(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -158,19 +178,32 @@ def encode_table(
         if table is not None:
             for name in cols:
                 col = from_arrow(table.column(name))
+                kw = {} if max_page is None else {"max_page": max_page}
                 blob, meta = encode_chunk(
                     col,
                     profile=profile,
                     compression=compression,
                     page_crc=page_crc,
+                    page_stats=page_stats,
                     encoding=(encodings or {}).get(name),
+                    **kw,
                 )
                 named_blobs.append((name, blob))
+                bloom = None
+                if bloom_columns and name in bloom_columns:
+                    from ..kernels.bloom import bloom_build, hash_column
+
+                    hashes = hash_column(col)
+                    if hashes is not None:
+                        d = meta.as_dict()["distinct"]
+                        ndv = d if d and d > 0 else len(hashes)
+                        bloom = bloom_build(hashes, ndv, bloom_bits, bloom_cap)
                 rows.append(
                     {
                         "partition": pid,
                         "column": name,
                         **meta.as_dict(),
+                        "bloom": bloom,
                         "file": fpath,
                         "offset": -1,
                         "length": len(blob),

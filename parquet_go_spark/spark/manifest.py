@@ -31,6 +31,7 @@ MANIFEST_SCHEMA = pa.schema(
         ("crc32", pa.int64()),
         ("min_str", pa.string()),
         ("max_str", pa.string()),
+        ("bloom", pa.binary()),
         ("file", pa.string()),
         ("offset", pa.int64()),
         ("length", pa.int64()),
@@ -41,7 +42,7 @@ MANIFEST_DDL = (
     "partition int, column string, ptype string, encoding string, "
     "compression string, num_rows long, null_count long, distinct long, "
     "raw_bytes long, encoded_bytes long, num_pages int, crc32 long, "
-    "min_str string, max_str string, file string, offset long, length long"
+    "min_str string, max_str string, bloom binary, file string, offset long, length long"
 )
 
 
@@ -60,7 +61,7 @@ def commit_partition(out_dir: str, pid: int, rows: list[dict]):
     os.makedirs(manifest_dir(out_dir), exist_ok=True)
     path = part_manifest_path(out_dir, pid)
     tmp = path + f".tmp.{os.getpid()}"
-    cols = {f.name: [r[f.name] for r in rows] for f in MANIFEST_SCHEMA}
+    cols = {f.name: [r.get(f.name) for r in rows] for f in MANIFEST_SCHEMA}
     table = pa.Table.from_pydict(cols, schema=MANIFEST_SCHEMA)
     pq.write_table(table, tmp)
     os.replace(tmp, path)
