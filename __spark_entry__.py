@@ -290,6 +290,35 @@ def _q_page_prune_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_datasource_rw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Catalyst front door end to end (spark/datasource.py): write
+    the documents table with ``df.write.format("pgs")`` (Arrow-batch
+    writer into the kernel encode path, per-task manifest commit), read
+    it back with ``spark.read.format("pgs")``, and filter with an IN
+    list + range — the filters push down (``pushFilters``) into
+    manifest/bloom pruning and are re-applied exactly by Spark. Oracle:
+    the equivalent plain SELECT."""
+    import tempfile
+
+    from parquet_go_spark.spark.datasource import PGSDataSource
+
+    spark.dataSource.register(PGSDataSource)
+    d = _load(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="pgs_ds_q_") + "/enc"
+    (
+        d.repartition(8, F.xxhash64("doc_id"))
+        .write.format("pgs")
+        .mode("append")
+        .option("compression", "snappy")
+        .option("bloom_columns", "doc_id,lang")
+        .save(out)
+    )
+    t = spark.read.format("pgs").load(out)
+    return t.where(
+        t.lang.isin("en", "de") & (t.doc_id >= 100) & (t.doc_id <= 400)
+    ).select("doc_id", "lang", "source", "n_chars")
+
+
 def _q_dict_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
     st = table_column_stats(_load(spark, sf_dir, "documents"))
     return st.select(
@@ -359,6 +388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dict_decision_documents": _q_dict_decision,
         "prune_bloom_lookup": _q_bloom_lookup,
         "prune_page_range": _q_page_prune_range,
+        "datasource_read_write": _q_datasource_rw,
         # training-data pipeline ops
         "dedup_exact": lambda spark, sf_dir: exact_dedup(_load(spark, sf_dir, "documents")),
         "token_stats": lambda spark, sf_dir: token_stats(_load(spark, sf_dir, "documents")),
@@ -577,6 +607,10 @@ WHERE round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) >= 0.35
         "prune_page_range": (
             "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice"
             " FROM lineitem WHERE l_orderkey BETWEEN 2000 AND 2400"
+        ),
+        "datasource_read_write": (
+            "SELECT doc_id, lang, source, n_chars FROM documents"
+            " WHERE lang IN ('en', 'de') AND doc_id BETWEEN 100 AND 400"
         ),
         "dedup_exact": (
             "SELECT md5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups"

@@ -799,7 +799,7 @@ def encode_chunk(
 
 # ------------------------------------------------------------------ decode
 def chunk_page_index(blob) -> list[dict] | None:
-    """Per-page ``{"row_lo", "row_hi", "min_str", "max_str"}`` from the
+    """Per-page ``{"row_lo", "row_hi", "min_str", "max_str", "nulls"}`` from the
     header walk alone — no page is decompressed (the Parquet PageIndex /
     ColumnIndex analogue).  ``None`` when the chunk was written without
     ``page_stats`` or is a nested container (no page stats there)."""
@@ -842,7 +842,9 @@ def chunk_page_index(blob) -> list[dict] | None:
         mn, mx, pos = _read_page_stats(mv, pos)
         if rows > num_rows or pos + comp_len > len(mv):
             raise ValueError("implausible page header")
-        out.append({"row_lo": cursor, "row_hi": cursor + rows, "min_str": mn, "max_str": mx})
+        out.append(
+            {"row_lo": cursor, "row_hi": cursor + rows, "min_str": mn, "max_str": mx, "nulls": _pn}
+        )
         cursor += rows
         pos += comp_len
     return out

@@ -104,10 +104,13 @@ def hash_column(col) -> np.ndarray | None:
         return _hash_objects(col.values.astype(np.int64, copy=False))
     if ptype == "bytes":
         n = len(col.lengths)
-        offsets = np.zeros(n + 1, dtype=np.int32)
+        # 64-bit offsets: a single chunk's byte column can exceed the 2 GiB
+        # int32 range at scale, and an overflowed offset table would build
+        # garbage hashes — i.e. possible false negatives => wrong pruning
+        offsets = np.zeros(n + 1, dtype=np.int64)
         np.cumsum(col.lengths, out=offsets[1:])
         arr = pa.Array.from_buffers(
-            pa.binary(),
+            pa.large_binary(),
             n,
             [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(col.data.tobytes())],
         )

@@ -28,19 +28,28 @@ from __future__ import annotations
 from collections.abc import Iterator, Sequence
 from dataclasses import dataclass
 
+import datetime as _dt
+
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     EqualTo,
     Filter,
     GreaterThan,
     GreaterThanOrEqual,
+    In,
     InputPartition,
+    IsNotNull,
     LessThan,
     LessThanOrEqual,
+    StringStartsWith,
+    WriterCommitMessage,
 )
 
 __all__ = ["PGSDataSource"]
+
+_EPOCH_DATE = _dt.date(1970, 1, 1)
 
 
 @dataclass
@@ -48,26 +57,63 @@ class _PGSPartition(InputPartition):
     pid: int
 
 
-def _filter_to_prune(f: Filter) -> tuple | None:
-    """Translate a catalyst filter into a (col, op, value) prune triple;
-    None when it isn't prunable (nested path, unsupported op/value).
-    Strict < and > push as their inclusive forms — pruning is
-    conservative and Spark re-applies the exact predicate anyway."""
-    if not isinstance(f, (EqualTo, LessThan, LessThanOrEqual, GreaterThan, GreaterThanOrEqual)):
-        return None
+def _prune_value(value):
+    """Normalize a catalyst literal to the engine's stored representation;
+    None when no safe mapping exists (pruning skipped for that filter).
+    Timestamps are stored as int64 epoch micros, dates as int32 epoch
+    days — exactly what the chunk stats compare against."""
+    if isinstance(value, bool):
+        return None  # bool chunks carry no comparable stats
+    if isinstance(value, _dt.datetime):
+        tz_off = value.utcoffset()
+        if tz_off is not None:
+            value = value.replace(tzinfo=None) - tz_off
+        return (value - _dt.datetime(1970, 1, 1)) // _dt.timedelta(microseconds=1)
+    if isinstance(value, _dt.date):
+        return (value - _EPOCH_DATE).days
+    if isinstance(value, (int, float, str, bytes)):
+        return value
+    return None  # decimal etc.: skip rather than risk a wrong exclusion
+
+
+def _filter_to_prune(f: Filter) -> list[tuple]:
+    """Translate a catalyst filter into (col, op, value) prune triples;
+    [] when it isn't prunable (nested path, unsupported op/value).
+    Strict < and > push as their inclusive forms, StartsWith as a prefix
+    range — pruning is conservative and Spark re-applies the exact
+    predicate anyway."""
     if len(f.attribute) != 1:  # nested column paths carry no chunk stats
-        return None
+        return []
     col = f.attribute[0]
-    value = f.value
-    if isinstance(value, bool) or not isinstance(value, (int, float, str, bytes)):
-        # datetime/decimal literals would need bound-string coordination;
-        # skip (no pruning) rather than risk a wrong exclusion
-        return None
+    if isinstance(f, IsNotNull):
+        return [(col, "notnull", None)]
+    if isinstance(f, In):
+        vals = tuple(_prune_value(v) for v in f.value)
+        if not vals or any(v is None for v in vals):
+            return []
+        return [(col, "in", vals)]
+    if isinstance(f, StringStartsWith):
+        p = f.value
+        if not isinstance(p, str) or not p:
+            return []
+        triples = [(col, ">=", p)]
+        # conservative upper bound: increment the last non-maxed char
+        # (Parquet's truncate-and-increment); all-maxed prefix -> no bound
+        for i in range(len(p) - 1, -1, -1):
+            if ord(p[i]) < 0x10FFFF:
+                triples.append((col, "<=", p[:i] + chr(ord(p[i]) + 1)))
+                break
+        return triples
+    if not isinstance(f, (EqualTo, LessThan, LessThanOrEqual, GreaterThan, GreaterThanOrEqual)):
+        return []
+    value = _prune_value(f.value)
+    if value is None:
+        return []
     if isinstance(f, EqualTo):
-        return (col, "==", value)
+        return [(col, "==", value)]
     if isinstance(f, (LessThan, LessThanOrEqual)):
-        return (col, "<=", value)
-    return (col, ">=", value)
+        return [(col, "<=", value)]
+    return [(col, ">=", value)]
 
 
 class _PGSReader(DataSourceReader):
@@ -78,9 +124,7 @@ class _PGSReader(DataSourceReader):
 
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
         for f in filters:
-            p = _filter_to_prune(f)
-            if p is not None:
-                self.prune.append(p)
+            self.prune.extend(_filter_to_prune(f))
             # conservative pruning ⇒ Spark must re-apply EVERY filter
             yield f
 
@@ -124,9 +168,88 @@ class _PGSReader(DataSourceReader):
             yield batch
 
 
+@dataclass
+class _PGSCommit(WriterCommitMessage):
+    pid: int
+    n_rows: int
+    encoded_bytes: int
+
+
+class _PGSWriter(DataSourceArrowWriter):
+    """``df.write.format("pgs")``: each task encodes its partition's
+    Arrow batches through the same kernel path as ``encode_table`` (one
+    ``part-NNNNN.bin`` + atomic manifest commit per task). Partitioning,
+    salting and within-partition sort stay with the caller — idiomatic
+    Spark: ``df.repartition(n, F.xxhash64("url")).sortWithinPartitions(
+    "warc_ts").write.format("pgs").save(dir)``."""
+
+    def __init__(self, enc_dir: str, cols: list[str], opts: dict):
+        self.enc_dir = enc_dir
+        self.cols = cols
+        self.opts = opts
+
+    def write(self, iterator) -> _PGSCommit:
+        import pyarrow as pa
+        from pyspark import TaskContext
+
+        from .encode_job import encode_columns_to_partition
+
+        pid = TaskContext.get().partitionId()
+        batches = list(iterator)
+        table = pa.Table.from_batches(batches) if batches else None
+        rows = encode_columns_to_partition(table, self.cols, self.enc_dir, pid, **self.opts)
+        return _PGSCommit(
+            pid=pid,
+            n_rows=rows[0]["num_rows"] if rows else 0,
+            encoded_bytes=sum(r["encoded_bytes"] for r in rows),
+        )
+
+    def commit(self, messages) -> None:
+        from . import manifest as mf
+
+        mf.commit_snapshot(
+            self.enc_dir,
+            "write.format(pgs)",
+            {"tasks": len(messages), **{k: str(v) for k, v in self.opts.items()}},
+        )
+
+    def abort(self, messages) -> None:
+        # per-partition manifests are atomic (tmp+rename): uncommitted
+        # tasks left no manifest, so the directory stays readable; the
+        # next write with mode("overwrite") clears stragglers
+        return None
+
+
+def _parse_writer_options(options: dict) -> dict:
+    """DataFrameWriter .option(...) strings -> encode_columns_to_partition
+    kwargs (same knobs as ``encode_table``)."""
+    opts: dict = {}
+    if "profile" in options:
+        opts["profile"] = options["profile"]
+    if "compression" in options:
+        opts["compression"] = options["compression"]
+    for flag in ("page_stats", "page_crc"):
+        if flag in options:
+            opts[flag] = str(options[flag]).lower() in ("true", "1", "yes")
+    if "max_page" in options:
+        opts["max_page"] = int(options["max_page"])
+    if "bloom_columns" in options:
+        opts["bloom_columns"] = [c.strip() for c in options["bloom_columns"].split(",") if c.strip()]
+    if "bloom_bits" in options:
+        opts["bloom_bits"] = int(options["bloom_bits"])
+    if "encodings" in options:
+        # "col:codec,col2:codec2" — the per-column pinning the CLI exposes
+        opts["encodings"] = dict(
+            pair.split(":", 1) for pair in options["encodings"].split(",") if ":" in pair
+        )
+    return opts
+
+
 class PGSDataSource(DataSource):
-    """``format("pgs")``: read encoded table directories as DataFrames
-    with stats/bloom/page pruning pushed down from catalyst filters."""
+    """``format("pgs")``: read/write encoded table directories as
+    DataFrames — reads get stats/bloom/page pruning pushed down from
+    catalyst filters; writes encode through the kernel path with the
+    same options as ``encode_table``."""
 
     @classmethod
     def name(cls) -> str:
@@ -148,3 +271,28 @@ class PGSDataSource(DataSource):
         from . import manifest as mf
 
         return _PGSReader(self._dir(), mf.read_table_schema(self._dir()))
+
+    def writer(self, schema, overwrite: bool) -> _PGSWriter:
+        import glob as _glob
+        import os
+
+        from . import manifest as mf
+
+        enc_dir = self._dir()
+        existing = _glob.glob(os.path.join(enc_dir, "part-*.bin"))
+        if existing and not overwrite:
+            raise ValueError(
+                f"pgs table at {enc_dir} already has {len(existing)} partition(s); "
+                'appending is unsupported (partition ids would collide) — use '
+                '.mode("overwrite")'
+            )
+        for p in existing + _glob.glob(os.path.join(mf.manifest_dir(enc_dir), "part-*.parquet")):
+            os.remove(p)
+        os.makedirs(enc_dir, exist_ok=True)
+        mf.write_table_schema(
+            enc_dir,
+            [{"name": f.name, "ddl": f.dataType.simpleString()} for f in schema.fields],
+        )
+        return _PGSWriter(
+            enc_dir, [f.name for f in schema.fields], _parse_writer_options(self.options)
+        )

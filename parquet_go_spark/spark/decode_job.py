@@ -29,20 +29,30 @@ def _le_bound(a, b) -> bool:
         return str(a) <= str(b)
 
 
-def _page_excludes(op: str, value, mn, mx) -> bool:
-    """True when a page's [mn, mx] bounds provably exclude the predicate
+def _bounds_exclude_eq(value, mn, mx) -> bool:
+    """[mn, mx] provably excludes ``== value`` (None bound never excludes)."""
+    if mn is not None and not _le_bound(mn, value):
+        return True
+    if mx is not None and not _le_bound(value, mx):
+        return True
+    return False
+
+
+def _page_excludes(op: str, value, page: dict) -> bool:
+    """True when a page's stats provably exclude the predicate
     (None bound = unknown, never excludes)."""
+    mn, mx = page["min_str"], page["max_str"]
     if op == "==":
-        if mn is not None and not _le_bound(mn, value):
-            return True
-        if mx is not None and not _le_bound(value, mx):
-            return True
-    elif op == "<=":
-        if mn is not None and not _le_bound(mn, value):
-            return True
-    elif op == ">=":
-        if mx is not None and not _le_bound(value, mx):
-            return True
+        return _bounds_exclude_eq(value, mn, mx)
+    if op == "in":
+        return all(_bounds_exclude_eq(v, mn, mx) for v in value)
+    if op == "<=":
+        return mn is not None and not _le_bound(mn, value)
+    if op == ">=":
+        return mx is not None and not _le_bound(value, mx)
+    if op == "notnull":
+        # every row of the page is null ⇒ no non-null value can match
+        return page.get("nulls", 0) >= page["row_hi"] - page["row_lo"]
     return False
 
 
@@ -67,6 +77,22 @@ def surviving_partitions(enc_dir: str, prune: list[tuple]) -> list[int]:
     bloom filter. Conservative: a partition is dropped only on proof of
     absence."""
     _le = _le_bound
+
+    def _excludes_point(r: dict, v) -> bool:
+        """min/max + bloom proof that value ``v`` is absent from chunk ``r``."""
+        if _bounds_exclude_eq(v, r["min_str"], r["max_str"]):
+            return True
+        # bloom probe: min/max rarely excludes a point lookup on
+        # high-cardinality keys (every partition spans the range); the
+        # manifest bloom proves absence instead
+        if r.get("bloom") is not None:
+            from ..kernels.bloom import bloom_might_contain, hash_scalar
+
+            h = hash_scalar(v, r["ptype"])
+            if h is not None and not bloom_might_contain(r["bloom"], h):
+                return True
+        return False
+
     keep = []
     for pid in mf.committed_partitions(enc_dir):
         rows = {r["column"]: r for r in mf.read_partition_manifest(enc_dir, pid)}
@@ -77,23 +103,17 @@ def surviving_partitions(enc_dir: str, prune: list[tuple]) -> list[int]:
                 continue  # no stats -> cannot prune
             mn, mx = r["min_str"], r["max_str"]  # each may be None (inexact)
             if op == "==":
-                if mn is not None and not _le(mn, value):
+                if _excludes_point(r, value):
                     ok = False
-                if mx is not None and not _le(value, mx):
+            elif op == "in":
+                if all(_excludes_point(r, v) for v in value):
                     ok = False
-                # bloom probe: min/max rarely excludes a point lookup
-                # on high-cardinality keys (every partition spans the
-                # range); the manifest bloom proves absence instead
-                if ok and r.get("bloom") is not None:
-                    from ..kernels.bloom import bloom_might_contain, hash_scalar
-
-                    h = hash_scalar(value, r["ptype"])
-                    if h is not None and not bloom_might_contain(r["bloom"], h):
-                        ok = False
             elif op == "<=" and mn is not None and not _le(mn, value):
                 ok = False
             elif op == ">=" and mx is not None and not _le(value, mx):
                 ok = False
+            elif op == "notnull" and r["null_count"] >= r["num_rows"]:
+                ok = False  # all-null chunk: no non-null value to match
         if ok:
             keep.append(pid)
     return keep
@@ -116,7 +136,7 @@ def _surviving_ranges(prune: list[tuple], blobs: dict) -> tuple[list[tuple] | No
         total = max(total, pidx[-1]["row_hi"] if pidx else 0)
         keep = []
         for p in pidx:
-            if not _page_excludes(op, value, p["min_str"], p["max_str"]):
+            if not _page_excludes(op, value, p):
                 # extend the previous range instead of appending (pages
                 # are already sorted and non-overlapping)
                 if keep and keep[-1][1] == p["row_lo"]:
@@ -214,7 +234,9 @@ def decode_table(
     partition manifest before decoding (reference ``WithCRC32Validation``,
     ``file_reader.go:134-139`` / ``chunk_reader.go:173-177``).
 
-    ``prune`` = [(column, op, value), ...] with op in {"==", "<=", ">="}:
+    ``prune`` = [(column, op, value), ...] with op in {"==", "<=", ">=",
+    "in", "notnull"} ("in" takes a tuple of values and survives when any
+    value might be present; "notnull" drops all-null chunks/pages):
     partitions whose manifest min/max provably exclude the predicate are
     never read (the stats-pruning the reference writes stats for but
     never uses, ``README.md:47`` — here the manifest makes it real).

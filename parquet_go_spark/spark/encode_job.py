@@ -66,6 +66,68 @@ def parse_partition_file(buf, columns: set[str] | None = None) -> dict[str, memo
     return out
 
 
+def encode_columns_to_partition(
+    table: "pa.Table | None",
+    cols: list[str],
+    out_dir: str,
+    pid: int,
+    *,
+    profile: str = "auto",
+    compression: str = "none",
+    page_crc: bool = False,
+    page_stats: bool = False,
+    max_page: int | None = None,
+    encodings: dict[str, str] | None = None,
+    bloom_columns: list[str] | None = None,
+    bloom_bits: int = 16,
+    bloom_cap: int = 1 << 17,
+) -> list[dict]:
+    """Encode one partition's Arrow table into ``part-<pid>.bin`` +
+    atomic manifest commit; returns the manifest rows. Shared by the
+    mapInArrow job (``encode_table``) and the ``format("pgs")`` writer
+    (``spark/datasource.py``)."""
+    fpath = os.path.join(out_dir, f"part-{pid:05d}.bin")
+    named_blobs: list[tuple[str, bytes]] = []
+    rows: list[dict] = []
+    if table is not None:
+        for name in cols:
+            col = from_arrow(table.column(name))
+            kw = {} if max_page is None else {"max_page": max_page}
+            blob, meta = encode_chunk(
+                col,
+                profile=profile,
+                compression=compression,
+                page_crc=page_crc,
+                page_stats=page_stats,
+                encoding=(encodings or {}).get(name),
+                **kw,
+            )
+            named_blobs.append((name, blob))
+            bloom = None
+            if bloom_columns and name in bloom_columns:
+                from ..kernels.bloom import bloom_build, hash_column
+
+                hashes = hash_column(col)
+                if hashes is not None:
+                    d = meta.as_dict()["distinct"]
+                    ndv = d if d and d > 0 else len(hashes)
+                    bloom = bloom_build(hashes, ndv, bloom_bits, bloom_cap)
+            rows.append(
+                {
+                    "partition": pid,
+                    "column": name,
+                    **meta.as_dict(),
+                    "bloom": bloom,
+                    "file": fpath,
+                    "offset": -1,
+                    "length": len(blob),
+                }
+            )
+    write_partition_file(fpath, named_blobs)
+    mf.commit_partition(out_dir, pid, rows)
+    return rows
+
+
 def encode_table(
     df: DataFrame,
     out_dir: str,
@@ -163,8 +225,6 @@ def encode_table(
                 yield _manifest_batch(rows)
             return
         recs = list(batches)
-        named_blobs: list[tuple[str, bytes]] = []
-        rows = []
         if recs:
             table = pa.Table.from_batches(recs)
         elif arrow_schema is not None:
@@ -175,42 +235,21 @@ def encode_table(
         else:
             table = None
         del recs
-        if table is not None:
-            for name in cols:
-                col = from_arrow(table.column(name))
-                kw = {} if max_page is None else {"max_page": max_page}
-                blob, meta = encode_chunk(
-                    col,
-                    profile=profile,
-                    compression=compression,
-                    page_crc=page_crc,
-                    page_stats=page_stats,
-                    encoding=(encodings or {}).get(name),
-                    **kw,
-                )
-                named_blobs.append((name, blob))
-                bloom = None
-                if bloom_columns and name in bloom_columns:
-                    from ..kernels.bloom import bloom_build, hash_column
-
-                    hashes = hash_column(col)
-                    if hashes is not None:
-                        d = meta.as_dict()["distinct"]
-                        ndv = d if d and d > 0 else len(hashes)
-                        bloom = bloom_build(hashes, ndv, bloom_bits, bloom_cap)
-                rows.append(
-                    {
-                        "partition": pid,
-                        "column": name,
-                        **meta.as_dict(),
-                        "bloom": bloom,
-                        "file": fpath,
-                        "offset": -1,
-                        "length": len(blob),
-                    }
-                )
-        write_partition_file(fpath, named_blobs)
-        mf.commit_partition(out_dir, pid, rows)
+        rows = encode_columns_to_partition(
+            table,
+            cols,
+            out_dir,
+            pid,
+            profile=profile,
+            compression=compression,
+            page_crc=page_crc,
+            page_stats=page_stats,
+            max_page=max_page,
+            encodings=encodings,
+            bloom_columns=bloom_columns,
+            bloom_bits=bloom_bits,
+            bloom_cap=bloom_cap,
+        )
         if rows:
             yield _manifest_batch(rows)
 

@@ -76,13 +76,94 @@ def test_pushed_range_filter_correct(spark, enc_dir):
 
 
 def test_filter_translation_rules():
-    from pyspark.sql.datasource import EqualTo, GreaterThan, LessThanOrEqual
+    import datetime as dt
+
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThan,
+        In,
+        IsNotNull,
+        LessThanOrEqual,
+        StringStartsWith,
+    )
 
     from parquet_go_spark.spark.datasource import _filter_to_prune
 
-    assert _filter_to_prune(EqualTo(("url",), "x")) == ("url", "==", "x")
-    assert _filter_to_prune(GreaterThan(("n",), 5)) == ("n", ">=", 5)
-    assert _filter_to_prune(LessThanOrEqual(("n",), 5)) == ("n", "<=", 5)
+    assert _filter_to_prune(EqualTo(("url",), "x")) == [("url", "==", "x")]
+    assert _filter_to_prune(GreaterThan(("n",), 5)) == [("n", ">=", 5)]
+    assert _filter_to_prune(LessThanOrEqual(("n",), 5)) == [("n", "<=", 5)]
     # nested paths and non-literal-friendly values are not pruned
-    assert _filter_to_prune(EqualTo(("a", "b"), 1)) is None
-    assert _filter_to_prune(EqualTo(("flag",), True)) is None
+    assert _filter_to_prune(EqualTo(("a", "b"), 1)) == []
+    assert _filter_to_prune(EqualTo(("flag",), True)) == []
+    # IN list, IsNotNull, prefix range
+    assert _filter_to_prune(In(("k",), (1, 2, 3))) == [("k", "in", (1, 2, 3))]
+    assert _filter_to_prune(IsNotNull(("k",))) == [("k", "notnull", None)]
+    assert _filter_to_prune(StringStartsWith(("url",), "https://b")) == [
+        ("url", ">=", "https://b"),
+        ("url", "<=", "https://c"),
+    ]
+    # timestamp/date literals map to the stored int representation
+    ts = dt.datetime(2021, 3, 4, 5, 6, 7, 123456)
+    micros = (ts - dt.datetime(1970, 1, 1)) // dt.timedelta(microseconds=1)
+    assert _filter_to_prune(EqualTo(("warc_ts",), ts)) == [("warc_ts", "==", micros)]
+    assert _filter_to_prune(GreaterThan(("d",), dt.date(1970, 1, 11))) == [("d", ">=", 10)]
+
+
+def test_in_and_startswith_pushdown_correct(spark, enc_dir):
+    import pyspark.sql.functions as F
+
+    from parquet_go_spark.spark.datasource import PGSDataSource
+    from parquet_go_spark.spark.decode_job import decode_table
+
+    spark.dataSource.register(PGSDataSource)
+    df = spark.read.format("pgs").load(enc_dir)
+    full = decode_table(spark, enc_dir).toPandas()
+    urls = sorted(full["url"])
+    three = [urls[3], urls[500], urls[1100]]
+    got = df.where(F.col("url").isin(three + ["https://absent.example/x"]))
+    assert sorted(r["url"] for r in got.select("url").collect()) == sorted(three)
+    prefix = urls[600][: len(urls[600]) // 2]
+    got_n = df.where(F.col("url").startswith(prefix)).count()
+    assert got_n == int(full["url"].str.startswith(prefix).sum()) > 0
+    assert df.where(F.col("url").isNotNull()).count() == len(full)
+
+
+def test_write_format_pgs_roundtrip(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from parquet_go_spark.spark.datasource import PGSDataSource
+    from parquet_go_spark.spark.decode_job import decode_table
+    from parquet_go_spark.spark.pages_table import pages_df
+    from parquet_go_spark.spark import manifest as mf
+
+    spark.dataSource.register(PGSDataSource)
+    out = str(tmp_path / "ds_written")
+    df = pages_df(spark, 900, partitions=2)
+    (
+        df.repartition(4, F.xxhash64("url"))
+        .sortWithinPartitions("warc_ts")
+        .write.format("pgs")
+        .mode("append")  # python DS allows only append/overwrite; append
+        # into a fresh dir is the initial write, onto existing parts it refuses
+        .option("compression", "snappy")
+        .option("page_stats", "true")
+        .option("bloom_columns", "url")
+        .save(out)
+    )
+    back = decode_table(spark, out)
+    assert back.count() == 900
+    a = {r["url"]: r["text"] for r in df.select("url", "text").collect()}
+    b = {r["url"]: r["text"] for r in back.select("url", "text").collect()}
+    assert a == b
+    # manifest lineage: one row per column per partition, blooms on url
+    man = mf.read_manifest(spark, out).toPandas()
+    assert set(man["column"]) == set(df.columns)
+    assert man[man["column"] == "url"]["bloom"].notna().all()
+    # job-level snapshot committed
+    snaps = mf.read_snapshots(out)
+    assert snaps and snaps[-1]["operation"] == "write.format(pgs)"
+    # second write without overwrite refuses; with overwrite succeeds
+    with pytest.raises(Exception, match="overwrite"):
+        df.limit(10).write.format("pgs").mode("append").save(out)
+    df.limit(10).repartition(1).write.format("pgs").mode("overwrite").save(out)
+    assert decode_table(spark, out).count() == 10
