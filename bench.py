@@ -152,9 +152,17 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_BENCH_ONLY") != "encode":
         queries = entry_mod.queries()
         for name in OP_QUERIES:
-            t0 = time.perf_counter()
-            _force(queries[name](spark, sf_dir))
-            q[name] = round(time.perf_counter() - t0, 3)
+            # best-of-2, same rationale as the encode/decode legs: the
+            # first run pays one-time whole-stage-codegen + exchange
+            # setup (langid: ~12 s cold vs ~3 s steady-state), and the
+            # steady-state number is what a long-running job sees
+            best = None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                _force(queries[name](spark, sf_dir))
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            q[name] = round(best, 3)
 
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf"))
