@@ -288,8 +288,10 @@ def column_minmax(col: ColumnData) -> tuple[object, object]:
     no candidate-count cap (shared-prefix columns like urls stay
     correct); ties deeper than ~280 prefix bytes return prune-safe
     truncated bounds instead of exact values (see ``_extreme_bytes``).
-    FLBA decimals compare as signed integers (widths <= 8 vectorized;
-    wider report no stats rather than wrong ones)."""
+    FLBA decimals compare as signed integers: widths <= 8 via one
+    vectorized signed key, widths 9-16 (decimal128 carriers) via a
+    signed-high/unsigned-low two-limb compare; only widths > 16 report
+    no stats."""
     if col.num_values == 0:
         return None, None
     if col.ptype == "bool":
@@ -297,17 +299,38 @@ def column_minmax(col: ColumnData) -> tuple[object, object]:
         return bool(v.min()), bool(v.max())
     if col.ptype == "flba":
         w = col.type_length
-        if w > 8:
-            return None, None
+        if w > 16:
+            return None, None  # wider than a decimal128 carrier: no stats
         vals = col.data.reshape(col.num_values, w).astype(np.int64)
-        pw = np.array([1 << (8 * (w - 1 - i)) for i in range(w)], dtype=np.int64)
-        with np.errstate(over="ignore"):
-            u = vals @ pw
-        if w < 8:
-            wrap = np.int64(1) << np.int64(8 * w - 1)
-            u = np.where(u >= wrap, u - (np.int64(1) << np.int64(8 * w)), u)
-        # w == 8: the int64 matmul already wrapped into two's complement
-        lo, hi = int(u.min()), int(u.max())
+        if w > 8:
+            # signed big-endian compare in two limbs: hi = leading w-8
+            # bytes as a signed int (carries the sign), lo = trailing 8
+            # bytes unsigned; (hi, lo) orders exactly like the full value
+            k = w - 8
+            pwh = np.array([1 << (8 * (k - 1 - i)) for i in range(k)], dtype=np.int64)
+            pwl = np.array([1 << (8 * (7 - i)) for i in range(8)], dtype=np.uint64)
+            with np.errstate(over="ignore"):
+                hi_limb = vals[:, :k] @ pwh
+                lo_limb = vals[:, k:].astype(np.uint64) @ pwl
+            if k < 8:
+                wrap = np.int64(1) << np.int64(8 * k - 1)
+                hi_limb = np.where(
+                    hi_limb >= wrap, hi_limb - (np.int64(1) << np.int64(8 * k)), hi_limb
+                )
+            # k == 8 (w == 16): the int64 matmul already wrapped two's complement
+            h_lo = hi_limb.min()
+            h_hi = hi_limb.max()
+            lo = (int(h_lo) << 64) + int(lo_limb[hi_limb == h_lo].min())
+            hi = (int(h_hi) << 64) + int(lo_limb[hi_limb == h_hi].max())
+        else:
+            pw = np.array([1 << (8 * (w - 1 - i)) for i in range(w)], dtype=np.int64)
+            with np.errstate(over="ignore"):
+                u = vals @ pw
+            if w < 8:
+                wrap = np.int64(1) << np.int64(8 * w - 1)
+                u = np.where(u >= wrap, u - (np.int64(1) << np.int64(8 * w)), u)
+            # w == 8: the int64 matmul already wrapped into two's complement
+            lo, hi = int(u.min()), int(u.max())
         if col.logical.startswith("decimal128("):
             import decimal as _dec
 

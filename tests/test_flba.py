@@ -12,7 +12,7 @@ import pyarrow as pa
 import pytest
 
 from parquet_go_spark.core.chunk import column_minmax, decode_chunk, encode_chunk
-from parquet_go_spark.core.columns import decimal_width, from_arrow, to_arrow
+from parquet_go_spark.core.columns import ColumnData, decimal_width, from_arrow, to_arrow
 
 
 def _rt(arr: pa.Array, **kw) -> tuple[pa.Array, object]:
@@ -56,7 +56,28 @@ def test_wide_decimal_w16():
     )
     out, meta = _rt(a)
     assert out.equals(a)
-    assert meta.min_value is None  # w > 8: stats honestly absent
+    # w > 8: two-limb signed compare yields exact stats
+    assert meta.min_value == Decimal("-1.0000")
+    assert meta.max_value == Decimal("123456789012345678901234.5678")
+
+
+@pytest.mark.parametrize("width", [9, 12, 16])
+def test_wide_flba_minmax_matches_bigendian_signed(width):
+    # randomized cross-check against int.from_bytes(..., signed=True):
+    # the two-limb vectorized compare must order exactly like the full
+    # big-endian two's-complement integer, sign included
+    rng = np.random.default_rng(width)
+    raw = rng.integers(0, 256, size=(1500, width), dtype=np.uint8)
+    raw[:40, 0] |= 0x80  # guarantee negatives
+    vals = [int.from_bytes(bytes(r), "big", signed=True) for r in raw]
+    cd = ColumnData(
+        "flba",
+        np.ones(len(vals), bool),
+        data=raw.reshape(-1).copy(),
+        type_length=width,
+    )
+    mn, mx = column_minmax(cd)
+    assert (mn, mx) == (min(vals), max(vals))
 
 
 def test_decimal_minmax_signed():
