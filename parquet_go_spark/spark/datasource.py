@@ -34,6 +34,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualTo,
     Filter,
     GreaterThan,
@@ -116,6 +117,33 @@ def _filter_to_prune(f: Filter) -> list[tuple]:
     return [(col, ">=", value)]
 
 
+def _decode_partition_to_batches(enc_dir: str, fields: list[dict], pid: int, prune: list[tuple]):
+    """Decode one committed partition file -> Arrow batch iterator;
+    shared by the batch reader and the stream reader."""
+    import os
+
+    from .decode_job import decode_blobs_to_batch, logical_of_ddl
+    from .encode_job import parse_partition_file
+
+    if pid < 0:
+        return
+    path = os.path.join(enc_dir, f"part-{pid:05d}.bin")
+    with open(path, "rb") as fh:
+        payload = fh.read()
+    cols = [f["name"] for f in fields]
+    want = set(cols) | {p[0] for p in prune}
+    blobs = parse_partition_file(payload, want)
+    if not blobs:
+        return
+    nested = {
+        f["name"] for f in fields if f["ddl"].strip().startswith(("array<", "map<", "struct<"))
+    }
+    logicals = {f["name"]: logical_of_ddl(f["ddl"]) for f in fields}
+    batch = decode_blobs_to_batch(blobs, cols, nested, logicals, prune or None)
+    if batch is not None:
+        yield batch
+
+
 class _PGSReader(DataSourceReader):
     def __init__(self, enc_dir: str, schema_fields: list[dict]):
         self.enc_dir = enc_dir
@@ -142,30 +170,44 @@ class _PGSReader(DataSourceReader):
         return [_PGSPartition(pid) for pid in pids] or [_PGSPartition(-1)]
 
     def read(self, partition: _PGSPartition):
-        import os
+        return _decode_partition_to_batches(self.enc_dir, self.fields, partition.pid, self.prune)
 
-        from .decode_job import decode_blobs_to_batch, logical_of_ddl
-        from .encode_job import parse_partition_file
 
-        if partition.pid < 0:
-            return
-        path = os.path.join(self.enc_dir, f"part-{partition.pid:05d}.bin")
-        with open(path, "rb") as fh:
-            payload = fh.read()
-        cols = [f["name"] for f in self.fields]
-        want = set(cols) | {p[0] for p in self.prune}
-        blobs = parse_partition_file(payload, want)
-        if not blobs:
-            return
-        nested = {
-            f["name"]
-            for f in self.fields
-            if f["ddl"].strip().startswith(("array<", "map<", "struct<"))
-        }
-        logicals = {f["name"]: logical_of_ddl(f["ddl"]) for f in self.fields}
-        batch = decode_blobs_to_batch(blobs, cols, nested, logicals, self.prune or None)
-        if batch is not None:
-            yield batch
+def _offset_pids(offset: dict) -> set[int]:
+    s = (offset or {}).get("committed", "")
+    return {int(x) for x in s.split(",") if x != ""}
+
+
+class _PGSStreamReader(DataSourceStreamReader):
+    """``spark.readStream.format("pgs")``: tail an encode job's output
+    directory. The offset is the set of committed partition ids (a
+    partition is committed iff its manifest file exists — the same
+    atomic tmp+rename contract the resume path relies on), so each
+    micro-batch reads exactly the partitions that committed since the
+    last batch, one Spark task per partition. Pairs with the streaming
+    encode sink (``streaming/encode_stream.py``) for an end-to-end
+    encode->tail pipeline. Overwriting the directory mid-stream is not
+    supported (offsets only grow)."""
+
+    def __init__(self, enc_dir: str, schema_fields: list[dict]):
+        self.enc_dir = enc_dir
+        self.fields = schema_fields
+
+    def initialOffset(self) -> dict:
+        return {"committed": ""}
+
+    def latestOffset(self) -> dict:
+        from . import manifest as mf
+
+        pids = sorted(mf.committed_partitions(self.enc_dir))
+        return {"committed": ",".join(map(str, pids))}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        fresh = sorted(_offset_pids(end) - _offset_pids(start))
+        return [_PGSPartition(pid) for pid in fresh]
+
+    def read(self, partition: _PGSPartition):
+        return _decode_partition_to_batches(self.enc_dir, self.fields, partition.pid, [])
 
 
 @dataclass
@@ -271,6 +313,11 @@ class PGSDataSource(DataSource):
         from . import manifest as mf
 
         return _PGSReader(self._dir(), mf.read_table_schema(self._dir()))
+
+    def streamReader(self, schema) -> _PGSStreamReader:
+        from . import manifest as mf
+
+        return _PGSStreamReader(self._dir(), mf.read_table_schema(self._dir()))
 
     def writer(self, schema, overwrite: bool) -> _PGSWriter:
         import glob as _glob

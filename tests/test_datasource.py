@@ -167,3 +167,54 @@ def test_write_format_pgs_roundtrip(spark, tmp_path):
         df.limit(10).write.format("pgs").mode("append").save(out)
     df.limit(10).repartition(1).write.format("pgs").mode("overwrite").save(out)
     assert decode_table(spark, out).count() == 10
+
+
+def test_stream_read_format_pgs_tails_new_partitions(spark, tmp_path):
+    import pyarrow as pa
+
+    from parquet_go_spark.spark import manifest as mf
+    from parquet_go_spark.spark.datasource import PGSDataSource
+    from parquet_go_spark.spark.encode_job import encode_columns_to_partition
+    from parquet_go_spark.spark.pages_table import pages_df
+
+    spark.dataSource.register(PGSDataSource)
+    out = str(tmp_path / "stream_src")
+    df = pages_df(spark, 300, partitions=1)
+    pdf = df.toPandas()
+    cols = list(pdf.columns)
+    mf.write_table_schema(
+        out, [{"name": f.name, "ddl": f.dataType.simpleString()} for f in df.schema.fields]
+    )
+
+    def commit_pid(pid: int, lo: int, hi: int):
+        tbl = pa.Table.from_pandas(pdf.iloc[lo:hi], preserve_index=False).select(cols)
+        encode_columns_to_partition(tbl, cols, out, pid)
+
+    commit_pid(0, 0, 100)
+    commit_pid(1, 100, 180)
+
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        q = (
+            spark.readStream.format("pgs")
+            .load(out)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    got = spark.read.parquet(sink)
+    assert got.count() == 180
+    # two more partitions commit; the next run reads ONLY those
+    commit_pid(2, 180, 260)
+    commit_pid(3, 260, 300)
+    run_once()
+    got = spark.read.parquet(sink).toPandas()
+    assert len(got) == 300  # no partition re-read, no partition missed
+    assert sorted(got["url"]) == sorted(pdf["url"])
