@@ -520,7 +520,7 @@ def _chunk_fsst_table(col: ColumnData):
     return fsst.train(lens, data)
 
 
-def _encode_values(enc: str, col: ColumnData, vlo: int, vhi: int, dlo: int, dhi: int, codes, dict_size: int, index_mode: str, fsst_table=None, codec_dict: bytes = b"") -> bytes:
+def _encode_values(enc: str, col: ColumnData, vlo: int, vhi: int, dlo: int, dhi: int, codes, dict_size: int, index_mode: str, fsst_table=None, codec_dict: bytes = b"", zcodec: int | None = None) -> bytes:
     if enc == "rle_dict":
         return dictenc.encode_indices(codes[vlo:vhi].astype(np.uint64), dict_size, mode=index_mode)
     if col.ptype == "flba":
@@ -550,7 +550,7 @@ def _encode_values(enc: str, col: ColumnData, vlo: int, vhi: int, dlo: int, dhi:
         if enc == "fsst":
             return fsst.encode_column(lens, data, fsst_table)
         if enc == "zdict":
-            return bytearrays.encode_zdict(lens, data, codec_dict)
+            return bytearrays.encode_zdict(lens, data, codec_dict, codec=zcodec)
         raise ValueError(f"bad bytes encoding {enc}")
     vals = col.values[vlo:vhi]
     if enc == "plain":
@@ -733,12 +733,18 @@ def encode_chunk(
     codec_dict = b""
     if enc == "fsst":
         fsst_table = sel_aux if sel_aux is not None else _chunk_fsst_table(col)
-    elif enc == "zdict":
+    zcodec = None
+    if enc == "zdict":
         codec_dict = (
             sel_aux
             if isinstance(sel_aux, bytes)
             else bytearrays.train_zdict(col.lengths, col.data)
         )
+        # one entropy-coder decision per chunk (every page inherits it);
+        # zstd pages never consult the trained dict, so don't store it
+        zcodec = bytearrays.choose_zdict_codec(col.lengths, col.data, codec_dict)
+        if zcodec == 1:
+            codec_dict = b""
 
     out = bytearray()
     out += MAGIC
@@ -785,7 +791,7 @@ def encode_chunk(
             dlo = dhi = 0
         lvl = levels.encode_def_levels(validity, mode=level_mode)
         vals = _encode_values(
-            enc, col, vstart, vend, dlo, dhi, codes, dict_size or 0, index_mode, fsst_table, codec_dict
+            enc, col, vstart, vend, dlo, dhi, codes, dict_size or 0, index_mode, fsst_table, codec_dict, zcodec
         )
         payload = lvl + vals
         comp = _compress(payload, compression)

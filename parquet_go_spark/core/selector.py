@@ -119,6 +119,7 @@ def choose_encoding(col: ColumnData, compression: str = "none"):
             est["rle_dict"] = dict_page + idx_stream
 
     zdict_aux = None
+    zdict_penalty = COST_PENALTY["zdict"]
     if col.ptype == "bytes":
         total = int(col.lengths.sum())
         est["plain"] = total + 4 * n
@@ -132,8 +133,22 @@ def choose_encoding(col: ColumnData, compression: str = "none"):
             zdict_aux = bytearrays.train_zdict(col.lengths, col.data)
             zk = min(n, int(np.searchsorted(np.cumsum(col.lengths), SAMPLE_BYTES)) + 1)
             z_total = int(col.lengths[:zk].sum())
-            z_enc = bytearrays.encode_zdict(col.lengths[:zk], col.data[:z_total], zdict_aux)
-            est["zdict"] = len(z_enc) / max(z_total + 4 * zk, 1) * (total + 4 * n) + len(zdict_aux)
+            # probe the entropy coder once on the sample; zstd-3 runs at
+            # ~330 MB/s/core (vs DEFLATE's 20-105), so when it wins the
+            # codec the encoding's CPU-cost penalty drops accordingly
+            z_codec = bytearrays.choose_zdict_codec(
+                col.lengths[:zk], col.data[:z_total], zdict_aux
+            )
+            z_enc = bytearrays.encode_zdict(
+                col.lengths[:zk], col.data[:z_total], zdict_aux, codec=z_codec
+            )
+            if z_codec == 1:
+                zdict_penalty = 0.08
+                zdict_aux = b""  # zstd chunks never consult the trained dict
+            dict_bytes = len(zdict_aux) if z_codec == 0 else 0
+            est["zdict"] = (
+                len(z_enc) / max(z_total + 4 * zk, 1) * (total + 4 * n) + dict_bytes
+            )
         # delta_bytes: prefix savings measured on a byte-capped prefix
         # sample (prefix sharing is positionally local, so a contiguous
         # sample is unbiased) plus the cost of both delta-BP length streams
@@ -231,7 +246,8 @@ def choose_encoding(col: ColumnData, compression: str = "none"):
             except Exception:
                 pass
 
-    best = min(est, key=lambda e: est[e] * (1.0 + COST_PENALTY[e]))
+    penalty = dict(COST_PENALTY, zdict=zdict_penalty)
+    best = min(est, key=lambda e: est[e] * (1.0 + penalty[e]))
     if best != "rle_dict":
         codes = uniques = None
         dict_size = 0

@@ -27,6 +27,7 @@ __all__ = [
     "encode_delta",
     "decode_delta",
     "train_zdict",
+    "choose_zdict_codec",
     "encode_zdict",
     "decode_zdict",
 ]
@@ -48,46 +49,103 @@ def train_zdict(lengths: np.ndarray, data: np.ndarray, cap: int = 1 << 13) -> by
     return b"".join(bytes(data[s : s + 512]) for s in starts)
 
 
-def encode_zdict(
-    lengths: np.ndarray, data: np.ndarray, zdict: bytes = b"", level: int | None = None
-) -> bytes:
-    """Delta-length layout with the value bytes DEFLATE-compressed under
-    an optional per-chunk trained dictionary:
-      uvarint raw_len | uvarint comp_len | deflate(values, zdict)
-      | delta-BP int32 lengths stream
-    The codec-selector picks this when entropy coding the values beats the
-    lightweight codecs even after the block-compression stage.
+_ZSTD_LEVEL = 3
 
-    ``level=None`` adapts per stream from STRIDED disjoint samples (a
-    head-only probe mischose whole chunks: one unrepresentative first
-    page sent a 240 MB html stream to level 6 at ~6 MB/s — 20 s for one
-    chunk — while sibling chunks took level 1 at ~200 MB/s, a 30x
-    bimodal task skew that sank the N->4N scaling run). Policy is
-    throughput-first at scale: streams > 32 MiB always take level 1
-    (level 6 on a large chunk costs seconds per task for a minority size
-    win); smaller streams take level 6 only when a sampled side-by-side
-    shows it saving >= 20% over level 1. The DEFLATE stream is
-    self-describing, so decode never needs the choice."""
+
+def _zstd_codec():
+    try:  # pyarrow ships a zstd codec; guard anyway (import-try policy)
+        import pyarrow as _pa
+
+        return _pa.Codec("zstd", compression_level=_ZSTD_LEVEL)
+    except Exception:  # pragma: no cover - zstd-less build
+        return None
+
+
+def _sample_stream(raw: bytes) -> bytes:
+    """8 disjoint 32 KiB strided slices (or the whole stream if small) —
+    the probe material for every side-by-side codec/level comparison
+    (a head-only probe mischose whole chunks; see encode_zdict)."""
+    n = len(raw)
+    if n <= 1 << 18:
+        return raw
+    k, w = 8, 1 << 15
+    step = n // k
+    return b"".join(raw[i * step : i * step + w] for i in range(k))
+
+
+def choose_zdict_codec(lengths: np.ndarray, data: np.ndarray, zdict: bytes = b"") -> int:
+    """Value-stream codec for the zdict layout: 0 = DEFLATE (+ trained
+    dict), 1 = zstd-3. Sampled side-by-side; measured on web text, zstd-3
+    compresses at ~330 MB/s/core vs DEFLATE-6's ~20 and DEFLATE-1's
+    ~105, with a ratio between the two — so on large streams (where
+    encode throughput is the scaling budget) DEFLATE must save >= 10% to
+    justify its cost, while on small streams (speed irrelevant, trained
+    dict at its most useful) the smaller output simply wins."""
+    import zlib as _z
+
+    z = _zstd_codec()
+    if z is None:
+        return 0
+    raw = np.ascontiguousarray(data, dtype=np.uint8).tobytes()
+    s = _sample_stream(raw)
+    lvl = 6 if len(raw) <= 1 << 25 else 1
+    co = _z.compressobj(lvl, _z.DEFLATED, 15, 9, 0, zdict) if zdict else _z.compressobj(lvl)
+    d_len = len(co.compress(s) + co.flush())
+    z_len = len(z.compress(s, asbytes=True))
+    margin = 0.9 if len(raw) > 1 << 20 else 1.0
+    return 0 if d_len <= margin * z_len else 1
+
+
+def encode_zdict(
+    lengths: np.ndarray,
+    data: np.ndarray,
+    zdict: bytes = b"",
+    level: int | None = None,
+    codec: int | None = None,
+) -> bytes:
+    """Delta-length layout with the value bytes entropy-coded:
+      uvarint raw_len | uvarint comp_len | byte codec | <compressed values>
+      | delta-BP int32 lengths stream
+    codec 0 = DEFLATE under an optional per-chunk trained dictionary,
+    codec 1 = zstd-3 (no dictionary; pyarrow's codec exposes no dict API).
+    The codec-selector picks this encoding when entropy coding the values
+    beats the lightweight codecs even after the block-compression stage;
+    ``choose_zdict_codec`` picks between the two entropy coders once per
+    chunk (every page inherits the choice via ``codec=``).
+
+    DEFLATE ``level=None`` adapts per stream from STRIDED disjoint
+    samples (a head-only probe mischose whole chunks: one
+    unrepresentative first page sent a 240 MB html stream to level 6 at
+    ~6 MB/s — 20 s for one chunk — while sibling chunks took level 1 at
+    ~200 MB/s, a 30x bimodal task skew that sank the N->4N scaling run).
+    Policy is throughput-first at scale: streams > 32 MiB always take
+    level 1 (level 6 on a large chunk costs seconds per task for a
+    minority size win); smaller streams take level 6 only when a sampled
+    side-by-side shows it saving >= 20% over level 1. Both codecs'
+    streams are self-describing, so decode never needs the choice."""
     import zlib as _z
 
     from .varint import uvarint
 
     raw = np.ascontiguousarray(data, dtype=np.uint8).tobytes()
-    if level is None:
-        n = len(raw)
-        if n <= 1 << 16:
-            level = 6  # small stream: level 6 is microseconds anyway
-        elif n > 1 << 25:
-            level = 1  # large chunk: the throughput path, always
-        else:
-            k, w = 8, 1 << 15  # 8 x 32 KiB disjoint strided samples
-            step = n // k
-            s = b"".join(raw[i * step : i * step + w] for i in range(k))
-            level = 6 if len(_z.compress(s, 6)) <= 0.8 * len(_z.compress(s, 1)) else 1
-    co = _z.compressobj(level, _z.DEFLATED, 15, 9, 0, zdict) if zdict else _z.compressobj(level)
-    comp = co.compress(raw) + co.flush()
+    if codec is None:
+        codec = choose_zdict_codec(lengths, data, zdict)
+    if codec == 1:
+        comp = _zstd_codec().compress(raw, asbytes=True)
+    else:
+        if level is None:
+            n = len(raw)
+            if n <= 1 << 16:
+                level = 6  # small stream: level 6 is microseconds anyway
+            elif n > 1 << 25:
+                level = 1  # large chunk: the throughput path, always
+            else:
+                s = _sample_stream(raw)
+                level = 6 if len(_z.compress(s, 6)) <= 0.8 * len(_z.compress(s, 1)) else 1
+        co = _z.compressobj(level, _z.DEFLATED, 15, 9, 0, zdict) if zdict else _z.compressobj(level)
+        comp = co.compress(raw) + co.flush()
     lens = deltabp.encode(lengths.astype(np.int32, copy=False), 32)
-    return bytes(uvarint(len(raw)) + uvarint(len(comp)) + comp + lens)
+    return bytes(uvarint(len(raw)) + uvarint(len(comp)) + bytes([codec]) + comp + lens)
 
 
 def decode_zdict(buf, pos: int = 0, zdict: bytes = b"") -> tuple[np.ndarray, np.ndarray, int]:
@@ -99,8 +157,27 @@ def decode_zdict(buf, pos: int = 0, zdict: bytes = b"") -> tuple[np.ndarray, np.
     mv = memoryview(buf)
     raw_len, pos = read_uvarint(mv, pos)
     comp_len, pos = read_uvarint(mv, pos)
-    do = _z.decompressobj(15, zdict) if zdict else _z.decompressobj()
-    raw = do.decompress(bytes(mv[pos : pos + comp_len]), raw_len)
+    if pos >= len(mv):
+        raise ValueError("zdict stream truncated")
+    codec = mv[pos]
+    pos += 1
+    if codec > 1:
+        raise ValueError(f"zdict stream has unknown codec {codec}")
+    comp = bytes(mv[pos : pos + comp_len])
+    if codec == 1:
+        z = _zstd_codec()
+        if z is None:  # pragma: no cover - zstd-less build
+            raise ValueError("zdict stream needs zstd but no codec is available")
+        try:
+            raw = z.decompress(comp, raw_len, asbytes=True)
+        except Exception as e:  # pyarrow raises OSError on corrupt frames
+            raise ValueError(f"zdict zstd stream corrupt: {e}") from e
+    else:
+        try:
+            do = _z.decompressobj(15, zdict) if zdict else _z.decompressobj()
+            raw = do.decompress(comp, raw_len)
+        except _z.error as e:
+            raise ValueError(f"zdict deflate stream corrupt: {e}") from e
     if len(raw) != raw_len:
         raise ValueError("zdict stream truncated")
     pos += comp_len

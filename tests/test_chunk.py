@@ -122,12 +122,16 @@ def test_low_cardinality_lang_picks_dict():
     assert meta.encoded_bytes < 3000
 
 
-def test_sorted_urls_pick_prefix_coding():
+def test_sorted_urls_pick_shared_structure_coding():
+    # sorted shared-prefix urls: the selector must exploit the shared
+    # structure — prefix coding (delta_bytes), symbol tables (fsst), or
+    # entropy coding (zdict; its zstd path measures 20x here vs
+    # delta_bytes' 13x, so it legitimately wins the sample compare)
     urls = sorted(f"https://site{i % 11}.example.com/path/{i:07d}" for i in range(20000))
     arr = pa.array(urls)
     meta = roundtrip(arr, profile="auto")
-    assert meta.encoding in ("delta_bytes", "fsst")
-    assert meta.encoded_bytes < 0.5 * meta.raw_bytes
+    assert meta.encoding in ("delta_bytes", "fsst", "zdict")
+    assert meta.encoded_bytes < 0.1 * meta.raw_bytes
 
 
 def test_multi_page_chunks():

@@ -144,3 +144,59 @@ def test_zdict_kernel_truncation():
     assert np.array_equal(ol, lens) and bytes(od) == b"abcdefgh" and pos == len(enc)
     with _pytest.raises(Exception):
         bytearrays.decode_zdict(enc[: len(enc) // 2])
+
+
+def test_zdict_zstd_codec_path():
+    import numpy as np
+    import pyarrow as pa
+    import pytest as _pytest
+
+    from parquet_go_spark.core.chunk import decode_chunk, encode_chunk
+    from parquet_go_spark.core.columns import from_arrow, to_arrow
+    from parquet_go_spark.kernels import bytearrays
+
+    rng = np.random.default_rng(11)
+    vocab = [f"token{i}" for i in range(500)]
+    texts = [" ".join(rng.choice(vocab, 60)) for _ in range(3000)]
+    arr = pa.array(texts)
+    cd = from_arrow(arr)
+    # forced zstd and forced deflate both round-trip bit-exact
+    for codec in (0, 1):
+        enc = bytearrays.encode_zdict(cd.lengths, cd.data, codec=codec)
+        assert enc[len(enc) - len(enc) :][0:1]  # non-empty
+        ol, od, pos = bytearrays.decode_zdict(enc)
+        assert np.array_equal(ol, cd.lengths) and np.array_equal(od, cd.data)
+    # the chunk-level adaptive choice round-trips through encode/decode
+    blob, meta = encode_chunk(cd, encoding="zdict")
+    assert meta.encoding == "zdict"
+    assert to_arrow(decode_chunk(blob, logical=cd.logical)).equals(arr)
+    # unknown codec byte raises ValueError, never a crash
+    enc = bytearrays.encode_zdict(cd.lengths[:5], cd.data[: int(cd.lengths[:5].sum())], codec=1)
+    from parquet_go_spark.kernels.varint import read_uvarint
+
+    mv = memoryview(enc)
+    _, p = read_uvarint(mv, 0)
+    _, p = read_uvarint(mv, p)
+    bad = bytearray(enc)
+    bad[p] = 7
+    with _pytest.raises(ValueError, match="codec"):
+        bytearrays.decode_zdict(bytes(bad))
+    # corrupt zstd frame surfaces as ValueError
+    bad = bytearray(enc)
+    bad[p + 3] ^= 0xFF
+    with _pytest.raises(ValueError):
+        bytearrays.decode_zdict(bytes(bad))
+
+
+def test_zdict_codec_choice_follows_data_shape():
+    import numpy as np
+
+    from parquet_go_spark.kernels import bytearrays
+
+    # large low-structure text: zstd-3 must win (deflate can't save >=10%)
+    rng = np.random.default_rng(7)
+    words = np.array([f"w{i:04d}" for i in range(8000)])
+    big = " ".join(rng.choice(words, 400_000)).encode()
+    lens = np.array([len(big)], np.int64)
+    data = np.frombuffer(big, np.uint8)
+    assert bytearrays.choose_zdict_codec(lens, data) == 1
