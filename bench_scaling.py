@@ -96,6 +96,12 @@ def main() -> None:
     n = int(os.environ.get("SPARK_GRAFT_SCALE_N", "1"))
     rows = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "1600000"))
     os.environ.setdefault("SPARK_GRAFT_BENCH_PARTITIONS", "16")
+    # 64 MB scan splits (HDFS/Iceberg block default) at BOTH levels: the
+    # input stage's 7x256m splits ran as 2 ragged waves on 4 cores,
+    # idling 3 cores through the second wave; ~22 even splits remove the
+    # tail. Identical config at both levels — split sizing, not graph
+    # change (the encode stage keeps its fixed 16 partitions).
+    os.environ.setdefault("SPARK_GRAFT_MAX_PARTITION_BYTES", "64m")
     # per-executor-local-storage stand-in: shuffle + job I/O on tmpfs (a
     # real N->4N cluster scales disks with executors; this VM has one
     # shared virtio disk, which otherwise caps the measurement)

@@ -46,6 +46,7 @@ def cmd_encode(args) -> int:
             args.out,
             key_col=args.key_col,
             partitions=args.partitions,
+            layout=args.layout,
             profile=args.profile,
             compression=args.compression,
             resume=not args.no_resume,
@@ -69,6 +70,7 @@ def cmd_encode(args) -> int:
         {
             "key_col": args.key_col,
             "partitions": args.partitions,
+            "layout": getattr(args, "layout", None),
             "profile": getattr(args, "profile", None),
             "compression": args.compression,
             "format": args.format,
@@ -200,6 +202,12 @@ def main(argv=None) -> int:
     e.add_argument("--out", required=True)
     e.add_argument("--key-col", default=None)
     e.add_argument("--partitions", type=int, default=None)
+    e.add_argument(
+        "--layout",
+        default="hash",
+        choices=["hash", "range"],
+        help="key partitioning: salted hash (write-optimized) or range (scan-optimized)",
+    )
     e.add_argument("--profile", default="auto", choices=["auto", "reference"])
     e.add_argument("--compression", default="none", choices=["none", "zlib", "snappy", "zstd", "lz4", "gzip"])
     e.add_argument("--no-resume", action="store_true")

@@ -745,6 +745,12 @@ def encode_chunk(
         zcodec = bytearrays.choose_zdict_codec(col.lengths, col.data, codec_dict)
         if zcodec == 1:
             codec_dict = b""
+        # the value stream is already entropy-coded: a second block-
+        # compression pass over the pages re-reads and re-writes the
+        # chunk's dominant byte volume for ~no size win (snappy over
+        # zstd/DEFLATE output is ~1.0x) — skip it; the container stores
+        # compression per chunk, so decode needs no special case
+        compression = "none"
 
     out = bytearray()
     out += MAGIC

@@ -61,16 +61,16 @@ def _zstd_codec():
         return None
 
 
-def _sample_stream(raw: bytes) -> bytes:
+def _sample_stream(raw) -> bytes:
     """8 disjoint 32 KiB strided slices (or the whole stream if small) —
     the probe material for every side-by-side codec/level comparison
     (a head-only probe mischose whole chunks; see encode_zdict)."""
     n = len(raw)
     if n <= 1 << 18:
-        return raw
+        return bytes(raw)
     k, w = 8, 1 << 15
     step = n // k
-    return b"".join(raw[i * step : i * step + w] for i in range(k))
+    return b"".join(bytes(raw[i * step : i * step + w]) for i in range(k))
 
 
 def choose_zdict_codec(lengths: np.ndarray, data: np.ndarray, zdict: bytes = b"") -> int:
@@ -86,13 +86,12 @@ def choose_zdict_codec(lengths: np.ndarray, data: np.ndarray, zdict: bytes = b""
     z = _zstd_codec()
     if z is None:
         return 0
-    raw = np.ascontiguousarray(data, dtype=np.uint8).tobytes()
-    s = _sample_stream(raw)
-    lvl = 6 if len(raw) <= 1 << 25 else 1
+    s = _sample_stream(np.ascontiguousarray(data, dtype=np.uint8))
+    lvl = 6 if len(data) <= 1 << 25 else 1
     co = _z.compressobj(lvl, _z.DEFLATED, 15, 9, 0, zdict) if zdict else _z.compressobj(lvl)
     d_len = len(co.compress(s) + co.flush())
     z_len = len(z.compress(s, asbytes=True))
-    margin = 0.9 if len(raw) > 1 << 20 else 1.0
+    margin = 0.9 if len(data) > 1 << 20 else 1.0
     return 0 if d_len <= margin * z_len else 1
 
 
@@ -127,25 +126,28 @@ def encode_zdict(
 
     from .varint import uvarint
 
-    raw = np.ascontiguousarray(data, dtype=np.uint8).tobytes()
+    # buffer-protocol view, never a bytes copy: the value stream is the
+    # job's dominant byte volume and an extra pass over it is pure DRAM
+    # traffic (the scaling bench's scarcest resource)
+    raw = np.ascontiguousarray(data, dtype=np.uint8)
+    raw_len = len(raw)
     if codec is None:
         codec = choose_zdict_codec(lengths, data, zdict)
     if codec == 1:
-        comp = _zstd_codec().compress(raw, asbytes=True)
+        comp = _zstd_codec().compress(memoryview(raw), asbytes=True)
     else:
         if level is None:
-            n = len(raw)
-            if n <= 1 << 16:
+            if raw_len <= 1 << 16:
                 level = 6  # small stream: level 6 is microseconds anyway
-            elif n > 1 << 25:
+            elif raw_len > 1 << 25:
                 level = 1  # large chunk: the throughput path, always
             else:
                 s = _sample_stream(raw)
                 level = 6 if len(_z.compress(s, 6)) <= 0.8 * len(_z.compress(s, 1)) else 1
         co = _z.compressobj(level, _z.DEFLATED, 15, 9, 0, zdict) if zdict else _z.compressobj(level)
-        comp = co.compress(raw) + co.flush()
+        comp = co.compress(memoryview(raw)) + co.flush()
     lens = deltabp.encode(lengths.astype(np.int32, copy=False), 32)
-    return bytes(uvarint(len(raw)) + uvarint(len(comp)) + bytes([codec]) + comp + lens)
+    return bytes(uvarint(raw_len) + uvarint(len(comp)) + bytes([codec]) + comp + lens)
 
 
 def decode_zdict(buf, pos: int = 0, zdict: bytes = b"") -> tuple[np.ndarray, np.ndarray, int]:

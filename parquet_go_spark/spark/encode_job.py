@@ -137,6 +137,7 @@ def encode_table(
     compression: str = "none",
     partitions: int | None = None,
     salt: int = 0x5A17,
+    layout: str = "hash",
     resume: bool = True,
     sort_within: str | list[str] | None = None,
     page_crc: bool = False,
@@ -148,6 +149,14 @@ def encode_table(
     bloom_cap: int = 1 << 17,
 ) -> DataFrame:
     """Encode ``df`` into ``out_dir``; returns the manifest DataFrame.
+
+    ``layout`` chooses the partitioning strategy for ``key_col``:
+    ``"hash"`` (default) salted-hash repartitions for uniform task sizes
+    under domain skew — the write-optimized layout; ``"range"``
+    range-partitions (sampled, skew-safe) and sorts within, giving each
+    partition a disjoint key interval — the scan-optimized layout where
+    manifest min/max alone excludes every partition outside a range
+    predicate.
 
     ``encodings`` pins specific columns to a codec (the reference's
     per-column configured encoding, ``schema.go:519-558``); unlisted
@@ -193,13 +202,28 @@ def encode_table(
     except Exception:  # pragma: no cover - fallback for API drift
         arrow_schema = None
     sc_parallelism = spark.sparkContext.defaultParallelism
+    if layout not in ("hash", "range"):
+        raise ValueError(f"layout must be 'hash' or 'range', got {layout!r}")
     if key_col is not None:
         partitions = partitions or max(sc_parallelism * 2, 8)
-        # explicit salted repartition on the key hash: xxhash64(key, salt).
-        # Pass the hash itself (not pmod) — Spark hash-partitions the
-        # expression value, and pmod would collapse it to n distinct values
-        # that clump under the second hash, leaving partitions empty.
-        df = df.repartition(partitions, F.xxhash64(F.col(key_col), F.lit(salt)))
+        if layout == "range":
+            # scan-optimized layout: range-partition on the key (Spark
+            # samples the distribution, so skewed keys still split
+            # evenly) and sort within, giving each partition a disjoint
+            # key interval — manifest min/max then excludes every
+            # partition outside a range predicate, and page stats
+            # narrow further inside the survivors. The write-optimized
+            # default stays salted-hash (uniform task sizes under
+            # domain skew; point lookups prune via blooms instead).
+            df = df.repartitionByRange(partitions, F.col(key_col))
+            if sort_within is None:
+                sort_within = key_col
+        else:
+            # explicit salted repartition on the key hash: xxhash64(key, salt).
+            # Pass the hash itself (not pmod) — Spark hash-partitions the
+            # expression value, and pmod would collapse it to n distinct values
+            # that clump under the second hash, leaving partitions empty.
+            df = df.repartition(partitions, F.xxhash64(F.col(key_col), F.lit(salt)))
     elif partitions:
         df = df.repartition(partitions)
     # key_col=None and partitions=None/0: encode the source partitioning

@@ -42,7 +42,14 @@ def get_spark(
         # let Catalyst push filters into the Python DataSource (spark/datasource.py)
         .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_rows))
-        .config("spark.sql.files.maxPartitionBytes", "256m")
+        # scan-split size: smaller splits give even waves per core at low
+        # parallelism (the N vs 4N scaling config pins 64m — the classic
+        # HDFS/Iceberg block size); the local[32] default keeps bigger
+        # splits so the ~140 ms/task python handshake stays amortized
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "256m"),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.driver.maxResultSize", "4g")
         .config("spark.ui.enabled", "false")

@@ -237,3 +237,36 @@ def test_near_dups_lsh_subset_of_exact(spark):
     assert lsh <= exact
     assert len(exact) >= 10  # the planted duplicates are found by exact
     assert len(lsh) >= len(exact) // 2  # and LSH recalls a healthy share
+
+
+def test_range_layout_prunes_partitions(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from parquet_go_spark.spark.decode_job import decode_table, surviving_partitions
+    from parquet_go_spark.spark.encode_job import encode_table
+    from parquet_go_spark.spark.pages_table import pages_df
+
+    df = pages_df(spark, 4000, partitions=2).withColumn(
+        "seq", F.abs(F.xxhash64("url")) % 1_000_000
+    )
+    hash_dir, range_dir = str(tmp_path / "h"), str(tmp_path / "r")
+    encode_table(df, hash_dir, key_col="seq", partitions=8).collect()
+    encode_table(df, range_dir, key_col="seq", partitions=8, layout="range").collect()
+    pred = [("seq", ">=", 100_000), ("seq", "<=", 200_000)]
+    surv_hash = surviving_partitions(hash_dir, pred)
+    surv_range = surviving_partitions(range_dir, pred)
+    # salted hash: every partition spans the full range -> nothing prunes;
+    # range layout: disjoint intervals -> only the overlapping few survive
+    assert len(surv_hash) == 8
+    assert len(surv_range) <= 3
+    # identical results either way (pruning is transparent)
+    a = decode_table(spark, hash_dir, prune=pred).filter(
+        F.col("seq").between(100_000, 200_000)
+    )
+    b = decode_table(spark, range_dir, prune=pred).filter(
+        F.col("seq").between(100_000, 200_000)
+    )
+    assert sorted(r["url"] for r in a.select("url").collect()) == sorted(
+        r["url"] for r in b.select("url").collect()
+    )
+    assert a.count() > 0
