@@ -9,6 +9,7 @@ Subcommands:
   meta       print per-column manifest summary (parquet-tool meta)
   gen-pages  write the deterministic synthetic pages table
   verify     byte-identity check input vs encoded dir (per-key)
+  compact    rewrite small encoded tables into right-sized partitions
 """
 
 from __future__ import annotations
@@ -171,6 +172,34 @@ def cmd_rowcount(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    spark = _spark(args)
+    from .spark.maintenance import compact_table
+
+    man = compact_table(
+        spark,
+        args.src.split(","),
+        args.out,
+        key_col=args.key_col,
+        partitions=args.partitions,
+        target_partition_bytes=args.target_mb << 20,
+        layout=args.layout,
+        compression=args.compression,
+    )
+    rows = man.collect()
+    print(
+        json.dumps(
+            {
+                "partitions": len({r["partition"] for r in rows}),
+                "raw_bytes": sum(r["raw_bytes"] for r in rows),
+                "encoded_bytes": sum(r["encoded_bytes"] for r in rows),
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
 def cmd_snapshots(args) -> int:
     """Snapshot lineage log (Iceberg snapshots analogue)."""
     from .spark import manifest as mf
@@ -280,6 +309,16 @@ def main(argv=None) -> int:
     sn = sub.add_parser("snapshots")
     sn.add_argument("--enc", required=True)
     sn.set_defaults(fn=cmd_snapshots)
+
+    cp = sub.add_parser("compact", help="rewrite small encoded tables into right-sized partitions")
+    cp.add_argument("--src", required=True, help="comma-separated source encoded dirs")
+    cp.add_argument("--out", required=True)
+    cp.add_argument("--key-col", default=None)
+    cp.add_argument("--partitions", type=int, default=None)
+    cp.add_argument("--target-mb", type=int, default=256, help="raw MB per output partition")
+    cp.add_argument("--layout", default="hash", choices=["hash", "range"])
+    cp.add_argument("--compression", default="none", choices=["none", "zlib", "snappy", "zstd", "lz4"])
+    cp.set_defaults(fn=cmd_compact)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -1,0 +1,129 @@
+"""Table maintenance: compaction (the Iceberg rewrite-data-files
+analogue).
+
+Continuous ingestion produces small files — the streaming sink writes one
+encoded directory per micro-batch (``streaming/encode_stream.py``), and a
+high-parallelism backfill can leave a table over-partitioned. Small
+partitions hurt at scale twice: per-partition fixed costs (task
+handshake, manifest row, dictionary/codec training) stop amortizing, and
+the codec selector's sampled statistics get noisier. The reference has no
+maintenance story (a Go library writes one file per call); this is the
+idiomatic-Spark table-service analogue.
+
+``compact_table`` decodes the source(s), re-encodes into right-sized
+partitions — the count is chosen from the MANIFEST byte totals, so
+planning never scans data — and commits a snapshot whose config records
+the full source lineage (dirs, their latest snapshot seqs, byte totals).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import manifest as mf
+from .decode_job import decode_table
+from .encode_job import encode_table
+
+__all__ = ["compact_table", "compact_stream_output", "table_bytes"]
+
+
+def table_bytes(enc_dir: str) -> tuple[int, int, int]:
+    """(raw_bytes, encoded_bytes, n_partitions) summed from the committed
+    manifests — no data files are opened."""
+    raw = enc = 0
+    pids = mf.committed_partitions(enc_dir)
+    for pid in pids:
+        for r in mf.read_partition_manifest(enc_dir, pid):
+            raw += r["raw_bytes"]
+            enc += r["encoded_bytes"]
+    return raw, enc, len(pids)
+
+
+def compact_table(
+    spark: SparkSession,
+    src_dirs: str | list[str],
+    dst_dir: str,
+    key_col: str | None = None,
+    partitions: int | None = None,
+    target_partition_bytes: int = 256 << 20,
+    layout: str = "hash",
+    **encode_kwargs,
+) -> DataFrame:
+    """Rewrite one or more encoded tables into ``dst_dir`` with
+    right-sized partitions; returns the new manifest DataFrame.
+
+    ``partitions`` defaults to ``ceil(total_raw_bytes /
+    target_partition_bytes)`` summed over the sources' manifests (raw
+    bytes, not encoded — the in-memory working-set per task is what must
+    fit an executor). All sources must share a schema; rows are unioned
+    by name. Runs EAGERLY (the rewrite is the point), then commits a
+    ``compact`` snapshot recording the source lineage. Sources are left
+    untouched — the caller retires them once the new table is verified,
+    same division of labor as Iceberg's rewrite + expire-snapshots.
+
+    ``key_col``/``layout``/``encode_kwargs`` pass through to
+    ``encode_table`` — compaction is also the moment to re-cluster
+    (``layout="range"`` + ``sort_within``) or add blooms/page stats the
+    original write skipped."""
+    dirs = [src_dirs] if isinstance(src_dirs, str) else list(src_dirs)
+    if not dirs:
+        raise ValueError("compact_table needs at least one source dir")
+    total_raw = 0
+    lineage = []
+    for d in dirs:
+        raw, enc, nparts = table_bytes(d)
+        total_raw += raw
+        snaps = mf.read_snapshots(d)
+        lineage.append(
+            {
+                "dir": os.path.abspath(d),
+                "raw_bytes": raw,
+                "encoded_bytes": enc,
+                "partitions": nparts,
+                "snapshot_seq": snaps[-1]["seq"] if snaps else None,
+            }
+        )
+    if partitions is None:
+        partitions = max(1, math.ceil(total_raw / max(target_partition_bytes, 1)))
+    src = None
+    for d in dirs:
+        df = decode_table(spark, d)
+        src = df if src is None else src.unionByName(df)
+    man_rows = encode_table(
+        src,
+        dst_dir,
+        key_col=key_col,
+        partitions=partitions,
+        layout=layout,
+        **encode_kwargs,
+    ).collect()
+    mf.commit_snapshot(
+        dst_dir,
+        "compact",
+        {
+            "sources": lineage,
+            "partitions": partitions,
+            "target_partition_bytes": target_partition_bytes,
+            "layout": layout,
+            "key_col": key_col,
+        },
+    )
+    return spark.createDataFrame(man_rows, schema=mf.MANIFEST_DDL)
+
+
+def compact_stream_output(
+    spark: SparkSession, stream_dir: str, dst_dir: str, **kwargs
+) -> DataFrame:
+    """Compact every committed micro-batch directory of a streaming
+    encode sink (``streaming/encode_stream.py``) into one table."""
+    from ..streaming.encode_stream import batch_dirs
+
+    dirs = [
+        d for d in batch_dirs(stream_dir) if os.path.exists(os.path.join(d, "_schema.json"))
+    ]
+    if not dirs:
+        raise ValueError(f"no committed batch dirs under {stream_dir}")
+    return compact_table(spark, dirs, dst_dir, **kwargs)
