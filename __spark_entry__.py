@@ -319,6 +319,32 @@ def _q_datasource_rw(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "source", "n_chars")
 
 
+def _q_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction (spark/maintenance.py, the Iceberg rewrite analogue):
+    encode the documents table twice as small 6-partition "micro-batch"
+    tables split by doc_id parity, compact both into one 2-partition
+    range-clustered table, and read it back — content must be invariant
+    under the rewrite. Oracle: the plain SELECT."""
+    import tempfile
+
+    from parquet_go_spark.spark.decode_job import decode_table
+    from parquet_go_spark.spark.encode_job import encode_table
+    from parquet_go_spark.spark.maintenance import compact_table
+
+    d = _load(spark, sf_dir, "documents")
+    base = tempfile.mkdtemp(prefix="pgs_compact_q_")
+    srcs = []
+    for i in range(2):
+        out = f"{base}/batch{i}"
+        encode_table(d.filter(F.col("doc_id") % 2 == i), out, key_col="doc_id", partitions=6).collect()
+        srcs.append(out)
+    dst = f"{base}/compacted"
+    compact_table(
+        spark, srcs, dst, key_col="doc_id", partitions=2, layout="range", compression="snappy"
+    )
+    return decode_table(spark, dst).select("doc_id", "lang", "source", "n_chars")
+
+
 def _q_dict_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
     st = table_column_stats(_load(spark, sf_dir, "documents"))
     return st.select(
@@ -389,6 +415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prune_bloom_lookup": _q_bloom_lookup,
         "prune_page_range": _q_page_prune_range,
         "datasource_read_write": _q_datasource_rw,
+        "compact_rewrite": _q_compact,
         # training-data pipeline ops
         "dedup_exact": lambda spark, sf_dir: exact_dedup(_load(spark, sf_dir, "documents")),
         "token_stats": lambda spark, sf_dir: token_stats(_load(spark, sf_dir, "documents")),
@@ -612,6 +639,7 @@ WHERE round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) >= 0.35
             "SELECT doc_id, lang, source, n_chars FROM documents"
             " WHERE lang IN ('en', 'de') AND doc_id BETWEEN 100 AND 400"
         ),
+        "compact_rewrite": "SELECT doc_id, lang, source, n_chars FROM documents",
         "dedup_exact": (
             "SELECT md5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups"
             " FROM documents GROUP BY text"
