@@ -108,23 +108,22 @@ def main() -> None:
     if os.path.isdir("/dev/shm") and "SPARK_GRAFT_LOCAL_DIR" not in os.environ:
         os.environ["SPARK_GRAFT_LOCAL_DIR"] = "/dev/shm/pgs_spark_local"
         os.environ.setdefault("SPARK_GRAFT_TMPDIR", "/dev/shm")
-    # pre-generate the input once (full cores) and share across all runs
+    # pre-generate the input once (full cores) at a DETERMINISTIC path
+    # keyed by the row count, reused across bench invocations (a mkdtemp
+    # per run leaked a 1.4 GB tmpfs fixture every time)
     if "SPARK_GRAFT_PAGES_DIR" not in os.environ:
-        import tempfile
-
-        pages_dir = os.path.join(
-            tempfile.mkdtemp(prefix="pgs_scale_", dir=os.environ.get("SPARK_GRAFT_TMPDIR")),
-            "pages",
-        )
-        gen = (
-            "import os; from parquet_go_spark.spark.session import get_spark;"
-            "from parquet_go_spark.spark.pages_table import pages_df;"
-            f"spark = get_spark();"
-            f"pages_df(spark, {rows}).write.mode('overwrite').parquet({pages_dir!r})"
-        )
-        env = dict(os.environ)
-        env["PYTHONPATH"] = HERE + os.pathsep + env.get("PYTHONPATH", "")
-        subprocess.run([sys.executable, "-c", gen], env=env, check=True, timeout=3600)
+        base = os.environ.get("SPARK_GRAFT_TMPDIR") or "/tmp"
+        pages_dir = os.path.join(base, f"pgs_scale_pages_{rows}", "pages")
+        if not os.path.exists(os.path.join(pages_dir, "_SUCCESS")):
+            gen = (
+                "import os; from parquet_go_spark.spark.session import get_spark;"
+                "from parquet_go_spark.spark.pages_table import pages_df;"
+                f"spark = get_spark();"
+                f"pages_df(spark, {rows}).write.mode('overwrite').parquet({pages_dir!r})"
+            )
+            env = dict(os.environ)
+            env["PYTHONPATH"] = HERE + os.pathsep + env.get("PYTHONPATH", "")
+            subprocess.run([sys.executable, "-c", gen], env=env, check=True, timeout=3600)
         os.environ["SPARK_GRAFT_PAGES_DIR"] = pages_dir
     lo, hi, trace = run_levels(n, rows)
     eff = hi["encode_gbps"] / (4 * lo["encode_gbps"])

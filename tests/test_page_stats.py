@@ -251,3 +251,28 @@ def test_page_prune_point_lookup_with_nested_column(spark, tmp_path):
     assert len(row) == 1
     # nested column row-aligns through the Arrow-level take
     assert row[0]["tags"][1] == "x"
+
+
+def test_page_stats_wide_decimal_prune():
+    # wide (w=16) decimal pages carry real bounds now; a range predicate
+    # must seek past non-overlapping pages and keep every match
+    from decimal import Decimal
+
+    import pyarrow as pa
+
+    from parquet_go_spark.core.columns import from_arrow
+    from parquet_go_spark.spark.decode_job import _surviving_ranges
+
+    vals = [Decimal(i).scaleb(-2) for i in range(4000)]
+    col = from_arrow(pa.array(vals, type=pa.decimal128(30, 2)))
+    blob, meta = encode_chunk(col, max_page=SMALL_PAGE, page_stats=True)
+    assert meta.num_pages > 4
+    idx = chunk_page_index(blob)
+    assert all(p["min_str"] is not None for p in idx)
+    ranges, total = _surviving_ranges([("d", ">=", 10.0), ("d", "<=", 12.0)], {"d": blob})
+    assert total == 4000 and ranges
+    lo, hi = ranges[0][0], ranges[-1][1]
+    assert lo <= 1000 and hi >= 1201  # covers [10.00, 12.00] conservatively
+    assert hi - lo < 4000  # and actually skipped pages
+    part = decode_chunk(blob, row_sel=ranges)
+    assert part.num_rows == hi - lo
