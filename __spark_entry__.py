@@ -345,6 +345,35 @@ def _q_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_table(spark, dst).select("doc_id", "lang", "source", "n_chars")
 
 
+def _q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot time travel (spark/manifest.py + decode_job as_of): build
+    one table as two appended batches — event_id % 3 == 0 first, the rest
+    appended with ``encode_table(append=True)`` — committing a snapshot
+    after each, then read the table AS OF the first snapshot. Each
+    snapshot pins its committed-partition set (the Iceberg manifest-list
+    analogue), so the historical read returns exactly batch one
+    regardless of the append. Oracle: the plain SELECT of batch one."""
+    import tempfile
+
+    from parquet_go_spark.spark import manifest as mf
+    from parquet_go_spark.spark.decode_job import decode_table
+    from parquet_go_spark.spark.encode_job import encode_table
+
+    ev = _load(spark, sf_dir, "events")
+    out = tempfile.mkdtemp(prefix="pgs_tt_q_") + "/enc"
+    encode_table(
+        ev.filter(F.col("event_id") % 3 == 0), out, key_col="event_id", partitions=4
+    ).collect()
+    mf.commit_snapshot(out, "encode")
+    encode_table(
+        ev.filter(F.col("event_id") % 3 != 0), out, key_col="event_id", partitions=4, append=True
+    ).collect()
+    mf.commit_snapshot(out, "append")
+    return decode_table(spark, out, as_of=0).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
+
 def _q_dict_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
     st = table_column_stats(_load(spark, sf_dir, "documents"))
     return st.select(
@@ -416,6 +445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prune_page_range": _q_page_prune_range,
         "datasource_read_write": _q_datasource_rw,
         "compact_rewrite": _q_compact,
+        "time_travel_as_of": _q_time_travel,
         # training-data pipeline ops
         "dedup_exact": lambda spark, sf_dir: exact_dedup(_load(spark, sf_dir, "documents")),
         "token_stats": lambda spark, sf_dir: token_stats(_load(spark, sf_dir, "documents")),
@@ -640,6 +670,9 @@ WHERE round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) >= 0.35
             " WHERE lang IN ('en', 'de') AND doc_id BETWEEN 100 AND 400"
         ),
         "compact_rewrite": "SELECT doc_id, lang, source, n_chars FROM documents",
+        "time_travel_as_of": (
+            "SELECT event_id, user_id, event_type, value FROM events WHERE event_id % 3 = 0"
+        ),
         "dedup_exact": (
             "SELECT md5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups"
             " FROM documents GROUP BY text"

@@ -28,6 +28,10 @@ def _spark(args):
 def cmd_encode(args) -> int:
     spark = _spark(args)
     df = spark.read.parquet(args.input)
+    if args.append and args.format == "parquet":
+        p_err = "--append is supported for the chunks format only"
+        print(json.dumps({"error": p_err}), file=sys.stderr)
+        return 2
     if args.format == "parquet":
         from .spark.parquet_sink import encode_table_parquet
 
@@ -51,6 +55,7 @@ def cmd_encode(args) -> int:
             profile=args.profile,
             compression=args.compression,
             resume=not args.no_resume,
+            append=args.append,
             page_crc=args.page_crc,
             page_stats=args.page_stats,
             sort_within=args.sort_within.split(",") if args.sort_within else None,
@@ -101,6 +106,7 @@ def cmd_decode(args) -> int:
         args.enc,
         columns=args.columns.split(",") if args.columns else None,
         validate_crc=args.validate_crc,
+        as_of=args.as_of,
     )
     df.write.mode("overwrite").parquet(args.out)
     print(json.dumps({"rows": spark.read.parquet(args.out).count(), "out": args.out}))
@@ -209,6 +215,26 @@ def cmd_snapshots(args) -> int:
     return 0
 
 
+def cmd_rollback(args) -> int:
+    """Roll the table back to a snapshot (Iceberg rollback analogue):
+    partitions appended after it are deleted, a fresh snapshot re-pins
+    the restored version."""
+    from .spark.maintenance import rollback_table
+
+    print(json.dumps(rollback_table(args.enc, args.seq)))
+    return 0
+
+
+def cmd_expire(args) -> int:
+    """Expire old snapshot records (metadata only; Iceberg
+    expire_snapshots analogue) — expired seqs stop being time-travelable."""
+    from .spark import manifest as mf
+
+    removed = mf.expire_snapshots(args.enc, keep_last=args.keep)
+    print(json.dumps({"removed_seqs": removed, "kept_last": args.keep}))
+    return 0
+
+
 def cmd_verify(args) -> int:
     spark = _spark(args)
     from .spark.decode_job import decode_table
@@ -268,6 +294,12 @@ def main(argv=None) -> int:
         choices=["chunks", "parquet"],
         help="chunks = engine container; parquet = real .parquet partition files",
     )
+    e.add_argument(
+        "--append",
+        action="store_true",
+        help="add partitions to an existing table (schemas must match; "
+        "each encode+snapshot is a time-travelable version)",
+    )
     e.set_defaults(fn=cmd_encode)
 
     d = sub.add_parser("decode")
@@ -275,6 +307,9 @@ def main(argv=None) -> int:
     d.add_argument("--out", required=True)
     d.add_argument("--columns", default=None, help="comma-separated projection")
     d.add_argument("--validate-crc", action="store_true")
+    d.add_argument(
+        "--as-of", type=int, default=None, help="time travel: read the table as of snapshot seq"
+    )
     d.set_defaults(fn=cmd_decode)
 
     m = sub.add_parser("meta")
@@ -319,6 +354,16 @@ def main(argv=None) -> int:
     cp.add_argument("--layout", default="hash", choices=["hash", "range"])
     cp.add_argument("--compression", default="none", choices=["none", "zlib", "snappy", "zstd", "lz4"])
     cp.set_defaults(fn=cmd_compact)
+
+    rb = sub.add_parser("rollback", help="roll the table back to a snapshot (deletes later appends)")
+    rb.add_argument("--enc", required=True)
+    rb.add_argument("--seq", type=int, required=True)
+    rb.set_defaults(fn=cmd_rollback)
+
+    ex = sub.add_parser("expire", help="expire old snapshot records (metadata only)")
+    ex.add_argument("--enc", required=True)
+    ex.add_argument("--keep", type=int, default=1, help="newest snapshots to keep")
+    ex.set_defaults(fn=cmd_expire)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -145,10 +145,11 @@ def _decode_partition_to_batches(enc_dir: str, fields: list[dict], pid: int, pru
 
 
 class _PGSReader(DataSourceReader):
-    def __init__(self, enc_dir: str, schema_fields: list[dict]):
+    def __init__(self, enc_dir: str, schema_fields: list[dict], as_of: int | None = None):
         self.enc_dir = enc_dir
         self.fields = schema_fields
         self.prune: list[tuple] = []
+        self.as_of = as_of
 
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
         for f in filters:
@@ -160,8 +161,15 @@ class _PGSReader(DataSourceReader):
         from .decode_job import surviving_partitions
         from . import manifest as mf
 
+        pinned = (
+            mf.snapshot_partitions(self.enc_dir, self.as_of)
+            if self.as_of is not None
+            else None
+        )
         if self.prune:
-            pids = surviving_partitions(self.enc_dir, self.prune)
+            pids = surviving_partitions(self.enc_dir, self.prune, within=pinned)
+        elif pinned is not None:
+            pids = sorted(pinned & mf.committed_partitions(self.enc_dir))
         else:
             pids = mf.committed_partitions(self.enc_dir)
         # always at least one (possibly empty) split: Spark requires a
@@ -225,10 +233,11 @@ class _PGSWriter(DataSourceArrowWriter):
     Spark: ``df.repartition(n, F.xxhash64("url")).sortWithinPartitions(
     "warc_ts").write.format("pgs").save(dir)``."""
 
-    def __init__(self, enc_dir: str, cols: list[str], opts: dict):
+    def __init__(self, enc_dir: str, cols: list[str], opts: dict, pid_base: int = 0):
         self.enc_dir = enc_dir
         self.cols = cols
         self.opts = opts
+        self.pid_base = pid_base
 
     def write(self, iterator) -> _PGSCommit:
         import pyarrow as pa
@@ -236,7 +245,7 @@ class _PGSWriter(DataSourceArrowWriter):
 
         from .encode_job import encode_columns_to_partition
 
-        pid = TaskContext.get().partitionId()
+        pid = self.pid_base + TaskContext.get().partitionId()
         batches = list(iterator)
         table = pa.Table.from_batches(batches) if batches else None
         rows = encode_columns_to_partition(table, self.cols, self.enc_dir, pid, **self.opts)
@@ -312,7 +321,12 @@ class PGSDataSource(DataSource):
     def reader(self, schema) -> _PGSReader:
         from . import manifest as mf
 
-        return _PGSReader(self._dir(), mf.read_table_schema(self._dir()))
+        as_of = self.options.get("as_of")
+        return _PGSReader(
+            self._dir(),
+            mf.read_table_schema(self._dir()),
+            as_of=int(as_of) if as_of is not None else None,
+        )
 
     def streamReader(self, schema) -> _PGSStreamReader:
         from . import manifest as mf
@@ -327,19 +341,34 @@ class PGSDataSource(DataSource):
 
         enc_dir = self._dir()
         existing = _glob.glob(os.path.join(enc_dir, "part-*.bin"))
+        new_fields = [{"name": f.name, "ddl": f.dataType.simpleString()} for f in schema.fields]
+        pid_base = 0
         if existing and not overwrite:
-            raise ValueError(
-                f"pgs table at {enc_dir} already has {len(existing)} partition(s); "
-                'appending is unsupported (partition ids would collide) — use '
-                '.mode("overwrite")'
-            )
-        for p in existing + _glob.glob(os.path.join(mf.manifest_dir(enc_dir), "part-*.parquet")):
-            os.remove(p)
-        os.makedirs(enc_dir, exist_ok=True)
-        mf.write_table_schema(
-            enc_dir,
-            [{"name": f.name, "ddl": f.dataType.simpleString()} for f in schema.fields],
-        )
+            # append: ids start past the latest snapshot's range (the
+            # same contract as encode_table(append=True)); schemas must
+            # match exactly
+            old_fields = mf.read_table_schema(enc_dir)
+            if old_fields != new_fields:
+                raise ValueError(
+                    f"pgs append schema mismatch at {enc_dir}: "
+                    f"table has {old_fields}, appending {new_fields}"
+                )
+            pid_base = mf.next_partition_base(enc_dir)
+        else:
+            # overwrite truncates history: snapshots pinning the deleted
+            # partition ids must go too, or as_of would silently read
+            # rewritten data under the old ids
+            for p in (
+                existing
+                + _glob.glob(os.path.join(mf.manifest_dir(enc_dir), "part-*.parquet"))
+                + _glob.glob(os.path.join(mf.snapshot_dir(enc_dir), "snap-*.json"))
+            ):
+                os.remove(p)
+            os.makedirs(enc_dir, exist_ok=True)
+            mf.write_table_schema(enc_dir, new_fields)
         return _PGSWriter(
-            enc_dir, [f.name for f in schema.fields], _parse_writer_options(self.options)
+            enc_dir,
+            [f.name for f in schema.fields],
+            _parse_writer_options(self.options),
+            pid_base=pid_base,
         )

@@ -71,11 +71,13 @@ def _intersect_ranges(a: list[tuple], b: list[tuple]) -> list[tuple]:
     return out
 
 
-def surviving_partitions(enc_dir: str, prune: list[tuple]) -> list[int]:
+def surviving_partitions(
+    enc_dir: str, prune: list[tuple], within: "set[int] | None" = None
+) -> list[int]:
     """Committed partition ids the predicates cannot exclude, from the
     manifest min/max bounds plus (for equality probes) the per-chunk
     bloom filter. Conservative: a partition is dropped only on proof of
-    absence."""
+    absence. ``within`` restricts the candidate set (time travel)."""
     _le = _le_bound
 
     def _excludes_point(r: dict, v) -> bool:
@@ -93,8 +95,11 @@ def surviving_partitions(enc_dir: str, prune: list[tuple]) -> list[int]:
                 return True
         return False
 
+    pids = mf.committed_partitions(enc_dir)
+    if within is not None:
+        pids &= within
     keep = []
-    for pid in mf.committed_partitions(enc_dir):
+    for pid in sorted(pids):
         rows = {r["column"]: r for r in mf.read_partition_manifest(enc_dir, pid)}
         ok = True
         for col_name, op, value in prune:
@@ -227,8 +232,13 @@ def decode_table(
     columns: list[str] | None = None,
     validate_crc: bool = False,
     prune: list[tuple] | None = None,
+    as_of: int | None = None,
 ) -> DataFrame:
     """Decode an encoded table directory back into a DataFrame.
+
+    ``as_of`` time-travels: read only the partitions pinned by snapshot
+    ``seq`` (``manifest.snapshot_partitions``) — the table exactly as it
+    stood when that snapshot was committed, regardless of appends since.
 
     ``validate_crc=True`` checks each selected chunk's CRC32 against the
     partition manifest before decoding (reference ``WithCRC32Validation``,
@@ -258,8 +268,17 @@ def decode_table(
     import glob as _glob
 
     paths = sorted(_glob.glob(f"{enc_dir}/part-*.bin"))
+    pinned = mf.snapshot_partitions(enc_dir, as_of) if as_of is not None else None
     if prune:
-        keep = {f"part-{pid:05d}.bin" for pid in surviving_partitions(enc_dir, prune)}
+        keep = {
+            f"part-{pid:05d}.bin"
+            for pid in surviving_partitions(enc_dir, prune, within=pinned)
+        }
+    elif pinned is not None:
+        keep = {f"part-{pid:05d}.bin" for pid in pinned}
+    else:
+        keep = None
+    if keep is not None:
         import os as _os
 
         paths = [p for p in paths if _os.path.basename(p) in keep]

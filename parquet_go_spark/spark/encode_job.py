@@ -139,6 +139,7 @@ def encode_table(
     salt: int = 0x5A17,
     layout: str = "hash",
     resume: bool = True,
+    append: bool = False,
     sort_within: str | list[str] | None = None,
     page_crc: bool = False,
     page_stats: bool = False,
@@ -161,6 +162,13 @@ def encode_table(
     ``encodings`` pins specific columns to a codec (the reference's
     per-column configured encoding, ``schema.go:519-558``); unlisted
     columns stay on the ``profile`` path.
+
+    ``append=True`` adds new partitions to an EXISTING table (schemas
+    must match exactly): partition ids start one past the latest
+    snapshot's range (``manifest.next_partition_base``), so successive
+    jobs never collide and each ``commit_snapshot`` afterwards pins a
+    readable table version — ``decode_table(as_of=seq)`` time-travels
+    between them and ``maintenance.rollback_table`` undoes appends.
 
     ``bloom_columns`` builds a split-block bloom filter per (partition,
     column) into the manifest (``kernels/bloom.py``) so equality probes
@@ -191,10 +199,24 @@ def encode_table(
     cols = columns or df.columns
     df = df.select(*cols)
     os.makedirs(out_dir, exist_ok=True)
-    mf.write_table_schema(
-        out_dir,
-        [{"name": f.name, "ddl": f.dataType.simpleString()} for f in df.schema.fields],
-    )
+    new_fields = [{"name": f.name, "ddl": f.dataType.simpleString()} for f in df.schema.fields]
+    pid_base = 0
+    if append:
+        # append = new partitions above the latest snapshot's id range;
+        # the base comes from the snapshot (not the committed set) so a
+        # crashed append attempt resumes at the same base and its
+        # committed partitions are replayed rather than orphaned
+        if not os.path.exists(os.path.join(out_dir, "_schema.json")):
+            raise ValueError(f"append=True but {out_dir} has no table schema to append to")
+        existing_fields = mf.read_table_schema(out_dir)
+        if existing_fields != new_fields:
+            raise ValueError(
+                f"append schema mismatch: table has {existing_fields}, "
+                f"appending {new_fields}"
+            )
+        pid_base = mf.next_partition_base(out_dir)
+    else:
+        mf.write_table_schema(out_dir, new_fields)
     try:
         from pyspark.sql.pandas.types import to_arrow_schema
 
@@ -239,7 +261,7 @@ def encode_table(
         return pa.RecordBatch.from_pydict(cols_out, schema=mf.MANIFEST_SCHEMA)
 
     def encode_partition(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        pid = TaskContext.get().partitionId()
+        pid = pid_base + TaskContext.get().partitionId()
         fpath = os.path.join(out_dir, f"part-{pid:05d}.bin")
         if resume and os.path.exists(mf.part_manifest_path(out_dir, pid)) and os.path.exists(fpath):
             rows = mf.read_partition_manifest(out_dir, pid)

@@ -27,7 +27,40 @@ from . import manifest as mf
 from .decode_job import decode_table
 from .encode_job import encode_table
 
-__all__ = ["compact_table", "compact_stream_output", "table_bytes"]
+__all__ = ["compact_table", "compact_stream_output", "table_bytes", "rollback_table"]
+
+
+def rollback_table(out_dir: str, seq: int) -> dict:
+    """Roll the table back to snapshot ``seq`` (Iceberg
+    rollback-to-snapshot analogue): partitions committed after that
+    snapshot are deleted (data file + manifest file), newer snapshot
+    records are removed, and a fresh ``rollback`` snapshot re-pins the
+    restored partition set as the current version. Returns the new
+    snapshot. Destructive by design — the undo for a bad append; use
+    ``decode_table(as_of=seq)`` for a non-destructive historical read."""
+    target = mf.snapshot_partitions(out_dir, seq)
+    current = mf.committed_partitions(out_dir)
+    missing = target - current
+    if missing:
+        raise ValueError(
+            f"cannot roll back to seq={seq}: partitions {sorted(missing)} "
+            "are no longer committed (already rewritten or expired)"
+        )
+    for pid in sorted(current - target):
+        for path in (
+            os.path.join(out_dir, f"part-{pid:05d}.bin"),
+            mf.part_manifest_path(out_dir, pid),
+        ):
+            if os.path.exists(path):
+                os.remove(path)
+    import glob as _glob
+    import json as _json
+
+    for p in sorted(_glob.glob(os.path.join(mf.snapshot_dir(out_dir), "snap-*.json"))):
+        with open(p) as f:
+            if _json.load(f)["seq"] > seq:
+                os.remove(p)
+    return mf.commit_snapshot(out_dir, "rollback", {"to_seq": seq})
 
 
 def table_bytes(enc_dir: str) -> tuple[int, int, int]:

@@ -129,6 +129,10 @@ def commit_snapshot(out_dir: str, operation: str, config: dict | None = None) ->
         "ts": _time.strftime("%Y-%m-%dT%H:%M:%SZ", _time.gmtime()),
         "operation": operation,
         "partitions": len(pids),
+        # the committed-partition set IS the table version: pinning it
+        # here is what makes snapshots functional (time travel, rollback)
+        # rather than descriptive — the Iceberg manifest-list analogue
+        "partition_ids": sorted(pids),
         "num_rows": n_rows,
         "raw_bytes": total_raw,
         "encoded_bytes": total_enc,
@@ -149,6 +153,54 @@ def read_snapshots(out_dir: str) -> list[dict]:
         with open(p) as f:
             out.append(json.load(f))
     return out
+
+
+def snapshot_partitions(out_dir: str, seq: int) -> set[int]:
+    """The partition-id set pinned by snapshot ``seq`` — the read set for
+    time travel (``decode_table(as_of=seq)``) and the keep set for
+    rollback. Raises if the snapshot is missing or predates partition
+    pinning (an expired or legacy snapshot is not silently 'everything')."""
+    path = os.path.join(snapshot_dir(out_dir), f"snap-{seq:06d}.json")
+    if not os.path.exists(path):
+        raise ValueError(f"no snapshot seq={seq} at {snapshot_dir(out_dir)} (expired?)")
+    with open(path) as f:
+        snap = json.load(f)
+    ids = snap.get("partition_ids")
+    if ids is None:
+        raise ValueError(f"snapshot seq={seq} has no pinned partition set (legacy snapshot)")
+    return set(ids)
+
+
+def next_partition_base(out_dir: str) -> int:
+    """First free partition id for an append job: one past the highest id
+    in the LATEST SNAPSHOT (not the committed set) so a crashed append
+    attempt — which left committed partitions above the base but no
+    snapshot — resumes at the same base and its per-partition manifest
+    commits are replayed, not orphaned. Falls back to the committed set
+    when the table has no snapshots yet."""
+    snaps = read_snapshots(out_dir)
+    if snaps and snaps[-1].get("partition_ids") is not None:
+        ids = snaps[-1]["partition_ids"]
+        return (max(ids) + 1) if ids else 0
+    pids = committed_partitions(out_dir)
+    return (max(pids) + 1) if pids else 0
+
+
+def expire_snapshots(out_dir: str, keep_last: int = 1) -> list[int]:
+    """Delete all but the newest ``keep_last`` snapshot records (metadata
+    only — no data files are touched; partitions are removed by
+    ``maintenance.rollback_table`` or overwrite). Returns removed seqs.
+    Expired seqs are no longer time-travelable, same contract as
+    Iceberg's expire_snapshots."""
+    if keep_last < 1:
+        raise ValueError("expire_snapshots keeps at least the current snapshot")
+    paths = sorted(glob.glob(os.path.join(snapshot_dir(out_dir), "snap-*.json")))
+    removed = []
+    for p in paths[:-keep_last] if keep_last else paths:
+        with open(p) as f:
+            removed.append(json.load(f)["seq"])
+        os.remove(p)
+    return removed
 
 
 def write_table_schema(out_dir: str, fields: list[dict]):

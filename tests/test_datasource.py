@@ -144,7 +144,7 @@ def test_write_format_pgs_roundtrip(spark, tmp_path):
         .sortWithinPartitions("warc_ts")
         .write.format("pgs")
         .mode("append")  # python DS allows only append/overwrite; append
-        # into a fresh dir is the initial write, onto existing parts it refuses
+        # into a fresh dir is the initial write
         .option("compression", "snappy")
         .option("page_stats", "true")
         .option("bloom_columns", "url")
@@ -162,9 +162,10 @@ def test_write_format_pgs_roundtrip(spark, tmp_path):
     # job-level snapshot committed
     snaps = mf.read_snapshots(out)
     assert snaps and snaps[-1]["operation"] == "write.format(pgs)"
-    # second write without overwrite refuses; with overwrite succeeds
-    with pytest.raises(Exception, match="overwrite"):
-        df.limit(10).write.format("pgs").mode("append").save(out)
+    # a second append adds a new table version (test_timetravel.py covers
+    # the versioning in depth); overwrite replaces everything
+    df.limit(10).repartition(1).write.format("pgs").mode("append").save(out)
+    assert decode_table(spark, out).count() == 910
     df.limit(10).repartition(1).write.format("pgs").mode("overwrite").save(out)
     assert decode_table(spark, out).count() == 10
 
