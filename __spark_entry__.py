@@ -290,6 +290,30 @@ def _q_page_prune_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_zorder_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout (encode_job layout="zorder"): cluster lineitem on
+    the bit-interleaved z-value of (l_orderkey, l_partkey) so partitions
+    hold small rectangles of the key plane, then decode under a range
+    predicate on the SECOND key — pruning a non-leading column is exactly
+    what a single-key range layout cannot do. The oracle is the plain
+    BETWEEN select; correctness = partition skips never drop a match."""
+    import tempfile
+
+    from parquet_go_spark.spark.decode_job import decode_table
+    from parquet_go_spark.spark.encode_job import encode_table
+
+    li = _load(spark, sf_dir, "lineitem")
+    out = tempfile.mkdtemp(prefix="pgs_zorder_q_") + "/enc"
+    encode_table(
+        li, out, key_col=["l_orderkey", "l_partkey"], layout="zorder", partitions=16,
+        compression="snappy",
+    ).collect()
+    dec = decode_table(spark, out, prune=[("l_partkey", ">=", 100), ("l_partkey", "<=", 400)])
+    return dec.filter(F.col("l_partkey").between(100, 400)).select(
+        "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"
+    )
+
+
 def _q_datasource_rw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Catalyst front door end to end (spark/datasource.py): write
     the documents table with ``df.write.format("pgs")`` (Arrow-batch
@@ -374,6 +398,38 @@ def _q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on append (encode_job evolve_schema +
+    decode_job null fill): write even doc_ids WITHOUT n_chars, append odd
+    doc_ids WITH it (the table schema becomes the union), and decode the
+    whole table — partitions that predate the column return typed nulls,
+    distinguished from corruption by the partition manifest (a manifest
+    row without its chunk still errors). Oracle: n_chars nulled for the
+    batch that never had it."""
+    import tempfile
+
+    from parquet_go_spark.spark import manifest as mf
+    from parquet_go_spark.spark.decode_job import decode_table
+    from parquet_go_spark.spark.encode_job import encode_table
+
+    d = _load(spark, sf_dir, "documents").select("doc_id", "lang", "source", "n_chars")
+    out = tempfile.mkdtemp(prefix="pgs_evo_q_") + "/enc"
+    encode_table(
+        d.filter(F.col("doc_id") % 2 == 0).drop("n_chars"), out, key_col="doc_id", partitions=4
+    ).collect()
+    mf.commit_snapshot(out, "encode")
+    encode_table(
+        d.filter(F.col("doc_id") % 2 == 1),
+        out,
+        key_col="doc_id",
+        partitions=4,
+        append=True,
+        evolve_schema=True,
+    ).collect()
+    mf.commit_snapshot(out, "append")
+    return decode_table(spark, out).select("doc_id", "lang", "source", "n_chars")
+
+
 def _q_dict_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
     st = table_column_stats(_load(spark, sf_dir, "documents"))
     return st.select(
@@ -443,9 +499,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dict_decision_documents": _q_dict_decision,
         "prune_bloom_lookup": _q_bloom_lookup,
         "prune_page_range": _q_page_prune_range,
+        "prune_zorder": _q_zorder_prune,
         "datasource_read_write": _q_datasource_rw,
         "compact_rewrite": _q_compact,
         "time_travel_as_of": _q_time_travel,
+        "schema_evolution": _q_schema_evolution,
         # training-data pipeline ops
         "dedup_exact": lambda spark, sf_dir: exact_dedup(_load(spark, sf_dir, "documents")),
         "token_stats": lambda spark, sf_dir: token_stats(_load(spark, sf_dir, "documents")),
@@ -665,6 +723,10 @@ WHERE round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) >= 0.35
             "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice"
             " FROM lineitem WHERE l_orderkey BETWEEN 2000 AND 2400"
         ),
+        "prune_zorder": (
+            "SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice"
+            " FROM lineitem WHERE l_partkey BETWEEN 100 AND 400"
+        ),
         "datasource_read_write": (
             "SELECT doc_id, lang, source, n_chars FROM documents"
             " WHERE lang IN ('en', 'de') AND doc_id BETWEEN 100 AND 400"
@@ -672,6 +734,11 @@ WHERE round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) >= 0.35
         "compact_rewrite": "SELECT doc_id, lang, source, n_chars FROM documents",
         "time_travel_as_of": (
             "SELECT event_id, user_id, event_type, value FROM events WHERE event_id % 3 = 0"
+        ),
+        "schema_evolution": (
+            "SELECT doc_id, lang, source,"
+            " CASE WHEN doc_id % 2 = 0 THEN NULL ELSE n_chars END AS n_chars"
+            " FROM documents"
         ),
         "dedup_exact": (
             "SELECT md5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups"

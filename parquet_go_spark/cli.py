@@ -46,10 +46,13 @@ def cmd_encode(args) -> int:
     else:
         from .spark.encode_job import encode_table
 
+        key_col = args.key_col
+        if key_col and "," in key_col:
+            key_col = [c.strip() for c in key_col.split(",")]
         man = encode_table(
             df,
             args.out,
-            key_col=args.key_col,
+            key_col=key_col,
             partitions=args.partitions,
             layout=args.layout,
             profile=args.profile,
@@ -182,11 +185,14 @@ def cmd_compact(args) -> int:
     spark = _spark(args)
     from .spark.maintenance import compact_table
 
+    key_col = args.key_col
+    if key_col and "," in key_col:
+        key_col = [c.strip() for c in key_col.split(",")]
     man = compact_table(
         spark,
         args.src.split(","),
         args.out,
-        key_col=args.key_col,
+        key_col=key_col,
         partitions=args.partitions,
         target_partition_bytes=args.target_mb << 20,
         layout=args.layout,
@@ -255,13 +261,14 @@ def main(argv=None) -> int:
     e = sub.add_parser("encode")
     e.add_argument("--input", required=True)
     e.add_argument("--out", required=True)
-    e.add_argument("--key-col", default=None)
+    e.add_argument("--key-col", default=None, help="key column; comma-separated list for zorder")
     e.add_argument("--partitions", type=int, default=None)
     e.add_argument(
         "--layout",
         default="hash",
-        choices=["hash", "range"],
-        help="key partitioning: salted hash (write-optimized) or range (scan-optimized)",
+        choices=["hash", "range", "zorder"],
+        help="key partitioning: salted hash (write-optimized), range (scan-optimized), "
+        "or zorder (multi-column clustering; --key-col takes a comma list)",
     )
     e.add_argument("--profile", default="auto", choices=["auto", "reference"])
     e.add_argument("--compression", default="none", choices=["none", "zlib", "snappy", "zstd", "lz4", "gzip"])
@@ -351,7 +358,7 @@ def main(argv=None) -> int:
     cp.add_argument("--key-col", default=None)
     cp.add_argument("--partitions", type=int, default=None)
     cp.add_argument("--target-mb", type=int, default=256, help="raw MB per output partition")
-    cp.add_argument("--layout", default="hash", choices=["hash", "range"])
+    cp.add_argument("--layout", default="hash", choices=["hash", "range", "zorder"])
     cp.add_argument("--compression", default="none", choices=["none", "zlib", "snappy", "zstd", "lz4"])
     cp.set_defaults(fn=cmd_compact)
 

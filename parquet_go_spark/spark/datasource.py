@@ -133,13 +133,24 @@ def _decode_partition_to_batches(enc_dir: str, fields: list[dict], pid: int, pru
     cols = [f["name"] for f in fields]
     want = set(cols) | {p[0] for p in prune}
     blobs = parse_partition_file(payload, want)
-    if not blobs:
+    missing = set(cols) - set(blobs)
+    fallback = None
+    arrow_types = None
+    if missing:
+        from .decode_job import arrow_type_of_ddl, missing_column_rows
+
+        fallback = missing_column_rows(enc_dir, pid, missing)
+        arrow_types = {f["name"]: arrow_type_of_ddl(f["ddl"]) for f in fields}
+    if not blobs and not missing:
         return
     nested = {
         f["name"] for f in fields if f["ddl"].strip().startswith(("array<", "map<", "struct<"))
     }
     logicals = {f["name"]: logical_of_ddl(f["ddl"]) for f in fields}
-    batch = decode_blobs_to_batch(blobs, cols, nested, logicals, prune or None)
+    batch = decode_blobs_to_batch(
+        blobs, cols, nested, logicals, prune or None,
+        arrow_types=arrow_types, fallback_rows=fallback,
+    )
     if batch is not None:
         yield batch
 
@@ -346,12 +357,17 @@ class PGSDataSource(DataSource):
         if existing and not overwrite:
             # append: ids start past the latest snapshot's range (the
             # same contract as encode_table(append=True)); schemas must
-            # match exactly
+            # match exactly unless .option("evolve_schema", "true")
             old_fields = mf.read_table_schema(enc_dir)
-            if old_fields != new_fields:
+            if str(self.options.get("evolve_schema", "")).lower() in ("true", "1", "yes"):
+                merged = mf.evolve_table_schema(old_fields, new_fields)
+                if merged != old_fields:
+                    mf.write_table_schema(enc_dir, merged)
+            elif old_fields != new_fields:
                 raise ValueError(
                     f"pgs append schema mismatch at {enc_dir}: "
-                    f"table has {old_fields}, appending {new_fields}"
+                    f"table has {old_fields}, appending {new_fields} "
+                    '(set .option("evolve_schema", "true") to add columns)'
                 )
             pid_base = mf.next_partition_base(enc_dir)
         else:

@@ -153,17 +153,38 @@ def _surviving_ranges(prune: list[tuple], blobs: dict) -> tuple[list[tuple] | No
     return ranges, total
 
 
+def missing_column_rows(enc_dir: str, pid: int, missing: set[str]) -> int:
+    """Validate that the ``missing`` selected columns were never written
+    to partition ``pid`` (schema evolution: the column was added after
+    this partition committed, or the appended batch omitted it) rather
+    than lost (corruption: the manifest has the row but the chunk is
+    gone), and return the partition's row count for null-filling."""
+    rows = mf.read_partition_manifest(enc_dir, pid)
+    lost = missing & {r["column"] for r in rows}
+    if lost:
+        raise ValueError(
+            f"column(s) {sorted(lost)} present in the manifest but missing "
+            f"from partition file part-{pid:05d}.bin (corrupt or truncated file)"
+        )
+    return rows[0]["num_rows"] if rows else 0
+
+
 def decode_blobs_to_batch(
     blobs: dict,
     cols: list[str],
     nested_cols: set[str],
     logicals: dict[str, str],
     prune: list[tuple] | None,
+    arrow_types: "dict | None" = None,
+    fallback_rows: int | None = None,
 ) -> "pa.RecordBatch | None":
     """Decode one partition's column blobs into a row-aligned Arrow
     batch, applying page-level pruning (``_surviving_ranges``) when the
     predicates and page stats allow it. None when every row is pruned
-    or the partition is empty."""
+    or the partition is empty. Selected columns absent from ``blobs``
+    (schema evolution) are filled with typed nulls (``arrow_types``);
+    ``fallback_rows`` supplies the row count when NO selected column is
+    present in the partition."""
     row_sel = None
     if prune:
         ranges, total = _surviving_ranges(prune, blobs)
@@ -172,9 +193,11 @@ def decode_blobs_to_batch(
                 return None  # every page of some predicate excluded
             if ranges != [(0, total)]:  # partial ⇒ page-seek decode
                 row_sel = ranges
-    arrays = []
+    decoded = {}
     n_rows = None
     for c in cols:
+        if c not in blobs:
+            continue
         logical = logicals[c]
         if row_sel is not None and c in nested_cols:
             # nested containers can't seek pages; decode fully and
@@ -184,18 +207,28 @@ def decode_blobs_to_batch(
             arr = to_arrow(cd)
             if isinstance(arr, pa.ChunkedArray):
                 arr = arr.combine_chunks()
-            arrays.append(arr.take(pa.array(idx)))
+            decoded[c] = arr.take(pa.array(idx))
             n_rows = len(idx)
         else:
             cd = decode_chunk(blobs[c], logical=logical, row_sel=row_sel)
-            arrays.append(to_arrow(cd))
+            decoded[c] = to_arrow(cd)
             n_rows = cd.num_rows
+    if n_rows is None:  # projection selected only evolved-away columns
+        if row_sel is not None:
+            n_rows = sum(hi - lo for lo, hi in row_sel)
+        else:
+            n_rows = fallback_rows or 0
     if not n_rows:
         return None
-    return pa.RecordBatch.from_arrays(
-        [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in arrays],
-        names=list(cols),
-    )
+    arrays = []
+    for c in cols:
+        a = decoded.get(c)
+        if a is None:
+            if arrow_types is None or c not in arrow_types:
+                raise ValueError(f"column {c!r} missing and no arrow type to null-fill")
+            a = pa.nulls(n_rows, arrow_types[c])
+        arrays.append(a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a)
+    return pa.RecordBatch.from_arrays(arrays, names=list(cols))
 
 _DDL_LOGICAL = {
     "string": "string",
@@ -210,6 +243,61 @@ _DDL_LOGICAL = {
     "boolean": "bool",
     "date": "date32[day]",
 }
+
+
+_DDL_ARROW = {
+    "string": pa.string(),
+    "binary": pa.binary(),
+    "timestamp": pa.timestamp("us"),
+    "timestamp_ntz": pa.timestamp("us"),
+    "bigint": pa.int64(),
+    "int": pa.int32(),
+    "smallint": pa.int16(),
+    "tinyint": pa.int8(),
+    "double": pa.float64(),
+    "float": pa.float32(),
+    "boolean": pa.bool_(),
+    "date": pa.date32(),
+}
+
+
+def _split_top(s: str) -> list[str]:
+    """Split on commas at angle-bracket depth 0 (DDL type lists)."""
+    out, depth, start = [], 0, 0
+    for i, ch in enumerate(s):
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            out.append(s[start:i])
+            start = i + 1
+    out.append(s[start:])
+    return out
+
+
+def arrow_type_of_ddl(ddl: str) -> "pa.DataType":
+    """Spark DDL type string -> pyarrow type, without a JVM (the pyspark
+    DDL parser needs an active session, which Python DataSource workers
+    don't have). Used to null-fill evolved columns."""
+    ddl = ddl.strip()
+    if ddl.startswith("array<") and ddl.endswith(">"):
+        return pa.list_(arrow_type_of_ddl(ddl[6:-1]))
+    if ddl.startswith("map<") and ddl.endswith(">"):
+        k, v = _split_top(ddl[4:-1])
+        return pa.map_(arrow_type_of_ddl(k), arrow_type_of_ddl(v))
+    if ddl.startswith("struct<") and ddl.endswith(">"):
+        fields = []
+        for part in _split_top(ddl[7:-1]):
+            name, ftype = part.split(":", 1)
+            fields.append(pa.field(name.strip(), arrow_type_of_ddl(ftype)))
+        return pa.struct(fields)
+    if ddl.startswith("decimal(") and ddl.endswith(")"):
+        p, s = ddl[len("decimal(") : -1].split(",")
+        return pa.decimal128(int(p), int(s))
+    if ddl not in _DDL_ARROW:
+        raise ValueError(f"unsupported DDL type for null fill: {ddl!r}")
+    return _DDL_ARROW[ddl]
 
 
 def logical_of_ddl(ddl: str) -> str:
@@ -291,6 +379,14 @@ def decode_table(
         c for c in cols if by_name[c]["ddl"].strip().startswith(("array<", "map<", "struct<"))
     }
     logicals = {c: logical_of_ddl(by_name[c]["ddl"]) for c in cols}
+    arrow_types = {}
+    for c in cols:
+        try:
+            arrow_types[c] = arrow_type_of_ddl(by_name[c]["ddl"])
+        except ValueError:
+            # only matters if this column actually needs a null fill;
+            # decode_blobs_to_batch errors then, not here
+            continue
 
     def decode_partition(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         # predicate columns ride along so their page stats are readable
@@ -299,14 +395,18 @@ def decode_table(
         for b in batches:
             for path, content in zip(b.column("path"), b.column("content")):
                 blobs = parse_partition_file(content.as_py(), want)
-                if not blobs:
-                    continue
                 missing = set(cols) - set(blobs)
+                fallback = None
                 if missing:
-                    raise ValueError(
-                        f"selected column(s) {sorted(missing)} absent from "
-                        f"partition file {path.as_py()}"
-                    )
+                    # schema evolution (never written here → null fill)
+                    # vs corruption (manifest row exists → raise)
+                    import os as _os
+
+                    name = _os.path.basename(path.as_py())
+                    pid = int(name[len("part-") : -len(".bin")])
+                    fallback = missing_column_rows(enc_dir, pid, missing)
+                if not blobs and not missing:
+                    continue
                 if validate_crc:
                     import os as _os
                     import zlib as _zlib
@@ -328,7 +428,15 @@ def decode_table(
                                 f"crc mismatch for column {c} in {name}: "
                                 f"{got:#x} != manifest {crc_of[c]:#x}"
                             )
-                batch = decode_blobs_to_batch(blobs, cols, nested_cols, logicals, prune)
+                batch = decode_blobs_to_batch(
+                    blobs,
+                    cols,
+                    nested_cols,
+                    logicals,
+                    prune,
+                    arrow_types=arrow_types,
+                    fallback_rows=fallback,
+                )
                 if batch is not None:
                     yield batch
 

@@ -128,10 +128,54 @@ def encode_columns_to_partition(
     return rows
 
 
+def _zorder_expr(df: DataFrame, keys: list[str]):
+    """Bit-interleaved z-value over the key columns (Morton order), each
+    scaled equi-width to ``[0, 2^bits)`` from one min/max pass (an eager
+    aggregate — the only extra scan the layout costs). Equi-width rather
+    than quantile scaling is enough here: the subsequent
+    ``repartitionByRange`` samples the z-value distribution, so domain
+    skew moves partition boundaries, not task sizes."""
+    from pyspark.sql import types as T
+
+    n = len(keys)
+    bits = min(16, 60 // n)
+    exprs = []
+    for k in keys:
+        dt = df.schema[k].dataType
+        if not isinstance(
+            dt,
+            (T.NumericType, T.TimestampType, T.TimestampNTZType, T.DateType),
+        ):
+            raise ValueError(
+                f"layout='zorder' key {k!r} must be numeric/timestamp/date, "
+                f"got {dt.simpleString()}"
+            )
+        e = F.col(k)
+        if isinstance(dt, T.DateType):
+            e = e.cast("timestamp")
+        exprs.append(e.cast("double"))
+    row = df.agg(
+        *[F.min(e).alias(f"mn{i}") for i, e in enumerate(exprs)],
+        *[F.max(e).alias(f"mx{i}") for i, e in enumerate(exprs)],
+    ).first()
+    z = F.lit(0).cast("long")
+    for i, e in enumerate(exprs):
+        mn, mx = row[f"mn{i}"], row[f"mx{i}"]
+        if mn is None:
+            continue  # all-null key contributes nothing
+        span = float(mx) - float(mn) or 1.0
+        s = F.floor((e - F.lit(float(mn))) / F.lit(span) * F.lit(float(1 << bits)))
+        s = F.least(F.greatest(s, F.lit(0)), F.lit((1 << bits) - 1))
+        s = F.coalesce(s, F.lit(0)).cast("long")  # nulls cluster at z start
+        for b in range(bits):
+            z = z + F.shiftleft(F.shiftright(s, b).bitwiseAND(F.lit(1)), b * n + i)
+    return z
+
+
 def encode_table(
     df: DataFrame,
     out_dir: str,
-    key_col: str | None = None,
+    key_col: str | list[str] | None = None,
     columns: list[str] | None = None,
     profile: str = "auto",
     compression: str = "none",
@@ -140,6 +184,7 @@ def encode_table(
     layout: str = "hash",
     resume: bool = True,
     append: bool = False,
+    evolve_schema: bool = False,
     sort_within: str | list[str] | None = None,
     page_crc: bool = False,
     page_stats: bool = False,
@@ -157,7 +202,11 @@ def encode_table(
     range-partitions (sampled, skew-safe) and sorts within, giving each
     partition a disjoint key interval — the scan-optimized layout where
     manifest min/max alone excludes every partition outside a range
-    predicate.
+    predicate; ``"zorder"`` (``key_col`` = list of 2+ numeric/timestamp
+    columns) clusters on the bit-interleaved z-value so partitions and
+    pages hold small hyper-rectangles of the key space — min/max stats
+    then prune on ANY key column, where ``"range"`` only serves its one
+    leading key (Delta OPTIMIZE ZORDER analogue).
 
     ``encodings`` pins specific columns to a codec (the reference's
     per-column configured encoding, ``schema.go:519-558``); unlisted
@@ -169,6 +218,10 @@ def encode_table(
     jobs never collide and each ``commit_snapshot`` afterwards pins a
     readable table version — ``decode_table(as_of=seq)`` time-travels
     between them and ``maintenance.rollback_table`` undoes appends.
+    With ``evolve_schema=True`` the appended batch may ADD columns (the
+    table schema becomes the union; partitions that predate a column
+    decode it as nulls) or OMIT existing ones (the appended partitions
+    decode those as nulls); shared columns must keep their type.
 
     ``bloom_columns`` builds a split-block bloom filter per (partition,
     column) into the manifest (``kernels/bloom.py``) so equality probes
@@ -209,10 +262,19 @@ def encode_table(
         if not os.path.exists(os.path.join(out_dir, "_schema.json")):
             raise ValueError(f"append=True but {out_dir} has no table schema to append to")
         existing_fields = mf.read_table_schema(out_dir)
-        if existing_fields != new_fields:
+        if evolve_schema:
+            # Iceberg-style add-column: the batch may introduce new
+            # columns (table schema becomes the union; older partitions
+            # decode them as nulls) or omit existing ones (the appended
+            # partitions decode those as nulls). Columns present on both
+            # sides must keep their type.
+            merged = mf.evolve_table_schema(existing_fields, new_fields)
+            if merged != existing_fields:
+                mf.write_table_schema(out_dir, merged)
+        elif existing_fields != new_fields:
             raise ValueError(
                 f"append schema mismatch: table has {existing_fields}, "
-                f"appending {new_fields}"
+                f"appending {new_fields} (pass evolve_schema=True to add columns)"
             )
         pid_base = mf.next_partition_base(out_dir)
     else:
@@ -224,8 +286,30 @@ def encode_table(
     except Exception:  # pragma: no cover - fallback for API drift
         arrow_schema = None
     sc_parallelism = spark.sparkContext.defaultParallelism
-    if layout not in ("hash", "range"):
-        raise ValueError(f"layout must be 'hash' or 'range', got {layout!r}")
+    if layout not in ("hash", "range", "zorder"):
+        raise ValueError(f"layout must be 'hash', 'range', or 'zorder', got {layout!r}")
+    if layout == "zorder":
+        # multi-dimensional clustering (Delta OPTIMIZE ZORDER analogue):
+        # interleave the bits of each key column scaled to a fixed-width
+        # integer, range-partition + sort on the z-value — partitions and
+        # pages then hold small hyper-rectangles of the key space, so
+        # min/max stats prune on ANY of the key columns, not just the
+        # leading one (which is all a plain range layout can offer).
+        keys = [key_col] if isinstance(key_col, str) else list(key_col or [])
+        if len(keys) < 2:
+            raise ValueError("layout='zorder' needs key_col=[two or more columns]")
+        partitions = partitions or max(sc_parallelism * 2, 8)
+        z = _zorder_expr(df, keys)
+        df = (
+            df.withColumn("__pgs_z", z)
+            .repartitionByRange(partitions, F.col("__pgs_z"))
+            .sortWithinPartitions("__pgs_z")
+            .drop("__pgs_z")
+        )
+        # layout handled: neutralize both fallback branches below (a
+        # plain .repartition here would shuffle the clustering away)
+        key_col = None
+        partitions = None
     if key_col is not None:
         partitions = partitions or max(sc_parallelism * 2, 8)
         if layout == "range":

@@ -203,6 +203,24 @@ def expire_snapshots(out_dir: str, keep_last: int = 1) -> list[int]:
     return removed
 
 
+def evolve_table_schema(existing: list[dict], incoming: list[dict]) -> list[dict]:
+    """Merge an appended batch's schema into the table schema
+    (Iceberg-style evolution): columns on both sides must keep their
+    type; columns only in ``incoming`` are added at the end; columns only
+    in ``existing`` stay (the appended partitions simply don't write
+    them, and decode fills nulls either way). Returns the merged field
+    list in table order."""
+    by_name = {f["name"]: f for f in existing}
+    for f in incoming:
+        old = by_name.get(f["name"])
+        if old is not None and old["ddl"] != f["ddl"]:
+            raise ValueError(
+                f"schema evolution cannot change column {f['name']!r} "
+                f"from {old['ddl']} to {f['ddl']}"
+            )
+    return existing + [f for f in incoming if f["name"] not in by_name]
+
+
 def write_table_schema(out_dir: str, fields: list[dict]):
     os.makedirs(out_dir, exist_ok=True)
     tmp = os.path.join(out_dir, "_schema.json.tmp")
