@@ -398,6 +398,26 @@ def _q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate-scoped delete (spark/maintenance.py delete_where): the
+    take-down operation — manifest stats/blooms first prove which
+    partitions MAY hold a match, only those are decoded, filtered and
+    re-encoded in place (one task each), and a delete snapshot pins the
+    result. Oracle: the table minus the matching rows (nulls survive an
+    equality predicate, SQL semantics)."""
+    import tempfile
+
+    from parquet_go_spark.spark.decode_job import decode_table
+    from parquet_go_spark.spark.encode_job import encode_table
+    from parquet_go_spark.spark.maintenance import delete_where
+
+    d = _load(spark, sf_dir, "documents").select("doc_id", "lang", "source", "n_chars")
+    out = tempfile.mkdtemp(prefix="pgs_del_q_") + "/enc"
+    encode_table(d, out, key_col="doc_id", partitions=4, compression="snappy").collect()
+    delete_where(spark, out, [("lang", "==", "de")])
+    return decode_table(spark, out).select("doc_id", "lang", "source", "n_chars")
+
+
 def _q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema evolution on append (encode_job evolve_schema +
     decode_job null fill): write even doc_ids WITHOUT n_chars, append odd
@@ -504,6 +524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compact_rewrite": _q_compact,
         "time_travel_as_of": _q_time_travel,
         "schema_evolution": _q_schema_evolution,
+        "delete_where": _q_delete_where,
         # training-data pipeline ops
         "dedup_exact": lambda spark, sf_dir: exact_dedup(_load(spark, sf_dir, "documents")),
         "token_stats": lambda spark, sf_dir: token_stats(_load(spark, sf_dir, "documents")),
@@ -739,6 +760,10 @@ WHERE round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) >= 0.35
             "SELECT doc_id, lang, source,"
             " CASE WHEN doc_id % 2 = 0 THEN NULL ELSE n_chars END AS n_chars"
             " FROM documents"
+        ),
+        "delete_where": (
+            "SELECT doc_id, lang, source, n_chars FROM documents"
+            " WHERE lang IS DISTINCT FROM 'de'"
         ),
         "dedup_exact": (
             "SELECT md5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups"

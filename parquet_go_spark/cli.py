@@ -231,6 +231,30 @@ def cmd_rollback(args) -> int:
     return 0
 
 
+def cmd_delete(args) -> int:
+    """Delete rows matching a predicate, rewriting only the partitions
+    the manifest stats cannot clear (take-down operation). Each --where
+    is col:op:value, op in ==,<=,>=; values parse as int/float when
+    possible."""
+    spark = _spark(args)
+    from .spark.maintenance import delete_where
+
+    predicate = []
+    for w in args.where:
+        col, op, raw = w.split(":", 2)
+        val: object = raw
+        try:
+            val = int(raw)
+        except ValueError:
+            try:
+                val = float(raw)
+            except ValueError:
+                pass
+        predicate.append((col, op, val))
+    print(json.dumps(delete_where(spark, args.enc, predicate)))
+    return 0
+
+
 def cmd_expire(args) -> int:
     """Expire old snapshot records (metadata only; Iceberg
     expire_snapshots analogue) — expired seqs stop being time-travelable."""
@@ -366,6 +390,16 @@ def main(argv=None) -> int:
     rb.add_argument("--enc", required=True)
     rb.add_argument("--seq", type=int, required=True)
     rb.set_defaults(fn=cmd_rollback)
+
+    dl = sub.add_parser("delete", help="delete rows matching a predicate (rewrites only candidate partitions)")
+    dl.add_argument("--enc", required=True)
+    dl.add_argument(
+        "--where",
+        action="append",
+        required=True,
+        help="col:op:value (op: ==, <=, >=); repeat for a conjunction",
+    )
+    dl.set_defaults(fn=cmd_delete)
 
     ex = sub.add_parser("expire", help="expire old snapshot records (metadata only)")
     ex.add_argument("--enc", required=True)

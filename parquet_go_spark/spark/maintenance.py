@@ -27,7 +27,116 @@ from . import manifest as mf
 from .decode_job import decode_table
 from .encode_job import encode_table
 
-__all__ = ["compact_table", "compact_stream_output", "table_bytes", "rollback_table"]
+__all__ = [
+    "compact_table",
+    "compact_stream_output",
+    "table_bytes",
+    "rollback_table",
+    "delete_where",
+]
+
+
+def delete_where(
+    spark: SparkSession,
+    enc_dir: str,
+    predicate: list[tuple],
+    **encode_kwargs,
+) -> dict:
+    """Delete the rows matching ``predicate`` (a conjunction of the same
+    ``(column, op, value)`` triples ``decode_table(prune=...)`` takes,
+    op in {"==", "<=", ">=", "in", "notnull"}) — the take-down/GDPR
+    operation a web corpus needs.
+
+    Scale shape: the manifest stats/bloom tiers first prove which
+    partitions MAY contain a match (``surviving_partitions``); only those
+    are decoded, filtered, and re-encoded in place — one Spark task per
+    candidate partition, every other partition untouched. A trailing
+    ``delete`` snapshot pins the result. Returns {"candidates", "rows_
+    deleted", "snapshot"}. Rewritten partitions keep their block codec;
+    pass ``page_stats=True`` / ``bloom_columns=[...]`` explicitly to
+    re-derive those (same knobs as ``encode_table``). The rewrite replaces the partition file then
+    its manifest (each an atomic rename); a crash between the two leaves
+    a CRC mismatch that ``validate_crc=True`` reports, and re-running the
+    delete repairs it."""
+    import pyarrow as pa
+
+    from .datasource import _decode_partition_to_batches  # full decode, no prune
+    from .decode_job import surviving_partitions
+    from .encode_job import encode_columns_to_partition
+
+    cand = surviving_partitions(enc_dir, predicate)
+    fields = mf.read_table_schema(enc_dir)
+    cols = [f["name"] for f in fields]
+    if not cand:
+        snap = mf.commit_snapshot(enc_dir, "delete", {"predicate": repr(predicate), "rows_deleted": 0})
+        return {"candidates": 0, "rows_deleted": 0, "snapshot": snap["seq"]}
+    paths = [os.path.join(enc_dir, f"part-{pid:05d}.bin") for pid in sorted(cand)]
+    files = spark.read.format("binaryFile").load(paths).select("path")
+
+    def rewrite(it):
+        import pandas as pd
+
+        for pdf in it:
+            out = []
+            for p in pdf["path"]:
+                local = p[len("file:") :] if p.startswith("file:") else p
+                pid = int(os.path.basename(local)[len("part-") : -len(".bin")])
+                batches = list(_decode_partition_to_batches(enc_dir, fields, pid, []))
+                table = pa.Table.from_batches(batches).combine_chunks() if batches else None
+                deleted = 0
+                if table is not None and table.num_rows:
+                    keep = _not_matching_mask(table, predicate)
+                    kept = table.filter(keep)
+                    deleted = table.num_rows - kept.num_rows
+                    if deleted:
+                        kw = dict(encode_kwargs)
+                        man_rows = mf.read_partition_manifest(enc_dir, pid)
+                        if man_rows:
+                            # keep the partition's block codec; entropy-
+                            # coded chunks record "none" (no double
+                            # compression), so look for any real codec
+                            codec = next(
+                                (r["compression"] for r in man_rows if r["compression"] != "none"),
+                                "none",
+                            )
+                            kw.setdefault("compression", codec)
+                        encode_columns_to_partition(kept, cols, enc_dir, pid, **kw)
+                out.append({"partition": pid, "rows_deleted": deleted})
+            yield pd.DataFrame(out)
+
+    rows = files.mapInPandas(rewrite, schema="partition int, rows_deleted long").collect()
+    deleted = sum(r["rows_deleted"] for r in rows)
+    snap = mf.commit_snapshot(
+        enc_dir, "delete", {"predicate": repr(predicate), "rows_deleted": deleted}
+    )
+    return {"candidates": len(cand), "rows_deleted": deleted, "snapshot": snap["seq"]}
+
+
+def _not_matching_mask(table, predicate: list[tuple]):
+    """Boolean array: True where the row does NOT match the conjunction
+    (null comparisons never match, SQL semantics)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    mask = None
+    for col, op, val in predicate:
+        c = table.column(col)
+        if op == "==":
+            m = pc.equal(c, val)
+        elif op == "<=":
+            m = pc.less_equal(c, val)
+        elif op == ">=":
+            m = pc.greater_equal(c, val)
+        elif op == "in":
+            m = pc.is_in(c, value_set=pa.array(list(val)))
+        elif op == "notnull":
+            m = pc.is_valid(c)
+        else:
+            raise ValueError(f"delete_where op {op!r} not supported")
+        if m.null_count:
+            m = pc.fill_null(m, False)
+        mask = m if mask is None else pc.and_(mask, m)
+    return pc.invert(mask)
 
 
 def rollback_table(out_dir: str, seq: int) -> dict:
