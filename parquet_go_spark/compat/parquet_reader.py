@@ -6,7 +6,8 @@ hybrid / dict / delta / plain kernels.
 
 Supports the encodings this engine implements: PLAIN (0),
 RLE_DICTIONARY (8) / PLAIN_DICTIONARY (2), DELTA_BINARY_PACKED (5),
-DELTA_LENGTH_BYTE_ARRAY (6), DELTA_BYTE_ARRAY (7); data page V1 + V2,
+DELTA_LENGTH_BYTE_ARRAY (6), DELTA_BYTE_ARRAY (7),
+BYTE_STREAM_SPLIT (9, incl. the 2.11 int/FLBA extension); data page V1 + V2,
 dictionary pages, UNCOMPRESSED/SNAPPY/ZSTD/GZIP codecs, flat columns.
 """
 
@@ -17,7 +18,7 @@ import zlib
 import numpy as np
 import pyarrow as pa
 
-from ..kernels import bytearrays, deltabp, hybrid, plain
+from ..kernels import bytearrays, bytestreamsplit, deltabp, hybrid, plain
 from .thrift_compact import read_struct
 
 __all__ = ["read_column", "file_meta"]
@@ -88,6 +89,17 @@ def _decode_values(enc: int, ptype: str, payload, pos: int, nvals: int, dict_val
     if enc == 7:  # DELTA_BYTE_ARRAY
         lens, data, _ = bytearrays.decode_delta(payload, pos)
         return (lens, data)
+    if enc == 9:  # BYTE_STREAM_SPLIT (fixed-width transpose)
+        if ptype == "flba":
+            total = nvals * type_length
+            raw = np.frombuffer(mv, np.uint8, total, pos).reshape(type_length, nvals)
+            data = np.ascontiguousarray(raw.T).reshape(-1)
+            return (np.full(nvals, type_length, dtype=np.int64), data)
+        np_t = {"int32": np.int32, "int64": np.int64, "float": np.float32, "double": np.float64}
+        if ptype not in np_t:
+            raise ValueError(f"BYTE_STREAM_SPLIT on unsupported type {ptype}")
+        vals, _ = bytestreamsplit.decode(mv, nvals, np.dtype(np_t[ptype]), pos)
+        return vals
     raise ValueError(f"unsupported encoding {enc}")
 
 

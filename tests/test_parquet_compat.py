@@ -106,3 +106,41 @@ def test_nulls_roundtrip():
     validity, vals = read_column(buf, "x")
     assert validity.tolist() == [i % 5 != 0 for i in range(1000)]
     assert vals.tolist() == [i for i in range(1000) if i % 5 != 0]
+
+
+@pytest.mark.parametrize("compression", ["NONE", "SNAPPY"])
+def test_byte_stream_split_pages(compression):
+    """pyarrow BYTE_STREAM_SPLIT pages (float/double + the 2.11 int
+    extension) decode through our kernels."""
+    cols = ["f64", "i32", "i64"]
+    tbl = pa.table(
+        {
+            "f64": TBL.column("f64"),
+            "i32": TBL.column("i32"),
+            "i64": TBL.column("i64"),
+            "f32": pa.array(RNG.standard_normal(N).astype(np.float32), type=pa.float32()),
+        }
+    )
+    buf = _write(
+        tbl,
+        version="2.6",
+        use_dictionary=False,
+        compression=compression,
+        column_encoding={c: "BYTE_STREAM_SPLIT" for c in cols + ["f32"]},
+    )
+    for c in cols + ["f32"]:
+        _check_fixed(buf, c, _col(tbl, c))
+
+
+def test_byte_stream_split_flba():
+    fixed = pa.array([bytes([i % 251, (i * 7) % 251, i % 13]) for i in range(N)],
+                     type=pa.binary(3))
+    tbl = pa.table({"fx": fixed})
+    buf = _write(
+        tbl, version="2.6", use_dictionary=False,
+        column_encoding={"fx": "BYTE_STREAM_SPLIT"},
+    )
+    validity, (lens, data) = read_column(buf, "fx")
+    assert validity.all()
+    assert lens.tolist() == [3] * N
+    assert bytes(data.tobytes()) == b"".join(v.as_py() for v in fixed)
