@@ -418,6 +418,31 @@ def _q_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_table(spark, out).select("doc_id", "lang", "source", "n_chars")
 
 
+def _q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write MERGE (spark/maintenance.py merge_into): encode
+    doc_id < 400, then merge a source batch covering 300..500 with
+    lang rewritten to 'xx' — keys 300..399 are replaced (bloom-pruned
+    in-place delete), 400..500 append as new partitions. Oracle: the
+    untouched head UNION ALL the merged batch."""
+    import tempfile
+
+    from parquet_go_spark.spark import manifest as mf
+    from parquet_go_spark.spark.decode_job import decode_table
+    from parquet_go_spark.spark.encode_job import encode_table
+    from parquet_go_spark.spark.maintenance import merge_into
+
+    d = _load(spark, sf_dir, "documents").select("doc_id", "lang", "source", "n_chars")
+    out = tempfile.mkdtemp(prefix="pgs_merge_q_") + "/enc"
+    encode_table(
+        d.filter(F.col("doc_id") < 400), out, key_col="doc_id", partitions=4,
+        bloom_columns=["doc_id"],
+    ).collect()
+    mf.commit_snapshot(out, "encode")
+    src = d.filter(F.col("doc_id").between(300, 500)).withColumn("lang", F.lit("xx"))
+    merge_into(spark, out, src, key="doc_id", partitions=2)
+    return decode_table(spark, out).select("doc_id", "lang", "source", "n_chars")
+
+
 def _q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema evolution on append (encode_job evolve_schema +
     decode_job null fill): write even doc_ids WITHOUT n_chars, append odd
@@ -525,6 +550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_travel_as_of": _q_time_travel,
         "schema_evolution": _q_schema_evolution,
         "delete_where": _q_delete_where,
+        "merge_upsert": _q_merge_upsert,
         # training-data pipeline ops
         "dedup_exact": lambda spark, sf_dir: exact_dedup(_load(spark, sf_dir, "documents")),
         "token_stats": lambda spark, sf_dir: token_stats(_load(spark, sf_dir, "documents")),
@@ -764,6 +790,12 @@ WHERE round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) >= 0.35
         "delete_where": (
             "SELECT doc_id, lang, source, n_chars FROM documents"
             " WHERE lang IS DISTINCT FROM 'de'"
+        ),
+        "merge_upsert": (
+            "SELECT doc_id, lang, source, n_chars FROM documents WHERE doc_id < 300"
+            " UNION ALL"
+            " SELECT doc_id, 'xx' AS lang, source, n_chars FROM documents"
+            " WHERE doc_id BETWEEN 300 AND 500"
         ),
         "dedup_exact": (
             "SELECT md5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups"

@@ -21,7 +21,7 @@ from __future__ import annotations
 import math
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from . import manifest as mf
 from .decode_job import decode_table
@@ -33,7 +33,65 @@ __all__ = [
     "table_bytes",
     "rollback_table",
     "delete_where",
+    "merge_into",
 ]
+
+
+def merge_into(
+    spark: SparkSession,
+    enc_dir: str,
+    src: DataFrame,
+    key: str,
+    partitions: int | None = None,
+    evolve_schema: bool = False,
+    **encode_kwargs,
+) -> dict:
+    """Copy-on-write upsert (Iceberg MERGE analogue): table rows whose
+    ``key`` appears in ``src`` are replaced by the ``src`` row; new keys
+    append. Composition of the two verified primitives: a bloom/stats-
+    pruned ``delete_where(key IN src-keys)`` (touches only partitions
+    that may hold a matching key), then ``encode_table(append=True)`` of
+    the source batch; a trailing ``merge`` snapshot pins the result.
+    Because the delete rewrites partitions IN PLACE, historical snapshots
+    pinning a rewritten partition are tombstoned (``as_of`` them raises
+    'invalidated') — time travel survives appends, not rewrites.
+
+    Scale shape: the delete is per-candidate-partition; the append is a
+    normal encode job. The key set itself is collected to the driver to
+    drive pruning — sized for CDC-style batches (thousands to low
+    millions of keys). For source batches approaching the table's own
+    size, rewrite wholesale instead (``compact_table`` over
+    ``decode_table(...).join(src, ...)``)."""
+    keys = [r[0] for r in src.select(key).where(F.col(key).isNotNull()).distinct().collect()]
+    deleted = {"rows_deleted": 0, "candidates": 0}
+    if keys:
+        deleted = delete_where(spark, enc_dir, [(key, "in", tuple(keys))])
+    n_parts = partitions or max(1, min(len(keys) // 50_000 + 1, 64))
+    encode_table(
+        src,
+        enc_dir,
+        key_col=key,
+        partitions=n_parts,
+        append=True,
+        evolve_schema=evolve_schema,
+        **encode_kwargs,
+    ).collect()
+    snap = mf.commit_snapshot(
+        enc_dir,
+        "merge",
+        {
+            "key": key,
+            "src_keys": len(keys),
+            "rows_replaced": deleted["rows_deleted"],
+            "delete_candidates": deleted["candidates"],
+        },
+    )
+    return {
+        "src_keys": len(keys),
+        "rows_replaced": deleted["rows_deleted"],
+        "delete_candidates": deleted["candidates"],
+        "snapshot": snap["seq"],
+    }
 
 
 def delete_where(
@@ -106,6 +164,12 @@ def delete_where(
 
     rows = files.mapInPandas(rewrite, schema="partition int, rows_deleted long").collect()
     deleted = sum(r["rows_deleted"] for r in rows)
+    rewritten = {r["partition"] for r in rows if r["rows_deleted"] > 0}
+    if rewritten:
+        # historical versions pinning a rewritten partition are now
+        # physically unreproducible — tombstone them so as_of raises
+        # instead of reading the rewritten bytes under an old seq
+        mf.invalidate_snapshots(enc_dir, rewritten)
     snap = mf.commit_snapshot(
         enc_dir, "delete", {"predicate": repr(predicate), "rows_deleted": deleted}
     )
@@ -168,7 +232,9 @@ def rollback_table(out_dir: str, seq: int) -> dict:
     for p in sorted(_glob.glob(os.path.join(mf.snapshot_dir(out_dir), "snap-*.json"))):
         with open(p) as f:
             if _json.load(f)["seq"] > seq:
-                os.remove(p)
+                # tombstone, not delete: the seq stays burned so a future
+                # snapshot can never reuse it under different data
+                os.replace(p, p + ".invalid")
     return mf.commit_snapshot(out_dir, "rollback", {"to_seq": seq})
 
 

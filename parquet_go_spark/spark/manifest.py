@@ -103,13 +103,17 @@ def commit_snapshot(out_dir: str, operation: str, config: dict | None = None) ->
 
     os.makedirs(snapshot_dir(out_dir), exist_ok=True)
     existing = sorted(glob.glob(os.path.join(snapshot_dir(out_dir), "snap-*.json")))
-    seq = 0
+    # seq counts invalidated tombstones too (snap-*.json.invalid):
+    # a burned seq is never reused
+    all_seqs = [
+        int(os.path.basename(p)[len("snap-") :][:6])
+        for p in glob.glob(os.path.join(snapshot_dir(out_dir), "snap-*.json*"))
+    ]
+    seq = (max(all_seqs) + 1) if all_seqs else 0
     parent = None
     if existing:
         with open(existing[-1]) as f:
-            parent_snap = json.load(f)
-        seq = parent_snap["seq"] + 1
-        parent = parent_snap["seq"]
+            parent = json.load(f)["seq"]
     total_raw = total_enc = n_rows = 0
     encodings: dict[str, int] = {}
     pids = committed_partitions(out_dir)
@@ -162,6 +166,11 @@ def snapshot_partitions(out_dir: str, seq: int) -> set[int]:
     pinning (an expired or legacy snapshot is not silently 'everything')."""
     path = os.path.join(snapshot_dir(out_dir), f"snap-{seq:06d}.json")
     if not os.path.exists(path):
+        if os.path.exists(path + ".invalid"):
+            raise ValueError(
+                f"snapshot seq={seq} was invalidated by an in-place rewrite "
+                "(delete/merge/rollback touched its partitions)"
+            )
         raise ValueError(f"no snapshot seq={seq} at {snapshot_dir(out_dir)} (expired?)")
     with open(path) as f:
         snap = json.load(f)
@@ -184,6 +193,26 @@ def next_partition_base(out_dir: str) -> int:
         return (max(ids) + 1) if ids else 0
     pids = committed_partitions(out_dir)
     return (max(pids) + 1) if pids else 0
+
+
+def invalidate_snapshots(out_dir: str, rewritten_pids: set[int]) -> list[int]:
+    """Remove snapshot records whose pinned partition set intersects
+    ``rewritten_pids`` — after an in-place rewrite (delete/merge) those
+    versions are physically unreproducible, and ``as_of`` must raise
+    'expired' rather than silently read the rewritten bytes under the old
+    ids. Snapshots pinning only untouched partitions stay valid."""
+    removed = []
+    for p in sorted(glob.glob(os.path.join(snapshot_dir(out_dir), "snap-*.json"))):
+        with open(p) as f:
+            snap = json.load(f)
+        ids = set(snap.get("partition_ids") or [])
+        if ids & set(rewritten_pids):
+            removed.append(snap["seq"])
+            # rename, don't delete: the tombstone keeps the seq burned so
+            # no future snapshot reuses it (as_of an old seq must raise,
+            # never resolve to different data)
+            os.replace(p, p + ".invalid")
+    return removed
 
 
 def expire_snapshots(out_dir: str, keep_last: int = 1) -> list[int]:

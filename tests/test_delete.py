@@ -89,3 +89,43 @@ def test_delete_unknown_op_rejected(spark, tmp_path):
     encode_table(df, d, partitions=2).collect()
     with pytest.raises(Exception, match="not supported"):
         delete_where(spark, d, [("seq", "!=", 1)])
+
+
+def test_merge_into_upserts(spark, tmp_path):
+    from parquet_go_spark.spark import manifest as mf
+    from parquet_go_spark.spark.decode_job import decode_table
+    from parquet_go_spark.spark.encode_job import encode_table
+    from parquet_go_spark.spark.maintenance import merge_into
+
+    df = _seq_pages(spark, 1000).withColumn("rid", F.abs(F.xxhash64("url")) % 10**9)
+    d = str(tmp_path / "enc")
+    encode_table(df, d, key_col="rid", partitions=4, bloom_columns=["rid"]).collect()
+    mf.commit_snapshot(d, "encode")
+    pre_seq = mf.read_snapshots(d)[-1]["seq"]
+
+    # source batch: update 100 existing rows, insert 50 new ones
+    updates = df.limit(100).withColumn("lang", F.lit("xx"))
+    inserts = (
+        _seq_pages(spark, 50)
+        .withColumn("rid", (F.abs(F.xxhash64("url")) % 10**9) + F.lit(2 * 10**9))
+        .withColumn("url", F.concat(F.lit("https://new/"), F.col("url")))
+    )
+    src = updates.unionByName(inserts)
+    res = merge_into(spark, d, src, key="rid", bloom_columns=["rid"])
+    assert res["rows_replaced"] == 100
+    assert res["src_keys"] == 150
+
+    got = decode_table(spark, d)
+    assert got.count() == 1050  # 1000 - 100 + 150
+    assert got.filter(F.col("lang") == "xx").count() == 100
+    assert got.filter(F.col("url").startswith("https://new/")).count() == 50
+    # no duplicate keys survived the merge
+    assert got.select("rid").distinct().count() == 1050
+    # the delete rewrote partitions in place, so the pre-merge snapshot
+    # is tombstoned: as_of raises instead of returning rewritten bytes
+    with pytest.raises(ValueError, match="invalidated"):
+        decode_table(spark, d, as_of=pre_seq)
+    snaps = mf.read_snapshots(d)
+    assert snaps[-1]["operation"] == "merge"
+    # burned seqs are never reused: merge snapshot seq > tombstoned seq
+    assert snaps[-1]["seq"] > pre_seq

@@ -127,9 +127,12 @@ def test_rollback_deletes_appended_partitions(spark, tmp_path):
     assert mf.committed_partitions(d) == set(range(3))
     assert not os.path.exists(os.path.join(d, "part-00003.bin"))
     assert decode_table(spark, d).count() == n_first
-    # history after the rollback point is gone
-    assert [s["seq"] for s in mf.read_snapshots(d)] == [0, 1]
+    # history after the rollback point is tombstoned; the rollback
+    # snapshot takes a FRESH seq (burned seqs are never reused)
+    assert [s["seq"] for s in mf.read_snapshots(d)] == [0, 2]
     assert mf.read_snapshots(d)[-1]["config"]["to_seq"] == 0
+    with pytest.raises(ValueError, match="invalidated"):
+        mf.snapshot_partitions(d, 1)
 
 
 def test_expire_snapshots_is_metadata_only(spark, versioned_table, tmp_path):
