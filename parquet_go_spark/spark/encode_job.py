@@ -151,8 +151,10 @@ def _zorder_expr(df: DataFrame, keys: list[str]):
                 f"got {dt.simpleString()}"
             )
         e = F.col(k)
-        if isinstance(dt, T.DateType):
-            e = e.cast("timestamp")
+        if isinstance(dt, (T.DateType, T.TimestampType, T.TimestampNTZType)):
+            # temporal types don't cast to double directly (Spark 4);
+            # normalize to epoch seconds via TIMESTAMP -> LONG
+            e = e.cast("timestamp").cast("long")
         exprs.append(e.cast("double"))
     row = df.agg(
         *[F.min(e).alias(f"mn{i}") for i, e in enumerate(exprs)],

@@ -59,6 +59,21 @@ def test_zorder_roundtrip_content(spark, tmp_path):
     assert a == b
 
 
+def test_zorder_timestamp_key(spark, tmp_path):
+    """Temporal keys (timestamp/timestamp_ntz/date) need the epoch-long
+    normalization — Spark 4 refuses a direct cast to double."""
+    from parquet_go_spark.spark.decode_job import decode_table
+    from parquet_go_spark.spark.encode_job import encode_table
+    from parquet_go_spark.spark.pages_table import pages_df
+
+    df = pages_df(spark, 800, partitions=1).withColumn(
+        "k2", (F.abs(F.xxhash64("url")) % 1000).cast("bigint")
+    )
+    d = str(tmp_path / "enc")
+    encode_table(df, d, key_col=["warc_ts", "k2"], layout="zorder", partitions=4).collect()
+    assert decode_table(spark, d).count() == 800
+
+
 def test_zorder_handles_nulls_and_validates_keys(spark, tmp_path):
     from parquet_go_spark.spark.decode_job import decode_table
     from parquet_go_spark.spark.encode_job import encode_table
