@@ -68,6 +68,7 @@ def cmd_encode(args) -> int:
                 if args.encodings
                 else None
             ),
+            message_schema=(open(args.message_schema).read() if args.message_schema else None),
         ).collect()
     raw = sum(r["raw_bytes"] for r in man)
     enc = sum(r["encoded_bytes"] for r in man)
@@ -159,10 +160,32 @@ def cmd_head(args) -> int:
 
 
 def cmd_schema(args) -> int:
-    """Table schema (parquet-tool schema analogue)."""
+    """Table schema (parquet-tool schema analogue).
+
+    ``--parse FILE`` parses a textual ``message {}`` definition (the
+    reference's schema language) and prints its Spark DDL; ``--message``
+    prints an encoded table's schema back in that textual form.
+    """
+    from . import schematext as st
+
+    if args.parse:
+        with open(args.parse) as fh:
+            msg = st.parse_message(fh.read(), strict=args.strict)
+        print(json.dumps({"name": msg.name, "ddl": msg.to_ddl()}))
+        return 0
+    if not args.enc:
+        print("schema: one of --enc or --parse is required", file=sys.stderr)
+        return 2
+    from pyspark.sql.types import StructType
+
     from .spark import manifest as mf
 
-    print(json.dumps({"fields": mf.read_table_schema(args.enc)}))
+    fields = mf.read_table_schema(args.enc)
+    if args.message:
+        schema = StructType.fromDDL(", ".join(f"{f['name']} {f['ddl']}" for f in fields))
+        print(st.message_from_spark(schema).dumps(), end="")
+        return 0
+    print(json.dumps({"fields": fields}))
     return 0
 
 
@@ -320,6 +343,12 @@ def main(argv=None) -> int:
         "(per-column configured encoding; chunks format only)",
     )
     e.add_argument(
+        "--message-schema",
+        default=None,
+        help="path to a textual message{} schema file: project/cast the input "
+        "to the declared shape before encoding (chunks format only)",
+    )
+    e.add_argument(
         "--format",
         default="chunks",
         choices=["chunks", "parquet"],
@@ -365,7 +394,10 @@ def main(argv=None) -> int:
     h.set_defaults(fn=cmd_head)
 
     s = sub.add_parser("schema")
-    s.add_argument("--enc", required=True)
+    s.add_argument("--enc", default=None)
+    s.add_argument("--message", action="store_true", help="print as textual message{} schema")
+    s.add_argument("--parse", default=None, help="parse a .schema message file, print Spark DDL")
+    s.add_argument("--strict", action="store_true", help="strict LIST/MAP validation on --parse")
     s.set_defaults(fn=cmd_schema)
 
     rc = sub.add_parser("rowcount")

@@ -195,8 +195,16 @@ def encode_table(
     bloom_columns: list[str] | None = None,
     bloom_bits: int = 16,
     bloom_cap: int = 1 << 17,
+    message_schema: str | None = None,
 ) -> DataFrame:
     """Encode ``df`` into ``out_dir``; returns the manifest DataFrame.
+
+    ``message_schema`` accepts a textual Parquet ``message {}`` schema
+    definition (the reference's schema language,
+    ``parquetschema/schema_parser.go``): the DataFrame is projected and
+    cast to exactly the declared columns/types before encoding, so a
+    ``.schema`` file written for the reference drives this engine
+    unchanged.
 
     ``layout`` chooses the partitioning strategy for ``key_col``:
     ``"hash"`` (default) salted-hash repartitions for uniform task sizes
@@ -250,6 +258,16 @@ def encode_table(
         bad = {e for e in encodings.values() if e not in _ENC_IDS}
         if unknown or bad:
             raise ValueError(f"encodings: unknown columns {unknown or '{}'} / codecs {bad or '{}'}")
+    if message_schema is not None:
+        from ..schematext import parse_message
+
+        target = parse_message(message_schema).to_spark()
+        missing = [f.name for f in target.fields if f.name not in df.columns]
+        if missing:
+            raise ValueError(f"message_schema declares columns absent from df: {missing}")
+        df = df.select(
+            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in target.fields]
+        )
     spark = df.sparkSession
     cols = columns or df.columns
     df = df.select(*cols)
