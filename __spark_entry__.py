@@ -184,6 +184,35 @@ def _rt_decimals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PAGES_MESSAGE = """
+message documents {
+  required int64 doc_id;
+  optional binary text (STRING);
+  optional binary lang (STRING);
+  optional int32 n_chars (INT(32, true));
+}
+"""
+
+
+def _rt_message_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Textual ``message {}`` schema front door (schematext.py, reference
+    parquetschema language): encode the documents table through
+    ``encode_table(message_schema=...)`` — the message narrows n_chars to
+    int32, requires doc_id, and drops ``source`` — then decode. The
+    oracle is the equivalent projection/CAST in SQL, so the gate proves
+    both the schema-language → Spark translation and the cast-then-encode
+    round trip."""
+    import tempfile
+
+    from parquet_go_spark.spark.decode_job import decode_table
+    from parquet_go_spark.spark.encode_job import encode_table
+
+    d = _load(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="pgs_msgschema_q_") + "/enc"
+    encode_table(d, out, key_col="doc_id", partitions=4, message_schema=_PAGES_MESSAGE).collect()
+    return decode_table(spark, out).select("doc_id", "text", "lang", "n_chars")
+
+
 def _q_multimodal_image_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing under the oracle gate: documents become a
     deterministic media table (text bytes as the image payload, metadata
@@ -515,6 +544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_multipage_lineitem": _rt("lineitem", max_page=4096),
         "roundtrip_nested": _rt_nested,
         "roundtrip_decimals": _rt_decimals,
+        "roundtrip_message_schema": _rt_message_schema,
         "enc_plain_lineitem": _rt("lineitem", encoding="plain"),
         "enc_dict_documents": _rt("documents", encoding="rle_dict"),
         "enc_delta_bp_events": _rt("events", cols=["event_id", "ts", "user_id"], encoding="delta_bp"),
@@ -736,6 +766,9 @@ WHERE round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) >= 0.35
             "  THEN CAST(CAST(-l_partkey AS DECIMAL(18,3)) AS VARCHAR) END AS d2,"
             " CAST(CAST(l_suppkey AS DECIMAL(30,10)) * 1000000 AS VARCHAR) AS d3"
             " FROM lineitem"
+        ),
+        "roundtrip_message_schema": (
+            "SELECT doc_id, text, lang, CAST(n_chars AS INTEGER) AS n_chars FROM documents"
         ),
         "enc_plain_lineitem": _ident_sql("lineitem"),
         "enc_dict_documents": _ident_sql("documents"),
