@@ -25,9 +25,59 @@ def _spark(args):
     return get_spark(cores=args.cpus)
 
 
+# csv2parquet type-hint vocabulary (cmd/csv2parquet/main.go:196-281) →
+# Spark cast targets; unhinted columns stay string, unsigned types widen
+# to the next signed carrier (uint64 → decimal(20,0)).
+_CSV_TYPE_HINTS = {
+    "string": "string",
+    "json": "string",
+    "byte_array": "binary",
+    "boolean": "boolean",
+    "int8": "tinyint",
+    "uint8": "smallint",
+    "int16": "smallint",
+    "uint16": "int",
+    "int32": "int",
+    "int": "int",
+    "uint32": "bigint",
+    "int64": "bigint",
+    "uint64": "decimal(20,0)",
+    "float": "float",
+    "double": "double",
+}
+
+
+def _read_input(spark, args):
+    """Read the encode input: parquet (default) or CSV with optional
+    per-column type hints (the reference's csv2parquet ingestion,
+    ``cmd/csv2parquet/main.go``)."""
+    if args.input_format == "parquet":
+        return spark.read.parquet(args.input)
+    from pyspark.sql import functions as F
+
+    hints = {}
+    for kv in (args.typehints or "").split(","):
+        if not kv:
+            continue
+        name, _, typ = kv.partition("=")
+        typ = typ.strip().lower()
+        if typ not in _CSV_TYPE_HINTS:
+            raise SystemExit(
+                f"invalid type hint {kv!r}; valid types: {', '.join(sorted(_CSV_TYPE_HINTS))}"
+            )
+        hints[name.strip()] = _CSV_TYPE_HINTS[typ]
+    df = spark.read.options(header=True, sep=args.delimiter, inferSchema=False).csv(args.input)
+    unknown = set(hints) - set(df.columns)
+    if unknown:
+        raise SystemExit(f"type hints for columns not in the CSV header: {sorted(unknown)}")
+    return df.select(
+        *[F.col(c).cast(hints.get(c, "string")).alias(c) for c in df.columns]
+    )
+
+
 def cmd_encode(args) -> int:
     spark = _spark(args)
-    df = spark.read.parquet(args.input)
+    df = _read_input(spark, args)
     if args.append and args.format == "parquet":
         p_err = "--append is supported for the chunks format only"
         print(json.dumps({"error": p_err}), file=sys.stderr)
@@ -308,6 +358,20 @@ def main(argv=None) -> int:
     e = sub.add_parser("encode")
     e.add_argument("--input", required=True)
     e.add_argument("--out", required=True)
+    e.add_argument(
+        "--input-format",
+        default="parquet",
+        choices=["parquet", "csv"],
+        help="csv reads a headered file (csv2parquet analogue; see --typehints)",
+    )
+    e.add_argument(
+        "--typehints",
+        default=None,
+        help="comma list name=type for CSV columns (csv2parquet vocabulary: "
+        "string, byte_array, boolean, int8-int64, uint8-uint64, float, double, json); "
+        "unhinted columns stay string",
+    )
+    e.add_argument("--delimiter", default=",", help="CSV field delimiter")
     e.add_argument("--key-col", default=None, help="key column; comma-separated list for zorder")
     e.add_argument("--partitions", type=int, default=None)
     e.add_argument(

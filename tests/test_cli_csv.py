@@ -1,0 +1,107 @@
+"""CSV ingestion through the CLI (reference ``cmd/csv2parquet`` analogue):
+headered CSV + type hints → encoded table, decoded back typed."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from parquet_go_spark.cli import main
+from parquet_go_spark.spark.decode_job import decode_table
+
+pytestmark = pytest.mark.spark
+
+
+def _write_csv(path):
+    rows = ["id,name,score,flag,blob"]
+    for i in range(50):
+        rows.append(f"{i},user-{i},{i / 4},{'true' if i % 2 else 'false'},b{i:03d}")
+    path.write_text("\n".join(rows) + "\n")
+
+
+def test_encode_csv_with_typehints(spark, tmp_path, capsys):
+    csv = tmp_path / "in.csv"
+    _write_csv(csv)
+    out = str(tmp_path / "enc")
+    rc = main(
+        [
+            "encode",
+            "--input",
+            str(csv),
+            "--input-format",
+            "csv",
+            "--typehints",
+            "id=int64,score=double,flag=boolean,blob=byte_array",
+            "--out",
+            out,
+            "--key-col",
+            "id",
+            "--partitions",
+            "2",
+        ]
+    )
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["rows"] == 50
+
+    back = decode_table(spark, out)
+    assert dict(back.dtypes) == {
+        "id": "bigint",
+        "name": "string",
+        "score": "double",
+        "flag": "boolean",
+        "blob": "binary",
+    }
+    got = {r["id"]: r for r in back.collect()}
+    assert got[7]["score"] == 7 / 4
+    assert got[7]["flag"] is True
+    assert got[8]["flag"] is False
+    assert got[9]["blob"] == b"b009"
+    assert got[9]["name"] == "user-9"
+
+
+def test_encode_csv_semicolon_delimiter_and_default_string(spark, tmp_path, capsys):
+    csv = tmp_path / "semi.csv"
+    csv.write_text("a;b\n1;x\n2;y\n")
+    out = str(tmp_path / "enc2")
+    rc = main(
+        ["encode", "--input", str(csv), "--input-format", "csv", "--delimiter", ";", "--out", out]
+    )
+    assert rc == 0
+    back = decode_table(spark, out)
+    assert dict(back.dtypes) == {"a": "string", "b": "string"}
+    assert {(r["a"], r["b"]) for r in back.collect()} == {("1", "x"), ("2", "y")}
+
+
+def test_encode_csv_bad_typehint(tmp_path):
+    csv = tmp_path / "bad.csv"
+    csv.write_text("a\n1\n")
+    with pytest.raises(SystemExit, match="valid types"):
+        main(
+            [
+                "encode",
+                "--input",
+                str(csv),
+                "--input-format",
+                "csv",
+                "--typehints",
+                "a=int63",
+                "--out",
+                str(tmp_path / "enc3"),
+            ]
+        )
+    with pytest.raises(SystemExit, match="not in the CSV header"):
+        main(
+            [
+                "encode",
+                "--input",
+                str(csv),
+                "--input-format",
+                "csv",
+                "--typehints",
+                "zz=int64",
+                "--out",
+                str(tmp_path / "enc4"),
+            ]
+        )
