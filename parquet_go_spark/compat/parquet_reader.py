@@ -8,7 +8,16 @@ Supports the encodings this engine implements: PLAIN (0),
 RLE_DICTIONARY (8) / PLAIN_DICTIONARY (2), DELTA_BINARY_PACKED (5),
 DELTA_LENGTH_BYTE_ARRAY (6), DELTA_BYTE_ARRAY (7),
 BYTE_STREAM_SPLIT (9, incl. the 2.11 int/FLBA extension); data page V1 + V2,
-dictionary pages, UNCOMPRESSED/SNAPPY/ZSTD/GZIP codecs, flat columns.
+dictionary pages, UNCOMPRESSED/SNAPPY/ZSTD/GZIP codecs.
+
+``read_column`` serves flat leaves; ``read_column_arrow`` decodes any
+leaf path — nested lists (any depth, 3-level or legacy shape) and
+optional structs — by running the Dremel record assembly over the
+rep/def level streams (reference ``data_store.go`` /
+``schema.go:585-647`` semantics): repetition levels split element
+boundaries per depth, definition levels distinguish null list / empty
+list / null element. Struct nesting folds into null propagation (a
+single-leaf read returns the leaf wrapped in its list dimensions only).
 """
 
 from __future__ import annotations
@@ -205,3 +214,288 @@ def _def_levels_v1(payload, nv: int):
     lv = payload[4 : 4 + size]
     validity = hybrid.decode(lv, 1, nv).astype(bool)
     return validity, 4 + size
+
+
+# ---------------------------------------------------------------------------
+# Nested leaves: schema tree, generic level decode, Dremel assembly
+# ---------------------------------------------------------------------------
+
+_REQUIRED, _OPTIONAL, _REPEATED = 0, 1, 2
+
+
+def schema_leaf_info(meta: dict) -> dict[str, dict]:
+    """Walk the flattened schema (num_children spans) into per-leaf info:
+
+    dotted path -> {type, type_length, utf8, max_def, max_rep, d_leaf,
+    lists: [(rep_depth, d_elem, d_present|None), ...]}.
+
+    ``d_elem`` is the cumulative definition level at the repeated node
+    (``def >= d_elem`` ⇒ at least one element); ``d_present`` is the
+    level at which the list itself is defined (None when the enclosing
+    group is required / legacy-repeated ⇒ never null, only empty).
+    """
+    elems = meta[2]
+    out: dict[str, dict] = {}
+    pos = 1  # skip root
+
+    def walk(n_children: int, path: tuple, d: int, r: int, lists: tuple, parent_opt: bool):
+        nonlocal pos
+        for _ in range(n_children):
+            el = elems[pos]
+            pos += 1
+            rep_t = el.get(3, _REQUIRED)
+            name = el[4].decode()
+            d2, r2, lists2 = d, r, lists
+            if rep_t != _REQUIRED:
+                d2 += 1
+            if rep_t == _REPEATED:
+                r2 += 1
+                # null-vs-empty: the level below d_elem belongs to the
+                # enclosing group only when that group is optional
+                d_present = d2 - 1 if parent_opt else None
+                lists2 = lists + ((r2, d2, d_present),)
+            if 1 in el:  # leaf (has a physical type)
+                out[".".join(path + (name,))] = {
+                    "type": el[1],
+                    "type_length": el.get(2, 0),
+                    "utf8": el.get(6) == 0,  # ConvertedType UTF8
+                    "max_def": d2,
+                    "max_rep": r2,
+                    "d_leaf": d2,
+                    "lists": list(lists2),
+                    "path": list(path) + [name],
+                }
+            else:
+                walk(el.get(5, 0), path + (name,), d2, r2, lists2, rep_t == _OPTIONAL)
+
+    walk(elems[0].get(5, 0), (), 0, 0, (), False)
+    return out
+
+
+def _levels_v1(payload, nv: int, max_rep: int, max_def: int):
+    """Rep then def level streams (each 4-byte size + hybrid), present
+    only when the respective max is > 0."""
+    pos = 0
+    if max_rep > 0:
+        size = int.from_bytes(bytes(payload[pos : pos + 4]), "little")
+        rep = hybrid.decode(payload[pos + 4 : pos + 4 + size], max_rep.bit_length(), nv)
+        pos += 4 + size
+    else:
+        rep = np.zeros(nv, dtype=np.int64)
+    if max_def > 0:
+        size = int.from_bytes(bytes(payload[pos : pos + 4]), "little")
+        deflv = hybrid.decode(payload[pos + 4 : pos + 4 + size], max_def.bit_length(), nv)
+        pos += 4 + size
+    else:
+        deflv = np.zeros(nv, dtype=np.int64)
+    return np.asarray(rep, np.int64), np.asarray(deflv, np.int64), pos
+
+
+def read_leaf_levels(buf: bytes, column: str):
+    """Decode one leaf path (dotted for nesting, e.g. ``tags.list.element``)
+    entirely with this engine's kernels.
+
+    -> (rep_levels, def_levels, values, info) where values is an ndarray
+    or (lengths, data) for byte leaves, holding only fully-defined entries.
+    """
+    meta = file_meta(buf)
+    leaves = schema_leaf_info(meta)
+    if column not in leaves:
+        raise KeyError(f"{column!r}; leaves: {sorted(leaves)}")
+    info = leaves[column]
+    ptype = _PHYS[info["type"]]
+    max_def, max_rep = info["max_def"], info["max_rep"]
+    rep_parts, def_parts, value_parts, len_parts, data_parts = [], [], [], [], []
+    mv = memoryview(buf)
+    for rg in meta[4]:
+        for cc in rg[1]:
+            cmeta = cc[3]
+            if [p.decode() for p in cmeta[3]] != info["path"]:
+                continue
+            codec = cmeta[4]
+            n_values = cmeta[5]
+            start = min(cmeta.get(11, cmeta[9]), cmeta[9])
+            end = start + cmeta[7]
+            pos = start
+            dict_vals = None
+            seen = 0
+            while seen < n_values and pos < end:
+                hdr, pos = read_struct(mv, pos)
+                page_type = hdr[1]
+                raw_len, comp_len = hdr[2], hdr[3]
+                raw_page = bytes(mv[pos : pos + comp_len])
+                pos += comp_len
+                if page_type == 3:
+                    dph2 = hdr[8]
+                    lvl_len = dph2[5] + dph2[6]
+                    is_comp = dph2.get(7, True)
+                    body = (
+                        _decompress(raw_page[lvl_len:], codec, raw_len - lvl_len)
+                        if is_comp
+                        else raw_page[lvl_len:]
+                    )
+                    payload = raw_page[:lvl_len] + body
+                else:
+                    payload = _decompress(raw_page, codec, raw_len)
+                if page_type == 2:  # dictionary page
+                    dph = hdr[7]
+                    dn = dph[1]
+                    if ptype == "bytes":
+                        u_lens, u_data, _ = plain.decode_byte_array(payload, dn)
+                        dict_vals = (u_lens, u_data)
+                    else:
+                        dict_vals, _ = plain.decode_fixed(payload, dn, ptype)
+                    continue
+                if page_type == 0:  # data page V1
+                    dph = hdr[5]
+                    nv, enc = dph[1], dph[2]
+                    rep, deflv, ppos = _levels_v1(payload, nv, max_rep, max_def)
+                elif page_type == 3:  # data page V2
+                    dph = hdr[8]
+                    nv = dph[1]
+                    enc = dph[4]
+                    dl_len, rl_len = dph[5], dph[6]
+                    if rl_len:
+                        rep = np.asarray(
+                            hybrid.decode(payload[:rl_len], max_rep.bit_length(), nv), np.int64
+                        )
+                    else:
+                        rep = np.zeros(nv, dtype=np.int64)
+                    if dl_len:
+                        deflv = np.asarray(
+                            hybrid.decode(
+                                payload[rl_len : rl_len + dl_len], max_def.bit_length(), nv
+                            ),
+                            np.int64,
+                        )
+                    else:
+                        deflv = np.zeros(nv, dtype=np.int64)
+                    ppos = rl_len + dl_len
+                else:
+                    raise ValueError(f"unsupported page type {page_type}")
+                n_present = int((deflv == max_def).sum())
+                repr_ = _decode_values(
+                    enc, ptype, payload, ppos, n_present, dict_vals, info["type_length"]
+                )
+                rep_parts.append(rep)
+                def_parts.append(deflv)
+                if ptype in ("bytes", "flba"):
+                    len_parts.append(np.asarray(repr_[0], np.int64))
+                    data_parts.append(np.asarray(repr_[1], np.uint8))
+                else:
+                    value_parts.append(repr_)
+                seen += nv
+    rep = np.concatenate(rep_parts) if rep_parts else np.empty(0, np.int64)
+    deflv = np.concatenate(def_parts) if def_parts else np.empty(0, np.int64)
+    if ptype in ("bytes", "flba"):
+        lens = np.concatenate(len_parts) if len_parts else np.empty(0, np.int64)
+        data = np.concatenate(data_parts) if data_parts else np.empty(0, np.uint8)
+        values = (lens, data)
+    else:
+        values = np.concatenate(value_parts) if value_parts else np.empty(0)
+    return rep, deflv, values, info
+
+
+def _leaf_arrow(positions, deflv, values, info) -> pa.Array:
+    """Leaf slots (one level-position each) -> Arrow array with nulls."""
+    ptype = _PHYS[info["type"]]
+    d_leaf = info["d_leaf"]
+    full = deflv == d_leaf  # global mask: positions carrying a value
+    value_idx = np.cumsum(full) - 1  # value index at each position
+    mask = full[positions]
+    if ptype in ("bytes", "flba"):
+        lens, data = values
+        starts = np.zeros(len(lens) + 1, dtype=np.int64)
+        np.cumsum(lens, out=starts[1:])
+        out_lens = np.where(mask, lens[value_idx[positions]], 0)
+        offsets = np.zeros(len(positions) + 1, dtype=np.int64)
+        np.cumsum(out_lens, out=offsets[1:])
+        if mask.all():
+            # contiguous fast path: values already in slot order
+            buf_data = data
+        else:
+            from ..core.columns import gather_segments
+
+            sel = value_idx[positions][mask]
+            buf_data = gather_segments(data, starts[sel], lens[sel])
+        cls = pa.utf8() if info["utf8"] else pa.binary()
+        return pa.Array.from_buffers(
+            cls,
+            len(positions),
+            [
+                pa.py_buffer(np.packbits(mask, bitorder="little").tobytes()),
+                pa.py_buffer(offsets.astype(np.int32).tobytes()),
+                pa.py_buffer(np.asarray(buf_data, np.uint8).tobytes()),
+            ],
+            null_count=int((~mask).sum()),
+        )
+    np_vals = np.asarray(values)
+    out = np.zeros(len(positions), dtype=np_vals.dtype if np_vals.size else np.float64)
+    if np_vals.size:
+        out[mask] = np_vals[value_idx[positions][mask]]
+    return pa.array(out, mask=~mask)
+
+
+def _split_slots(starts, ends, rep, r):
+    """Split each [start, end) slot at element boundaries of depth ``r``.
+    A position starts a new element of the depth-``r`` list iff
+    ``rep <= r`` (rep == r continues that list with a new element; rep < r
+    additionally starts new ancestors). Returns (child_starts, child_ends,
+    counts_per_slot)."""
+    bounds = np.flatnonzero(rep <= r)
+    child_starts_all = []
+    counts = np.empty(len(starts), dtype=np.int64)
+    lo = np.searchsorted(bounds, starts, side="left")
+    hi = np.searchsorted(bounds, ends, side="left")
+    for i in range(len(starts)):
+        counts[i] = hi[i] - lo[i]
+    child_starts = bounds[np.concatenate([np.arange(lo[i], hi[i]) for i in range(len(starts))])] if len(starts) else np.empty(0, np.int64)
+    # child ends: next boundary within the same slot, else the slot end
+    child_ends = np.empty(len(child_starts), dtype=np.int64)
+    k = 0
+    for i in range(len(starts)):
+        n = counts[i]
+        if n:
+            seg = child_starts[k : k + n]
+            child_ends[k : k + n - 1] = seg[1:]
+            child_ends[k + n - 1] = ends[i]
+            k += n
+    return child_starts, child_ends, counts
+
+
+def read_column_arrow(buf: bytes, column: str) -> pa.Array:
+    """Decode a (possibly nested) leaf path into an Arrow array via
+    Dremel assembly: lists at every repeated depth (null / empty / n
+    elements), nulls at the leaf. Optional struct ancestors fold into
+    null propagation. ``column`` may be the top-level field name (its
+    single leaf is resolved) or the full dotted leaf path."""
+    meta = file_meta(buf)
+    leaves = schema_leaf_info(meta)
+    if column not in leaves:
+        cands = [k for k in leaves if k == column or k.split(".")[0] == column]
+        if len(cands) != 1:
+            raise KeyError(f"{column!r}; leaves: {sorted(leaves)}")
+        column = cands[0]
+    rep, deflv, values, info = read_leaf_levels(buf, column)
+    # top-level rows: one slot per rep==0 run
+    starts = np.flatnonzero(rep == 0)
+    ends = np.concatenate([starts[1:], [len(rep)]]) if len(starts) else np.empty(0, np.int64)
+
+    def build(starts, ends, list_idx) -> pa.Array:
+        if list_idx == len(info["lists"]):
+            return _leaf_arrow(starts, deflv, values, info)
+        r, d_elem, d_present = info["lists"][list_idx]
+        has_elems = deflv[starts] >= d_elem
+        valid = np.ones(len(starts), dtype=bool) if d_present is None else deflv[starts] >= d_present
+        # slots with elements expand; null/empty slots contribute none
+        e_starts, e_ends, counts = _split_slots(starts[has_elems], ends[has_elems], rep, r)
+        child = build(e_starts, e_ends, list_idx + 1)
+        sizes = np.zeros(len(starts), dtype=np.int64)
+        sizes[has_elems] = counts
+        offsets = np.zeros(len(starts) + 1, dtype=np.int64)
+        np.cumsum(sizes, out=offsets[1:])
+        return pa.ListArray.from_arrays(
+            pa.array(offsets.astype(np.int32)), child, mask=pa.array(~valid)
+        )
+
+    return build(starts, ends, 0)
