@@ -213,6 +213,37 @@ def _rt_message_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_table(spark, out).select("doc_id", "text", "lang", "n_chars")
 
 
+def _q_parquet_interop_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested Parquet interop under the oracle gate: the stock
+    embeddings.parquet (written by another engine: Spark/pyarrow, snappy,
+    dict-encoded, list<float>) is decoded entirely by this engine's
+    kernels — footer thrift walk, page decode, rep/def Dremel assembly
+    (compat/parquet_reader.read_column_arrow) — and flattened to
+    (vec_id, pos, val) scalars. The oracle unnests the same file in
+    DuckDB, so a hash match proves the level reconstruction is
+    bit-identical, not just roundtrip-consistent."""
+    import numpy as np
+    import pandas as pd
+
+    from parquet_go_spark.compat.parquet_reader import read_column, read_column_arrow
+
+    with open(f"{sf_dir}/embeddings.parquet", "rb") as fh:
+        buf = fh.read()
+    _, vec_ids = read_column(buf, "vec_id")
+    emb = read_column_arrow(buf, "embedding")
+    sizes = np.diff(emb.offsets.to_numpy())
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.repeat(np.asarray(vec_ids, dtype="int64"), sizes),
+            "pos": (
+                np.concatenate([np.arange(s) for s in sizes]) if len(sizes) else np.empty(0)
+            ).astype("int32"),
+            "val": emb.values.to_numpy(zero_copy_only=False).astype("float64"),
+        }
+    )
+    return spark.createDataFrame(pdf)
+
+
 def _q_multimodal_image_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing under the oracle gate: documents become a
     deterministic media table (text bytes as the image payload, metadata
@@ -545,6 +576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_nested": _rt_nested,
         "roundtrip_decimals": _rt_decimals,
         "roundtrip_message_schema": _rt_message_schema,
+        "parquet_interop_nested": _q_parquet_interop_nested,
         "enc_plain_lineitem": _rt("lineitem", encoding="plain"),
         "enc_dict_documents": _rt("documents", encoding="rle_dict"),
         "enc_delta_bp_events": _rt("events", cols=["event_id", "ts", "user_id"], encoding="delta_bp"),
@@ -769,6 +801,11 @@ WHERE round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) >= 0.35
         ),
         "roundtrip_message_schema": (
             "SELECT doc_id, text, lang, CAST(n_chars AS INTEGER) AS n_chars FROM documents"
+        ),
+        "parquet_interop_nested": (
+            "SELECT vec_id, CAST(i AS INT) AS pos,"
+            " CAST(embedding[i + 1] AS DOUBLE) AS val"
+            " FROM embeddings, UNNEST(range(len(embedding))) AS t(i)"
         ),
         "enc_plain_lineitem": _ident_sql("lineitem"),
         "enc_dict_documents": _ident_sql("documents"),
