@@ -249,6 +249,196 @@ def _write_chunk(out: bytearray, col: ColumnData, name: str, enc_name: str | Non
     return col_chunk, meta_row
 
 
+def _is_nested(t: pa.DataType) -> bool:
+    return (
+        pa.types.is_list(t) or pa.types.is_large_list(t) or pa.types.is_struct(t) or pa.types.is_map(t)
+    )
+
+
+def _leaf_schema_elem(name: str, t: pa.DataType, optional: bool) -> dict:
+    col0 = from_arrow(pa.array([], type=t))
+    el = {
+        1: ("i32", _PQ_TYPE[col0.ptype]),
+        3: ("i32", 1 if optional else 0),
+        4: ("binary", name),
+    }
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        el[6] = ("i32", 0)  # UTF8
+    elif pa.types.is_timestamp(t):
+        el[6] = ("i32", 10)  # TIMESTAMP_MICROS
+    return el
+
+
+def _schema_elems_for(name: str, t: pa.DataType, optional: bool = True) -> list[dict]:
+    """Flattened SchemaElements for one (possibly nested) field, in the
+    canonical 3-level LIST / key_value MAP shapes the reader and other
+    engines expect (schema.go:585-647 construction)."""
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return [
+            {3: ("i32", 1 if optional else 0), 4: ("binary", name), 5: ("i32", 1), 6: ("i32", 3)},
+            {3: ("i32", 2), 4: ("binary", "list"), 5: ("i32", 1)},
+            *_schema_elems_for("element", t.value_type, t.value_field.nullable),
+        ]
+    if pa.types.is_map(t):
+        return [
+            {3: ("i32", 1 if optional else 0), 4: ("binary", name), 5: ("i32", 1), 6: ("i32", 1)},
+            {3: ("i32", 2), 4: ("binary", "key_value"), 5: ("i32", 2)},
+            _leaf_schema_elem("key", t.key_type, optional=False),
+            *_schema_elems_for("value", t.item_type, t.item_field.nullable),
+        ]
+    if pa.types.is_struct(t):
+        elems = [{3: ("i32", 1 if optional else 0), 4: ("binary", name), 5: ("i32", t.num_fields)}]
+        for i in range(t.num_fields):
+            f = t.field(i)
+            elems.extend(_schema_elems_for(f.name, f.type, f.nullable))
+        return elems
+    return [_leaf_schema_elem(name, t, optional)]
+
+
+def _write_chunk_nested(
+    out: bytearray,
+    arr: pa.Array,
+    spec: dict,
+    enc_name: str | None,
+    compression: str,
+    codec: int,
+    max_page: int,
+    crc: bool,
+):
+    """Write one NESTED leaf chunk (V1 pages: size-prefixed rep + def
+    hybrid streams at their true bit widths, then values); pages cut on
+    row boundaries so every page starts at rep == 0."""
+    from .shred import shred_leaf
+
+    rep, deflv, leaf, row_counts, has = shred_leaf(arr, spec)
+    max_rep, max_def = spec["max_rep"], spec["max_def"]
+    col = from_arrow(leaf)  # all-defined leaf values
+    enc = _choose(col, enc_name)
+    codes = uniques = None
+    dict_size = 0
+    distinct = -1
+    if enc == E_RLE_DICT:
+        codes, uniques, dict_size = _factorize(col)
+        distinct = dict_size
+    chunk_start = len(out)
+    dict_offset = None
+    encodings_used = {E_RLE, enc}
+    total_raw = total_comp = 0
+    if enc == E_RLE_DICT and dict_size:
+        payload = _encode_dict_values(uniques, col.ptype)
+        comp = _compress(payload, compression)
+        dict_hdr = {
+            1: ("i32", 2),
+            2: ("i32", len(payload)),
+            3: ("i32", len(comp)),
+            7: ("struct", {1: ("i32", dict_size), 2: ("i32", E_PLAIN)}),
+        }
+        if crc:
+            c = zlib.crc32(comp)
+            dict_hdr[4] = ("i32", c - (1 << 32) if c >= 1 << 31 else c)
+        hdr = write_struct(dict_hdr)
+        dict_offset = len(out)
+        out += hdr + comp
+        total_raw += len(payload) + len(hdr)
+        total_comp += len(comp) + len(hdr)
+        encodings_used.add(E_PLAIN)
+    data_offset = len(out)
+    # row-aligned page cuts by estimated leaf bytes per row
+    per_pos_bytes = 8.0 if col.ptype != "bytes" else max(
+        1.0, (col.data.nbytes / max(len(leaf), 1))
+    )
+    row_bytes = row_counts * per_pos_bytes + 2 * row_counts  # values + levels
+    cuts = [0]
+    acc = 0.0
+    for i, b in enumerate(row_bytes):
+        acc += float(b)
+        if acc >= max_page and i + 1 < len(row_bytes):
+            cuts.append(i + 1)
+            acc = 0.0
+    cuts.append(len(row_counts))
+    pos_edges = np.zeros(len(row_counts) + 1, dtype=np.int64)
+    np.cumsum(row_counts, out=pos_edges[1:])
+    has_cum = np.zeros(len(has) + 1, dtype=np.int64)
+    np.cumsum(has, out=has_cum[1:])
+    vcum = (
+        np.concatenate([[0], np.cumsum(col.lengths)]).astype(np.int64)
+        if col.ptype == "bytes"
+        else None
+    )
+    for lo_row, hi_row in zip(cuts[:-1], cuts[1:]):
+        plo, phi = int(pos_edges[lo_row]), int(pos_edges[hi_row])
+        if plo == phi and lo_row != 0:
+            continue
+        vlo, vhi = int(has_cum[plo]), int(has_cum[phi])
+        dlo, dhi = (int(vcum[vlo]), int(vcum[vhi])) if vcum is not None else (0, 0)
+        vals = _encode_page_values(enc, col, vlo, vhi, dlo, dhi, codes, dict_size)
+        lvl = b""
+        if max_rep > 0:
+            lvl += hybrid.with_size_prefix(
+                hybrid.encode_auto(rep[plo:phi].astype(np.uint64), max_rep.bit_length()),
+                max_rep.bit_length(),
+            )
+        if max_def > 0:
+            lvl += hybrid.with_size_prefix(
+                hybrid.encode_auto(deflv[plo:phi].astype(np.uint64), max_def.bit_length()),
+                max_def.bit_length(),
+            )
+        body = lvl + vals
+        comp = _compress(body, compression)
+        hdr_fields = {
+            1: ("i32", 0),  # DATA_PAGE
+            2: ("i32", len(body)),
+            3: ("i32", len(comp)),
+            5: (
+                "struct",
+                {
+                    1: ("i32", phi - plo),  # num_values = level positions
+                    2: ("i32", enc),
+                    3: ("i32", E_RLE),
+                    4: ("i32", E_RLE),
+                },
+            ),
+        }
+        if crc:
+            c = zlib.crc32(comp)
+            hdr_fields[4] = ("i32", c - (1 << 32) if c >= 1 << 31 else c)
+        hdr = write_struct(hdr_fields)
+        out += hdr + comp
+        total_raw += len(body) + len(hdr)
+        total_comp += len(comp) + len(hdr)
+    n_positions = int(pos_edges[-1])
+    meta = {
+        1: ("i32", _PQ_TYPE[col.ptype]),
+        2: ("list", ("i32", sorted(encodings_used))),
+        3: ("list", ("binary", spec["path"])),
+        4: ("i32", codec),
+        5: ("i64", n_positions),
+        6: ("i64", total_raw),
+        7: ("i64", total_comp),
+        9: ("i64", data_offset),
+        12: ("struct", {3: ("i64", n_positions - len(leaf))}),
+    }
+    if dict_offset is not None:
+        meta[11] = ("i64", dict_offset)
+    col_chunk = {2: ("i64", chunk_start), 3: ("struct", meta)}
+    meta_row = {
+        "column": ".".join(spec["path"]),
+        "ptype": col.ptype,
+        "encoding": {
+            E_PLAIN: "plain",
+            E_RLE_DICT: "rle_dict",
+            E_DELTA_BP: "delta_bp",
+            E_DELTA_LEN: "delta_length",
+            E_DELTA_BA: "delta_bytes",
+        }[enc],
+        "num_rows": len(arr),
+        "null_count": n_positions - len(leaf),
+        "raw_bytes": total_raw,
+        "encoded_bytes": total_comp,
+    }
+    return col_chunk, meta_row
+
+
 def write_parquet(
     table: pa.Table,
     compression: str = "none",
@@ -259,7 +449,10 @@ def write_parquet(
     crc: bool = False,
     return_meta: bool = False,
 ):
-    """pa.Table -> Parquet file bytes (flat schema).
+    """pa.Table -> Parquet file bytes (flat or nested schema: lists at
+    any depth, structs with faithful null propagation, maps — emitted in
+    the canonical 3-level LIST / key_value MAP shapes via the Dremel
+    shredder in ``shred.py``).
 
     ``max_row_group``: rows per row group (None = one group, matching the
     reference's unbounded default; ``WithMaxRowGroupSize`` analogue).
@@ -268,25 +461,23 @@ def write_parquet(
     CRC32 into page headers (``WithCRC``).
     ``return_meta=True`` -> (bytes, [{column, encoding, raw/comp bytes}]).
     """
+    from .shred import leaf_specs
+
     metas: list[dict] = []
     out = bytearray(MAGIC)
     codec = _CODEC[compression]
     schema_elems = [{4: ("binary", "schema"), 5: ("i32", table.num_columns)}]
+    nested_specs: dict[str, list] = {}
+    n_leaves = 0
     for i, name in enumerate(table.column_names):
         t = table.schema.field(i).type
-        col0 = from_arrow(table.column(name).slice(0, 0))
-        if not isinstance(col0, ColumnData):
-            raise TypeError("write_parquet supports flat columns only")
-        el = {
-            1: ("i32", _PQ_TYPE[col0.ptype]),
-            3: ("i32", 1),  # OPTIONAL
-            4: ("binary", name),
-        }
-        if pa.types.is_string(t) or pa.types.is_large_string(t):
-            el[6] = ("i32", 0)  # ConvertedType UTF8
-        elif pa.types.is_timestamp(t):
-            el[6] = ("i32", 10)  # TIMESTAMP_MICROS
-        schema_elems.append(el)
+        if _is_nested(t):
+            nested_specs[name] = leaf_specs(name, t)
+            schema_elems.extend(_schema_elems_for(name, t))
+            n_leaves += len(nested_specs[name])
+        else:
+            schema_elems.append(_leaf_schema_elem(name, t, optional=True))
+            n_leaves += 1
 
     n_rows = table.num_rows
     group_rows = max_row_group or max(n_rows, 1)
@@ -296,6 +487,17 @@ def write_parquet(
         part = table.slice(off, min(group_rows, n_rows - off) if n_rows else 0)
         col_chunks = []
         for name in table.column_names:
+            if name in nested_specs:
+                arr = part.column(name).combine_chunks()
+                for spec in nested_specs[name]:
+                    cc, mrow = _write_chunk_nested(
+                        out, arr, spec, (encodings or {}).get(name), compression, codec,
+                        max_page, crc,
+                    )
+                    col_chunks.append(cc)
+                    mrow["row_group"] = len(row_groups)
+                    metas.append(mrow)
+                continue
             col = from_arrow(part.column(name))
             cc, mrow = _write_chunk(
                 out, col, name, (encodings or {}).get(name), compression, codec, max_page,
@@ -322,7 +524,7 @@ def write_parquet(
         6: ("binary", "parquet_go_spark"),
         # ColumnOrder TYPE_ORDER per column: readers only trust
         # min_value/max_value when the footer declares the sort order
-        7: ("list", ("struct", [{1: ("struct", {})} for _ in range(table.num_columns)])),
+        7: ("list", ("struct", [{1: ("struct", {})} for _ in range(n_leaves)])),
     }
     footer = write_struct(fmeta)
     out += footer
