@@ -45,6 +45,21 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _steal_jiffies() -> tuple[int, int]:
+    """(steal, total) jiffies from /proc/stat — measures hypervisor CPU
+    theft across a bench interval. This multi-tenant VM shows minute-long
+    bursts that inflate any single wall-clock sample 2-10x; reporting the
+    interval's steal fraction makes a dirty sample self-explaining."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        steal = vals[7] if len(vals) > 7 else 0
+        return steal, sum(vals)
+    except Exception:
+        return 0, 0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -87,15 +102,19 @@ def main() -> None:
         # partitions fixed independently of cpus when benchmarking scaling:
         # the SAME job (same task graph) must run at both parallelism levels
         enc_parts = int(os.environ.get("SPARK_GRAFT_BENCH_PARTITIONS", 2 * cpus))
-        # best-of-2 for the headline throughput numbers: the first
+        # best-of-N for the headline throughput numbers: the first
         # full-size encode pays one-time JIT/codegen + allocator growth,
         # and this host shows multi-tenant CPU-steal bursts (vmstat st>0,
         # host loadavg spikes with guest idle) — a single sample can be
-        # 2-10x off through no fault of the job
-        reps = 2
-        best = None
+        # 2-10x off through no fault of the job. Up to 5 reps; stop early
+        # once two samples agree within 25% (a stable window was hit).
+        # Per-rep walls + the interval's steal fraction are reported so a
+        # dirty best-of is self-explaining.
+        max_reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
         bench_profile = os.environ.get("SPARK_GRAFT_BENCH_PROFILE", "auto")
-        for r in range(reps):
+        rep_walls: list[float] = []
+        st0, tot0 = _steal_jiffies()
+        for r in range(max_reps):
             enc_dir = f"{tmp}/enc{r}"
             t0 = time.perf_counter()
             man = encode_table(
@@ -106,10 +125,20 @@ def main() -> None:
                 compression="snappy",
                 profile=bench_profile,
             ).collect()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        q["encode_pages"] = round(best, 3)
-        enc_dir = f"{tmp}/enc{reps - 1}"
+            rep_walls.append(time.perf_counter() - t0)
+            if r >= 1:
+                a, b = sorted(rep_walls)[:2]
+                # stop on a tight window (stable measurement) or when the
+                # rep budget is spent (sustained-dirty phase: report the
+                # best seen plus the steal evidence and move on)
+                if b <= a * 1.12 or sum(rep_walls) > 240:
+                    break
+        st1, tot1 = _steal_jiffies()
+        q["encode_pages"] = round(min(rep_walls), 3)
+        extras["encode_rep_walls"] = [round(w, 2) for w in rep_walls]
+        if tot1 > tot0:
+            extras["encode_steal_pct"] = round(100 * (st1 - st0) / (tot1 - tot0), 1)
+        enc_dir = f"{tmp}/enc{len(rep_walls) - 1}"
         raw = sum(r["raw_bytes"] for r in man)
         enc_b = sum(r["encoded_bytes"] for r in man)
         extras["encode_raw_gb"] = round(raw / 1e9, 4)
