@@ -149,13 +149,17 @@ def main() -> None:
         if os.environ.get("SPARK_GRAFT_BENCH_ONLY") != "encode":
             # scaling runs (BENCH_ONLY=encode) only consume encode_gbps +
             # compression_ratio; skip the decode and size-gate passes there
-            best = None
-            for _ in range(2):
+            dec_walls: list[float] = []
+            for r in range(4):
                 t0 = time.perf_counter()
                 _force(decode_table(spark, enc_dir))
-                dt = time.perf_counter() - t0
-                best = dt if best is None else min(best, dt)
-            q["decode_pages"] = round(best, 3)
+                dec_walls.append(time.perf_counter() - t0)
+                if r >= 1:
+                    a, b = sorted(dec_walls)[:2]
+                    if b <= a * 1.12:
+                        break
+            q["decode_pages"] = round(min(dec_walls), 3)
+            extras["decode_rep_walls"] = [round(w, 2) for w in dec_walls]
             extras["decode_gbps"] = round(raw / 1e9 / q["decode_pages"], 4)
 
             # size gate: identical data through the reference's exact
