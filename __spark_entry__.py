@@ -213,6 +213,102 @@ def _rt_message_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_table(spark, out).select("doc_id", "text", "lang", "n_chars")
 
 
+def _synth_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic html per document (scripts, styles, comments,
+    entities, nested tags) — the web-page shape the html ops target,
+    reconstructible in SQL so the oracle is exact."""
+    d = _load(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><head><title>"),
+        F.col("source"),
+        F.lit(
+            '</title><script type="text/javascript">var x = 1 < 2;</script>'
+            "<style>.a{color:red}</style></head><body><!-- nav -->\n<h1>Doc &amp; "
+        ),
+        F.col("doc_id").cast("string"),
+        F.lit('</h1>\n<p class="b">'),
+        F.col("text"),
+        F.lit('</p><a href="/p?x=1">next &gt;</a><br/></body></html>'),
+    )
+    return d.select("doc_id", html.alias("html"))
+
+
+_SYNTH_HTML_SQL = (
+    "'<html><head><title>' || source ||"
+    " '</title><script type=\"text/javascript\">var x = 1 < 2;</script>"
+    "<style>.a{color:red}</style></head><body><!-- nav -->' || chr(10) || '<h1>Doc &amp; '"
+    " || CAST(doc_id AS VARCHAR) || '</h1>' || chr(10) || '<p class=\"b\">' || text ||"
+    " '</p><a href=\"/p?x=1\">next &gt;</a><br/></body></html>'"
+)
+
+
+def _q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → text extraction (ops/html.py): one portable regexp_replace
+    chain, whole-stage codegen; the oracle runs the IDENTICAL chain in
+    DuckDB, so the extracted bytes must match exactly."""
+    from parquet_go_spark.ops.html import extract_text_col
+
+    df = _synth_html(spark, sf_dir)
+    return df.select("doc_id", extract_text_col(F.col("html")).alias("etext"))
+
+
+def _q_html_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-structure quality signals (tag/link counts, link density,
+    text-to-markup ratio) over the synthetic html."""
+    from parquet_go_spark.ops.html import html_stats
+
+    return html_stats(_synth_html(spark, sf_dir))
+
+
+def _synth_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("HTTPS://WWW.Site"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.lit(".Example.COM"),
+        F.when(F.col("doc_id") % 4 == 0, ":443").otherwise(""),
+        F.when(F.col("doc_id") % 3 == 0, "").otherwise(
+            F.concat(
+                F.lit("/sec/"),
+                (F.col("doc_id") % 7).cast("string"),
+                F.lit("/p"),
+                F.col("doc_id").cast("string"),
+            )
+        ),
+        F.when(F.col("doc_id") % 5 == 0, "?q=1&r=2").otherwise(""),
+        F.when(F.col("doc_id") % 2 == 0, "#frag").otherwise(""),
+    )
+    return d.select("doc_id", url.alias("url"))
+
+
+_SYNTH_URL_SQL = (
+    "'HTTPS://WWW.Site' || CAST(doc_id % 50 AS VARCHAR) || '.Example.COM'"
+    " || CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END"
+    " || CASE WHEN doc_id % 3 = 0 THEN '' ELSE"
+    "   '/sec/' || CAST(doc_id % 7 AS VARCHAR) || '/p' || CAST(doc_id AS VARCHAR) END"
+    " || CASE WHEN doc_id % 5 = 0 THEN '?q=1&r=2' ELSE '' END"
+    " || CASE WHEN doc_id % 2 = 0 THEN '#frag' ELSE '' END"
+)
+
+
+def _q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parse + canonicalization (ops/url.py): the key-stability op
+    for a url-partitioned crawl — case, default ports, and fragments
+    must not split one page across partitions/bloom keys."""
+    from parquet_go_spark.ops.url import normalize_url_col, parse_urls
+
+    df = parse_urls(_synth_url(spark, sf_dir), "url")
+    return df.withColumn("url_norm", normalize_url_col(F.col("url"))).drop("url")
+
+
+def _q_url_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host skew profile (pages, distinct paths, mean depth) — the
+    statistic that justifies salted partitioning on url-hash."""
+    from parquet_go_spark.ops.url import host_stats
+
+    return host_stats(_synth_url(spark, sf_dir), "url")
+
+
 def _q_parquet_interop_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nested Parquet interop under the oracle gate: the stock
     embeddings.parquet (written by another engine: Spark/pyarrow, snappy,
@@ -577,6 +673,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_decimals": _rt_decimals,
         "roundtrip_message_schema": _rt_message_schema,
         "parquet_interop_nested": _q_parquet_interop_nested,
+        "html_extract_text": _q_html_extract,
+        "html_stats": _q_html_stats,
+        "url_normalize": _q_url_normalize,
+        "url_host_stats": _q_url_host_stats,
         "enc_plain_lineitem": _rt("lineitem", encoding="plain"),
         "enc_dict_documents": _rt("documents", encoding="rle_dict"),
         "enc_delta_bp_events": _rt("events", cols=["event_id", "ts", "user_id"], encoding="delta_bp"),
@@ -807,6 +907,10 @@ WHERE round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) >= 0.35
             " CAST(embedding[i + 1] AS DOUBLE) AS val"
             " FROM embeddings, UNNEST(range(len(embedding))) AS t(i)"
         ),
+        "html_extract_text": _html_extract_duck_sql(),
+        "html_stats": _html_stats_duck_sql(),
+        "url_normalize": _url_normalize_duck_sql(),
+        "url_host_stats": _url_host_stats_duck_sql(),
         "enc_plain_lineitem": _ident_sql("lineitem"),
         "enc_dict_documents": _ident_sql("documents"),
         "enc_delta_bp_events": _ident_sql("events", ["event_id", "ts", "user_id"]),
@@ -987,4 +1091,73 @@ def _simhash_duck_sql() -> str:
         " w -> CAST('0x' || substring(md5(w), 1, 15) AS BIGINT)) AS hs"
         " FROM documents)"
         f" SELECT doc_id, CAST({expr} AS BIGINT) AS simhash FROM h"
+    )
+
+
+def _html_extract_duck_sql() -> str:
+    from parquet_go_spark.ops.html import extract_text_sql
+
+    return (
+        f"WITH h AS (SELECT doc_id, {_SYNTH_HTML_SQL} AS html FROM documents)"
+        f" SELECT doc_id, {extract_text_sql('html')} AS etext FROM h"
+    )
+
+
+def _html_stats_duck_sql() -> str:
+    from parquet_go_spark.ops.html import extract_text_sql
+
+    etext = extract_text_sql("html")
+    n_tags = "(len(regexp_split_to_array(html, '<[a-zA-Z!/]')) - 1)"
+    n_links = "(len(regexp_split_to_array(lower(html), '<a[\\s>]')) - 1)"
+    return (
+        f"WITH h AS (SELECT doc_id, {_SYNTH_HTML_SQL} AS html FROM documents)"
+        f" SELECT doc_id, length(html) AS html_len, length({etext}) AS text_len,"
+        f" CAST({n_tags} AS INT) AS n_tags, CAST({n_links} AS INT) AS n_links,"
+        f" round({n_links} / greatest({n_tags}, 1), 6) AS link_density,"
+        f" round(length({etext}) / greatest(length(html), 1), 6) AS text_ratio"
+        " FROM h"
+    )
+
+
+def _url_parts_duck() -> tuple[str, str]:
+    from parquet_go_spark.ops.url import URL_RE
+
+    def g(i: int) -> str:
+        return f"regexp_extract(url, '{URL_RE}', {i})"
+
+    norm = (
+        f"lower({g(1)}) || '://' || lower({g(2)}) ||"
+        f" CASE WHEN (lower({g(1)}) = 'https' AND {g(3)} = ':443')"
+        f"   OR (lower({g(1)}) = 'http' AND {g(3)} = ':80')"
+        f"   OR (lower({g(1)}) = 'ftp' AND {g(3)} = ':21')"
+        f"  THEN '' ELSE {g(3)} END ||"
+        f" CASE WHEN {g(4)} = '' THEN '/' ELSE {g(4)} END ||"
+        f" CASE WHEN {g(5)} = '?' THEN '' ELSE {g(5)} END"
+    )
+    return g, norm  # type: ignore[return-value]
+
+
+def _url_normalize_duck_sql() -> str:
+    g, norm = _url_parts_duck()
+    return (
+        f"WITH u AS (SELECT doc_id, {_SYNTH_URL_SQL} AS url FROM documents)"
+        f" SELECT doc_id, lower({g(1)}) AS scheme, lower({g(2)}) AS host,"
+        f" CASE WHEN {g(3)} <> '' THEN CAST(replace({g(3)}, ':', '') AS INT) END AS port,"
+        f" {g(4)} AS path,"
+        f" regexp_replace({g(5)}, '^\\?', '') AS query,"
+        f" regexp_replace({g(6)}, '^#', '') AS fragment,"
+        f" {norm} AS url_norm"
+        " FROM u"
+    )
+
+
+def _url_host_stats_duck_sql() -> str:
+    g, _ = _url_parts_duck()
+    depth = f"(len(string_split({g(4)}, '/')) - 1)"
+    return (
+        f"WITH u AS (SELECT doc_id, {_SYNTH_URL_SQL} AS url FROM documents)"
+        f" SELECT lower({g(2)}) AS host, count(*) AS n_pages,"
+        f" count(DISTINCT {g(4)}) AS n_paths,"
+        f" round(avg({depth}), 6) AS avg_depth"
+        " FROM u GROUP BY 1"
     )
