@@ -27,7 +27,7 @@ import zlib
 import numpy as np
 import pyarrow as pa
 
-from ..kernels import bytearrays, bytestreamsplit, deltabp, hybrid, plain
+from ..kernels import bytearrays, bytestreamsplit, deltabp, hybrid, int96, plain
 from .thrift_compact import read_struct
 
 __all__ = ["read_column", "file_meta"]
@@ -86,6 +86,9 @@ def _decode_values(enc: int, ptype: str, payload, pos: int, nvals: int, dict_val
             return (lens, data)
         if ptype == "bool":
             vals, _ = plain.decode_bool(payload, nvals, pos)
+            return vals
+        if ptype == "int96":
+            vals, _ = int96.decode_plain_nanos(payload, nvals, pos)
             return vals
         vals, _ = plain.decode_fixed(payload, nvals, ptype, pos)
         return vals
@@ -164,7 +167,11 @@ def read_column(buf: bytes, column: str):
                         u_lens, u_data, _ = plain.decode_byte_array(payload, dn)
                         dict_vals = (u_lens, u_data)
                     else:
-                        dict_vals, _ = plain.decode_fixed(payload, dn, ptype)
+                        dict_vals, _ = (
+                            int96.decode_plain_nanos(payload, dn)
+                            if ptype == "int96"
+                            else plain.decode_fixed(payload, dn, ptype)
+                        )
                     continue
                 if page_type == 0:  # data page V1
                     dph = hdr[5]
@@ -259,6 +266,9 @@ def schema_leaf_info(meta: dict) -> dict[str, dict]:
                     "type": el[1],
                     "type_length": el.get(2, 0),
                     "utf8": el.get(6) == 0,  # ConvertedType UTF8
+                    "converted": el.get(6),
+                    "scale": el.get(7),
+                    "precision": el.get(8),
                     "max_def": d2,
                     "max_rep": r2,
                     "d_leaf": d2,
@@ -344,7 +354,11 @@ def read_leaf_levels(buf: bytes, column: str):
                         u_lens, u_data, _ = plain.decode_byte_array(payload, dn)
                         dict_vals = (u_lens, u_data)
                     else:
-                        dict_vals, _ = plain.decode_fixed(payload, dn, ptype)
+                        dict_vals, _ = (
+                            int96.decode_plain_nanos(payload, dn)
+                            if ptype == "int96"
+                            else plain.decode_fixed(payload, dn, ptype)
+                        )
                     continue
                 if page_type == 0:  # data page V1
                     dph = hdr[5]
@@ -396,13 +410,69 @@ def read_leaf_levels(buf: bytes, column: str):
     return rep, deflv, values, info
 
 
+# ConvertedType ids (parquet.thrift)
+_CT_DECIMAL, _CT_DATE = 5, 6
+_CT_TS_MILLIS, _CT_TS_MICROS = 9, 10
+_CT_INTS = {15: pa.int8(), 16: pa.int16(), 17: pa.int32(), 18: pa.int64()}
+_CT_UINTS = {11: pa.uint8(), 12: pa.uint16(), 13: pa.uint32(), 14: pa.uint64()}
+
+
+def _unscaled_to_decimal128(ints: np.ndarray, precision: int, scale: int, mask) -> pa.Array:
+    """int64 unscaled values -> decimal128 (16-byte LE two's complement)."""
+    n = len(ints)
+    buf = np.zeros((n, 2), dtype="<i8")
+    buf[:, 0] = ints
+    buf[:, 1] = ints >> 63  # sign extension
+    return pa.Array.from_buffers(
+        pa.decimal128(precision, scale),
+        n,
+        [pa.py_buffer(np.packbits(mask, bitorder="little").tobytes()), pa.py_buffer(buf.tobytes())],
+        null_count=int((~mask).sum()),
+    )
+
+
+def _flba_to_decimal128(data: np.ndarray, w: int, n_present: int, precision, scale, positions, value_idx, mask) -> pa.Array:
+    """width-w big-endian two's complement bytes -> decimal128."""
+    vals = data.reshape(n_present, w) if n_present else data.reshape(0, max(w, 1))
+    n = len(positions)
+    be = np.zeros((n, 16), dtype=np.uint8)
+    if n_present:
+        sel = vals[value_idx[positions][mask]]
+        be_rows = be[mask]
+        be_rows[:, 16 - w :] = sel
+        be_rows[:, : 16 - w] = np.where(sel[:, :1] >= 128, 0xFF, 0)
+        be[mask] = be_rows
+    le = be[:, ::-1]
+    return pa.Array.from_buffers(
+        pa.decimal128(precision, scale),
+        n,
+        [pa.py_buffer(np.packbits(mask, bitorder="little").tobytes()), pa.py_buffer(np.ascontiguousarray(le).tobytes())],
+        null_count=int((~mask).sum()),
+    )
+
+
 def _leaf_arrow(positions, deflv, values, info) -> pa.Array:
-    """Leaf slots (one level-position each) -> Arrow array with nulls."""
+    """Leaf slots (one level-position each) -> Arrow array with nulls,
+    typed by the leaf's logical annotation (DATE, TIMESTAMP, DECIMAL,
+    sized ints) when one is declared."""
     ptype = _PHYS[info["type"]]
     d_leaf = info["d_leaf"]
+    ct = info.get("converted")
     full = deflv == d_leaf  # global mask: positions carrying a value
     value_idx = np.cumsum(full) - 1  # value index at each position
     mask = full[positions]
+    if ptype == "flba" and ct == _CT_DECIMAL and info["type_length"] <= 16:
+        lens, data = values
+        return _flba_to_decimal128(
+            np.asarray(data, np.uint8),
+            info["type_length"],
+            int(full.sum()),
+            info["precision"],
+            info["scale"],
+            positions,
+            value_idx,
+            mask,
+        )
     if ptype in ("bytes", "flba"):
         lens, data = values
         starts = np.zeros(len(lens) + 1, dtype=np.int64)
@@ -433,7 +503,27 @@ def _leaf_arrow(positions, deflv, values, info) -> pa.Array:
     out = np.zeros(len(positions), dtype=np_vals.dtype if np_vals.size else np.float64)
     if np_vals.size:
         out[mask] = np_vals[value_idx[positions][mask]]
-    return pa.array(out, mask=~mask)
+    if ct == _CT_DECIMAL and ptype in ("int32", "int64"):
+        return _unscaled_to_decimal128(
+            out.astype(np.int64), info["precision"], info["scale"], mask
+        )
+    arr = pa.array(out, mask=~mask)
+    if ptype == "int96":
+        return arr.cast(pa.timestamp("ns"))
+    if ct == _CT_DATE and ptype == "int32":
+        return arr.cast(pa.date32())
+    if ct == _CT_TS_MICROS and ptype == "int64":
+        return arr.cast(pa.timestamp("us"))
+    if ct == _CT_TS_MILLIS and ptype == "int64":
+        return arr.cast(pa.timestamp("ms"))
+    if ct in _CT_INTS and ptype == "int32":
+        return arr.cast(_CT_INTS[ct])
+    if ct in _CT_UINTS and ptype in ("int32", "int64"):
+        t = _CT_UINTS[ct]
+        if t.bit_width == arr.type.bit_width:
+            return arr.view(t)  # reinterpret the stored two's complement
+        return arr.cast(t, safe=False)
+    return arr
 
 
 def _split_slots(starts, ends, rep, r):

@@ -47,3 +47,13 @@ def decode_plain(buf, count: int, pos: int = 0) -> tuple[np.ndarray, int]:
     nanos = np.ascontiguousarray(raw[:, :8]).view("<u8").reshape(count)
     julian = np.ascontiguousarray(raw[:, 8:]).view("<u4").reshape(count)
     return int96_to_micros(julian, nanos), pos + count * 12
+
+
+def decode_plain_nanos(buf, count: int, pos: int = 0) -> tuple[np.ndarray, int]:
+    """PLAIN INT96 stream -> (int64 epoch-nanos, new_pos) — full
+    nanosecond precision, the unit other engines read INT96 back as."""
+    raw = np.frombuffer(buf, np.uint8, count * 12, pos).reshape(count, 12)
+    nanos = np.ascontiguousarray(raw[:, :8]).view("<u8").reshape(count)
+    julian = np.ascontiguousarray(raw[:, 8:]).view("<u4").reshape(count)
+    days = julian.astype(np.int64) - _JULIAN_UNIX_EPOCH
+    return days * _NS_PER_DAY + nanos.astype(np.int64), pos + count * 12

@@ -210,3 +210,27 @@ def test_read_leaf_levels_values_only_for_full_def():
     rep, deflv, values, info = read_leaf_levels(buf, "xs.list.element")
     assert len(rep) == len(deflv) == 6  # 3 + 1 + 1 + 1 positions
     assert list(values) == [1, 3, 7]
+
+
+def test_logical_types_flat_and_nested():
+    import datetime
+    import decimal
+
+    cases = [
+        ("d", pa.date32(), [datetime.date(2026, 1, 1) + datetime.timedelta(days=i) if i % 5 else None for i in range(200)], {}),
+        ("ts", pa.timestamp("us"), [datetime.datetime(2026, 1, 1, 0, 0, i % 60) if i % 7 else None for i in range(200)], {}),
+        ("i8", pa.int8(), [(i % 256) - 128 if i % 3 else None for i in range(200)], {}),
+        ("i16", pa.int16(), [(i * 37) - 5000 if i % 3 else None for i in range(200)], {}),
+        ("u32", pa.uint32(), [(2**32 - 1 - i) if i % 3 else None for i in range(200)], {"use_dictionary": False}),
+        ("dec9", pa.decimal128(9, 2), [decimal.Decimal(i * 7) / 100 if i % 4 else None for i in range(200)], {"use_dictionary": False}),
+        ("dec20", pa.decimal128(20, 4), [decimal.Decimal(-(10**15) + i * 31) / 10000 if i % 4 else None for i in range(200)], {"use_dictionary": False}),
+        ("decl", pa.list_(pa.decimal128(20, 4)), [[decimal.Decimal(i) / 10000, None] if i % 4 else None for i in range(100)], {"use_dictionary": False}),
+        ("dl", pa.list_(pa.date32()), [[datetime.date(2026, 2, 1), None] if i % 3 else None for i in range(100)], {}),
+    ]
+    for name, typ, data, wkw in cases:
+        tbl = pa.table({name: pa.array(data, type=typ)})
+        buf = _write(tbl, **wkw)
+        got = read_column_arrow(buf, name)
+        want = tbl.column(name).combine_chunks()
+        assert got.type == want.type, (name, got.type, want.type)
+        assert got.equals(want), name
