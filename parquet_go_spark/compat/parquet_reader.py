@@ -47,6 +47,18 @@ def _decompress(payload: bytes, codec: int, raw_len: int) -> bytes:
     raise ValueError(f"unsupported codec {codec}")
 
 
+
+_MAX_PAGE_VALUES = 1 << 27  # governor: 128M level positions per page
+_MAX_RAW_PAGE = 1 << 30  # governor: 1 GiB decompressed page
+
+
+def _plausible(cond: bool, msg: str) -> None:
+    """Memory-governor check (reference alloc tracker analogue,
+    ``alloc.go``): forged headers must raise, not allocate."""
+    if not cond:
+        raise ValueError(f"implausible parquet page: {msg}")
+
+
 def file_meta(buf: bytes) -> dict:
     if buf[:4] != b"PAR1" or buf[-4:] != b"PAR1":
         raise ValueError("not a parquet file")
@@ -144,6 +156,8 @@ def read_column(buf: bytes, column: str):
                 hdr, pos = read_struct(mv, pos)
                 page_type = hdr[1]
                 raw_len, comp_len = hdr[2], hdr[3]
+                _plausible(0 <= comp_len <= len(mv) - pos, "compressed size exceeds file")
+                _plausible(0 <= raw_len <= _MAX_RAW_PAGE, "decompressed size")
                 raw_page = bytes(mv[pos : pos + comp_len])
                 pos += comp_len
                 if page_type == 3:
@@ -163,6 +177,7 @@ def read_column(buf: bytes, column: str):
                 if page_type == 2:  # dictionary page
                     dph = hdr[7]
                     dn = dph[1]
+                    _plausible(0 <= dn <= len(payload), "dictionary count")
                     if ptype == "bytes":
                         u_lens, u_data, _ = plain.decode_byte_array(payload, dn)
                         dict_vals = (u_lens, u_data)
@@ -176,6 +191,7 @@ def read_column(buf: bytes, column: str):
                 if page_type == 0:  # data page V1
                     dph = hdr[5]
                     nv = dph[1]
+                    _plausible(0 <= nv <= _MAX_PAGE_VALUES, "page value count")
                     enc = dph[2]
                     # def levels: RLE with 4-byte size prefix, bit width 1
                     validity, ppos = _def_levels_v1(payload, nv)
@@ -185,6 +201,7 @@ def read_column(buf: bytes, column: str):
                 elif page_type == 3:  # data page V2
                     dph = hdr[8]
                     nv, nnulls = dph[1], dph[2]
+                    _plausible(0 <= nv <= _MAX_PAGE_VALUES and 0 <= nnulls <= nv, "page value count")
                     enc = dph[4]
                     dl_len, rl_len = dph[5], dph[6]
                     lv = payload[rl_len : rl_len + dl_len]
@@ -333,6 +350,8 @@ def read_leaf_levels(buf: bytes, column: str):
                 hdr, pos = read_struct(mv, pos)
                 page_type = hdr[1]
                 raw_len, comp_len = hdr[2], hdr[3]
+                _plausible(0 <= comp_len <= len(mv) - pos, "compressed size exceeds file")
+                _plausible(0 <= raw_len <= _MAX_RAW_PAGE, "decompressed size")
                 raw_page = bytes(mv[pos : pos + comp_len])
                 pos += comp_len
                 if page_type == 3:
@@ -350,6 +369,7 @@ def read_leaf_levels(buf: bytes, column: str):
                 if page_type == 2:  # dictionary page
                     dph = hdr[7]
                     dn = dph[1]
+                    _plausible(0 <= dn <= len(payload), "dictionary count")
                     if ptype == "bytes":
                         u_lens, u_data, _ = plain.decode_byte_array(payload, dn)
                         dict_vals = (u_lens, u_data)
@@ -363,10 +383,12 @@ def read_leaf_levels(buf: bytes, column: str):
                 if page_type == 0:  # data page V1
                     dph = hdr[5]
                     nv, enc = dph[1], dph[2]
+                    _plausible(0 <= nv <= _MAX_PAGE_VALUES, "page value count")
                     rep, deflv, ppos = _levels_v1(payload, nv, max_rep, max_def)
                 elif page_type == 3:  # data page V2
                     dph = hdr[8]
                     nv = dph[1]
+                    _plausible(0 <= nv <= _MAX_PAGE_VALUES, "page value count")
                     enc = dph[4]
                     dl_len, rl_len = dph[5], dph[6]
                     if rl_len:

@@ -5,6 +5,8 @@ never hang, crash the interpreter, or allocate absurdly."""
 
 from __future__ import annotations
 
+import zlib
+
 import numpy as np
 import pytest
 from hypothesis import given, settings, strategies as st
@@ -197,3 +199,71 @@ def test_property_zdict_roundtrip(vals):
     dec = decode_chunk(blob)
     assert np.array_equal(dec.lengths, lengths)
     assert np.array_equal(dec.data, data)
+
+
+# ---------------------------------------------------------------------------
+# Interop Parquet reader corruption fuzzing (reference ``reader_fuzz.go``:
+# a real file with flipped/truncated bytes must raise, not hang or
+# over-allocate — the governors in compat/parquet_reader.py enforce the
+# allocation side).
+
+def _interop_fixture() -> bytes:
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n = 64
+    tbl = pa.table(
+        {
+            "s": pa.array([f"url-{i % 7}" for i in range(n)]),
+            "i": pa.array(list(range(n)), type=pa.int64()),
+            "ls": pa.array([[i, i + 1] if i % 5 else None for i in range(n)],
+                           type=pa.list_(pa.int32())),
+        }
+    )
+    buf = io.BytesIO()
+    pq.write_table(tbl, buf, compression="snappy", version="2.6")
+    return buf.getvalue()
+
+
+_INTEROP_ACCEPTABLE = ACCEPTABLE + (zlib.error, TypeError, NotImplementedError, OSError)
+
+
+@settings(max_examples=120, deadline=5000)
+@given(st.data())
+def test_fuzz_parquet_reader_corruption(data):
+    import pyarrow.lib
+
+    from parquet_go_spark.compat.parquet_reader import (
+        file_meta,
+        read_column,
+        read_column_arrow,
+    )
+
+    base = _interop_fixture()
+    mode = data.draw(st.sampled_from(["flip", "truncate", "splice"]))
+    raw = bytearray(base)
+    if mode == "flip":
+        # flip up to 8 bytes anywhere (headers, levels, payload, footer)
+        for _ in range(data.draw(st.integers(1, 8))):
+            off = data.draw(st.integers(0, len(raw) - 1))
+            raw[off] ^= data.draw(st.integers(1, 255))
+    elif mode == "truncate":
+        cut = data.draw(st.integers(0, len(raw) - 1))
+        raw = raw[:cut] + raw[-4:]  # keep trailing magic so parsing starts
+    else:  # splice random bytes into the middle
+        off = data.draw(st.integers(4, len(raw) - 4))
+        blob = data.draw(st.binary(min_size=1, max_size=64))
+        raw = raw[:off] + bytearray(blob) + raw[off:]
+    buf = bytes(raw)
+    try:
+        meta = file_meta(buf)
+        for col in ("s", "i"):
+            read_column(buf, col)
+        read_column_arrow(buf, "ls.list.element")
+        assert isinstance(meta, dict)
+    except _INTEROP_ACCEPTABLE:
+        pass
+    except pyarrow.lib.ArrowException:
+        pass  # codec-level rejection (snappy/zstd) is an acceptable failure
