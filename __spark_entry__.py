@@ -656,6 +656,26 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, queries, k=10).withColumn("rank", F.col("rank").cast("long"))
 
 
+def _q_parquet_scan_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed real-Parquet scan through this engine's kernels
+    (spark/parquet_source.py): the driver plans from two tail preads of
+    the footer (reference ``ReadFileMetaData``, ``file_meta.go:14-74``),
+    one Spark task decodes each file columnar (``file_reader.go`` read
+    side at cluster scale), with projection inside the task and
+    footer-statistics file pruning ahead of it. The predicate re-applied
+    exactly after the conservative prune mirrors decode_table's
+    contract."""
+    from parquet_go_spark.spark.parquet_source import read_parquet_table
+
+    df = read_parquet_table(
+        spark,
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+        prune=[("n_chars", ">=", 100)],
+    )
+    return df.where(F.col("n_chars") >= 100)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # encoding layer: identity round-trips (auto selector + per-codec)
@@ -673,6 +693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_decimals": _rt_decimals,
         "roundtrip_message_schema": _rt_message_schema,
         "parquet_interop_nested": _q_parquet_interop_nested,
+        "parquet_scan_distributed": _q_parquet_scan_distributed,
         "html_extract_text": _q_html_extract,
         "html_stats": _q_html_stats,
         "url_normalize": _q_url_normalize,
@@ -906,6 +927,10 @@ WHERE round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) >= 0.35
             "SELECT vec_id, CAST(i AS INT) AS pos,"
             " CAST(embedding[i + 1] AS DOUBLE) AS val"
             " FROM embeddings, UNNEST(range(len(embedding))) AS t(i)"
+        ),
+        "parquet_scan_distributed": (
+            "SELECT doc_id, text, lang, source, n_chars FROM documents"
+            " WHERE n_chars >= 100"
         ),
         "html_extract_text": _html_extract_duck_sql(),
         "html_stats": _html_stats_duck_sql(),

@@ -81,7 +81,7 @@ def _decode_values(enc: int, ptype: str, payload, pos: int, nvals: int, dict_val
     if enc in (2, 8):  # PLAIN_DICTIONARY / RLE_DICTIONARY index stream
         bw = mv[pos]
         idx = hybrid.decode(bytes(mv[pos + 1 :]), bw, nvals).astype(np.int64)
-        if ptype == "bytes":
+        if ptype in ("bytes", "flba"):
             u_lens, u_data = dict_vals
             starts = np.concatenate([[0], np.cumsum(u_lens)[:-1]]) if len(u_lens) else u_lens
             from ..core.columns import gather_segments
@@ -180,6 +180,11 @@ def read_column(buf: bytes, column: str):
                     _plausible(0 <= dn <= len(payload), "dictionary count")
                     if ptype == "bytes":
                         u_lens, u_data, _ = plain.decode_byte_array(payload, dn)
+                        dict_vals = (u_lens, u_data)
+                    elif ptype == "flba":
+                        u_lens, u_data, _ = plain.decode_fixed_byte_array(
+                            payload, dn, type_length
+                        )
                         dict_vals = (u_lens, u_data)
                     else:
                         dict_vals, _ = (
@@ -331,6 +336,7 @@ def read_leaf_levels(buf: bytes, column: str):
         raise KeyError(f"{column!r}; leaves: {sorted(leaves)}")
     info = leaves[column]
     ptype = _PHYS[info["type"]]
+    type_length = info["type_length"]
     max_def, max_rep = info["max_def"], info["max_rep"]
     rep_parts, def_parts, value_parts, len_parts, data_parts = [], [], [], [], []
     mv = memoryview(buf)
@@ -372,6 +378,11 @@ def read_leaf_levels(buf: bytes, column: str):
                     _plausible(0 <= dn <= len(payload), "dictionary count")
                     if ptype == "bytes":
                         u_lens, u_data, _ = plain.decode_byte_array(payload, dn)
+                        dict_vals = (u_lens, u_data)
+                    elif ptype == "flba":
+                        u_lens, u_data, _ = plain.decode_fixed_byte_array(
+                            payload, dn, type_length
+                        )
                         dict_vals = (u_lens, u_data)
                     else:
                         dict_vals, _ = (
@@ -611,3 +622,115 @@ def read_column_arrow(buf: bytes, column: str) -> pa.Array:
         )
 
     return build(starts, ends, 0)
+
+
+def table_fields(meta: dict) -> list[tuple[str, list[str]]]:
+    """Top-level field name -> its leaf paths, in schema order."""
+    leaves = schema_leaf_info(meta)
+    order: list[str] = []
+    by_top: dict[str, list[str]] = {}
+    for path in leaves:
+        top = path.split(".")[0]
+        if top not in by_top:
+            by_top[top] = []
+            order.append(top)
+        by_top[top].append(path)
+    return [(t, by_top[t]) for t in order]
+
+
+def read_table_arrow(buf: bytes, columns: list[str] | None = None) -> pa.Table:
+    """Decode a whole Parquet file into an Arrow table through this
+    engine's kernels (reference ``file_reader.go`` NextRow loop, but
+    columnar and whole-file). Single-leaf fields only — flat scalars
+    and lists of any depth; a struct/map top-level field (multiple
+    leaves) raises ``NotImplementedError`` (read its leaves directly
+    via :func:`read_column_arrow`)."""
+    meta = file_meta(buf)
+    fields = table_fields(meta)
+    if columns is not None:
+        known = {t for t, _ in fields}
+        missing = [c for c in columns if c not in known]
+        if missing:
+            raise KeyError(f"columns not in file: {missing}; have {sorted(known)}")
+        fields = [(t, ls) for t, ls in fields if t in set(columns)]
+        fields.sort(key=lambda f: columns.index(f[0]))
+    names, arrays = [], []
+    for top, leaf_paths in fields:
+        if len(leaf_paths) != 1:
+            raise NotImplementedError(
+                f"field {top!r} has {len(leaf_paths)} leaves (struct/map); "
+                "read them individually with read_column_arrow"
+            )
+        names.append(top)
+        arrays.append(read_column_arrow(buf, leaf_paths[0]))
+    n_rows = int(meta[3]) if 3 in meta else (len(arrays[0]) if arrays else 0)
+    if not arrays:
+        return pa.table({})
+    for name, arr in zip(names, arrays):
+        if len(arr) != n_rows:
+            raise ValueError(f"column {name}: {len(arr)} rows, footer says {n_rows}")
+    return pa.Table.from_arrays(arrays, names=names)
+
+
+def leaf_arrow_type(info: dict) -> pa.DataType:
+    """The Arrow type :func:`read_column_arrow` will produce for a leaf,
+    derived from the footer alone (physical type + converted-type
+    annotation + list nesting) — lets a driver plan a distributed scan
+    without reading any data pages."""
+    ptype = _PHYS[info["type"]]
+    ct = info.get("converted")
+    if ct == _CT_DECIMAL and (
+        (ptype == "flba" and info["type_length"] <= 16) or ptype in ("int32", "int64")
+    ):
+        base: pa.DataType = pa.decimal128(info["precision"], info["scale"])
+    elif ptype == "bytes" or ptype == "flba":
+        base = pa.utf8() if info["utf8"] else pa.binary()
+    elif ptype == "int96":
+        base = pa.timestamp("ns")
+    elif ptype == "int32":
+        if ct == _CT_DATE:
+            base = pa.date32()
+        elif ct in _CT_INTS:
+            base = _CT_INTS[ct]
+        elif ct in _CT_UINTS:
+            base = _CT_UINTS[ct]
+        else:
+            base = pa.int32()
+    elif ptype == "int64":
+        if ct == _CT_TS_MICROS:
+            base = pa.timestamp("us")
+        elif ct == _CT_TS_MILLIS:
+            base = pa.timestamp("ms")
+        elif ct in _CT_UINTS:
+            base = _CT_UINTS[ct]
+        else:
+            base = pa.int64()
+    elif ptype == "float":
+        base = pa.float32()
+    elif ptype == "double":
+        base = pa.float64()
+    else:  # bool
+        base = pa.bool_()
+    for _ in info["lists"]:
+        base = pa.list_(base)
+    return base
+
+
+def file_meta_path(path: str) -> dict:
+    """Footer-only read of an on-disk Parquet file: two tail preads
+    (8-byte trailer, then the thrift footer) — never the data pages.
+    The driver-side planning primitive for a distributed scan."""
+    import os
+
+    size = os.path.getsize(path)
+    with open(path, "rb") as f:
+        f.seek(size - 8)
+        tail = f.read(8)
+        if tail[4:] != b"PAR1":
+            raise ValueError(f"{path}: not a parquet file")
+        flen = int.from_bytes(tail[:4], "little")
+        _plausible(0 <= flen <= size - 8, "footer length exceeds file")
+        f.seek(size - 8 - flen)
+        fb = f.read(flen)
+    meta, _ = read_struct(memoryview(fb), 0)
+    return meta
