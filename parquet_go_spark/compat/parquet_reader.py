@@ -16,8 +16,11 @@ optional structs — by running the Dremel record assembly over the
 rep/def level streams (reference ``data_store.go`` /
 ``schema.go:585-647`` semantics): repetition levels split element
 boundaries per depth, definition levels distinguish null list / empty
-list / null element. Struct nesting folds into null propagation (a
-single-leaf read returns the leaf wrapped in its list dimensions only).
+list / null element. In a single-leaf read, struct nesting folds into
+null propagation (the leaf comes back wrapped in its list dimensions
+only); ``read_field_arrow`` assembles a whole top-level field of ANY
+shape — struct, map, list, mixed — from all of its leaves' level
+streams, and ``read_table_arrow`` serves complete files.
 """
 
 from __future__ import annotations
@@ -641,10 +644,10 @@ def table_fields(meta: dict) -> list[tuple[str, list[str]]]:
 def read_table_arrow(buf: bytes, columns: list[str] | None = None) -> pa.Table:
     """Decode a whole Parquet file into an Arrow table through this
     engine's kernels (reference ``file_reader.go`` NextRow loop, but
-    columnar and whole-file). Single-leaf fields only — flat scalars
-    and lists of any depth; a struct/map top-level field (multiple
-    leaves) raises ``NotImplementedError`` (read its leaves directly
-    via :func:`read_column_arrow`)."""
+    columnar and whole-file). Every field shape assembles: flat scalars,
+    lists of any depth, structs, maps, and their mixtures — single-leaf
+    fields via :func:`read_column_arrow`, multi-leaf fields via the
+    full Dremel tree assembly (:func:`read_field_arrow`)."""
     meta = file_meta(buf)
     fields = table_fields(meta)
     if columns is not None:
@@ -656,13 +659,12 @@ def read_table_arrow(buf: bytes, columns: list[str] | None = None) -> pa.Table:
         fields.sort(key=lambda f: columns.index(f[0]))
     names, arrays = [], []
     for top, leaf_paths in fields:
-        if len(leaf_paths) != 1:
-            raise NotImplementedError(
-                f"field {top!r} has {len(leaf_paths)} leaves (struct/map); "
-                "read them individually with read_column_arrow"
-            )
         names.append(top)
-        arrays.append(read_column_arrow(buf, leaf_paths[0]))
+        arrays.append(
+            read_column_arrow(buf, leaf_paths[0])
+            if len(leaf_paths) == 1
+            else read_field_arrow(buf, top)
+        )
     n_rows = int(meta[3]) if 3 in meta else (len(arrays[0]) if arrays else 0)
     if not arrays:
         return pa.table({})
@@ -734,3 +736,249 @@ def file_meta_path(path: str) -> dict:
         fb = f.read(flen)
     meta, _ = read_struct(memoryview(fb), 0)
     return meta
+
+
+# --- full-field assembly (struct / map / mixed nesting) ----------------------
+
+_CT_MAP, _CT_MAP_KV, _CT_LIST = 1, 2, 3
+
+
+def schema_tree(meta: dict) -> dict:
+    """Nested schema tree with per-node cumulative levels — the group
+    structure :func:`schema_leaf_info` flattens away, needed to
+    re-assemble struct/map fields (reference ``schema.go:585-647``
+    group handling)."""
+    elems = meta[2]
+    pos = 1
+
+    def walk_one(path: tuple, d: int, r: int, lists: tuple, parent_opt: bool) -> dict:
+        nonlocal pos
+        el = elems[pos]
+        pos += 1
+        rep_t = el.get(3, _REQUIRED)
+        name = el[4].decode()
+        d2, r2, lists2 = d, r, lists
+        if rep_t != _REQUIRED:
+            d2 += 1
+        if rep_t == _REPEATED:
+            r2 += 1
+            d_present = d2 - 1 if parent_opt else None
+            lists2 = lists + ((r2, d2, d_present),)
+        node: dict = {
+            "name": name,
+            "d": d2,
+            "r": r2,
+            "lists": list(lists2),
+            "optional": rep_t == _OPTIONAL,
+            "repeated": rep_t == _REPEATED,
+            "converted": el.get(6),
+            "path": ".".join(path + (name,)),
+        }
+        if 1 in el:  # leaf
+            node["leaf"] = {
+                "type": el[1],
+                "type_length": el.get(2, 0),
+                "utf8": el.get(6) == 0,
+                "converted": el.get(6),
+                "scale": el.get(7),
+                "precision": el.get(8),
+                "max_def": d2,
+                "max_rep": r2,
+                "d_leaf": d2,
+                "lists": list(lists2),
+            }
+        else:
+            node["children"] = [
+                walk_one(path + (name,), d2, r2, lists2, rep_t == _OPTIONAL)
+                for _ in range(el.get(5, 0))
+            ]
+        return node
+
+    return {
+        "name": "",
+        "children": [walk_one((), 0, 0, (), False) for _ in range(elems[0].get(5, 0))],
+    }
+
+
+def _node_leaves(node: dict) -> list[dict]:
+    if "leaf" in node:
+        return [node]
+    out = []
+    for c in node["children"]:
+        out.extend(_node_leaves(c))
+    return out
+
+
+def _list_element_node(node: dict) -> dict:
+    """Element node of a LIST-annotated group, honouring the
+    parquet-format backward-compat rules (2-level legacy shapes)."""
+    rep = node["children"][0]
+    if "leaf" in rep:
+        return rep  # 2-level: repeated leaf IS the element
+    if len(rep["children"]) != 1:
+        return rep  # legacy: repeated group with several fields = struct element
+    if rep["name"] == "array" or rep["name"].endswith("_tuple"):
+        return rep
+    return rep["children"][0]  # canonical 3-level
+
+
+def _assemble(node: dict, state: dict, consumed: int, streams: dict) -> pa.Array:
+    """Recursive Dremel assembly of a schema subtree into Arrow.
+    ``state``: leaf path -> (starts, ends) slot windows into that leaf's
+    level streams; ``consumed``: list dims already wrapped above."""
+    lists = node["lists"]
+    if consumed < len(lists):
+        r, d_elem, d_present = lists[consumed]
+        leaves = _node_leaves(node)
+        rp = leaves[0]["path"]
+        rep0, def0 = streams[rp][0], streams[rp][1]
+        s0, e0 = state[rp]
+        has = def0[s0] >= d_elem
+        valid = (
+            np.ones(len(s0), dtype=bool) if d_present is None else def0[s0] >= d_present
+        )
+        new_state = {}
+        counts = None
+        for lf in leaves:
+            p = lf["path"]
+            repL, defL = streams[p][0], streams[p][1]
+            s, e = state[p]
+            hasL = defL[s] >= d_elem
+            es, ee, cnt = _split_slots(s[hasL], e[hasL], repL, r)
+            new_state[p] = (es, ee)
+            if counts is None:
+                counts = cnt
+        child = _assemble(node, new_state, consumed + 1, streams)
+        sizes = np.zeros(len(s0), dtype=np.int64)
+        sizes[has] = counts
+        offsets = np.zeros(len(s0) + 1, dtype=np.int64)
+        np.cumsum(sizes, out=offsets[1:])
+        return pa.ListArray.from_arrays(
+            pa.array(offsets.astype(np.int32)), child, mask=pa.array(~valid)
+        )
+    if "leaf" in node:
+        rep, deflv, values, _info = streams[node["path"]]
+        starts, _ = state[node["path"]]
+        return _leaf_arrow(starts, deflv, values, node["leaf"])
+    ct = node.get("converted")
+    if ct == _CT_LIST and len(node["children"]) == 1 and node["children"][0]["repeated"]:
+        return _assemble(_list_element_node(node), state, consumed, streams)
+    if (
+        ct in (_CT_MAP, _CT_MAP_KV)
+        and len(node["children"]) == 1
+        and node["children"][0]["repeated"]
+        and len(node["children"][0].get("children", [])) == 2
+    ):
+        kv = node["children"][0]
+        lst = _assemble_group_as_struct(kv, state, consumed + 1, streams, kv)
+        # kv's list dim: wrap manually so we can emit a MapArray
+        r, d_elem, d_present = kv["lists"][consumed]
+        leaves = _node_leaves(kv)
+        rp = leaves[0]["path"]
+        rep0, def0 = streams[rp][0], streams[rp][1]
+        s0, _ = state[rp]
+        has = def0[s0] >= d_elem
+        valid = (
+            np.ones(len(s0), dtype=bool) if d_present is None else def0[s0] >= d_present
+        )
+        new_state = {}
+        counts = None
+        for lf in leaves:
+            p = lf["path"]
+            repL, defL = streams[p][0], streams[p][1]
+            s, e = state[p]
+            hasL = defL[s] >= d_elem
+            es, ee, cnt = _split_slots(s[hasL], e[hasL], repL, r)
+            new_state[p] = (es, ee)
+            if counts is None:
+                counts = cnt
+        entries = _assemble_group_as_struct(kv, new_state, consumed + 1, streams, kv)
+        sizes = np.zeros(len(s0), dtype=np.int64)
+        sizes[has] = counts
+        offsets = np.zeros(len(s0) + 1, dtype=np.int64)
+        np.cumsum(sizes, out=offsets[1:])
+        off_mask = np.append(~valid, False)
+        keys = entries.field(0)
+        if keys.null_count:
+            raise ValueError("map keys must be non-null")
+        return pa.MapArray.from_arrays(
+            pa.array(offsets.astype(np.int32), mask=off_mask),
+            keys,
+            entries.field(1),
+        )
+    return _assemble_group_as_struct(node, state, consumed, streams, node)
+
+
+def _assemble_group_as_struct(
+    node: dict, state: dict, consumed: int, streams: dict, _ctx: dict
+) -> pa.Array:
+    leaves = _node_leaves(node)
+    rp = leaves[0]["path"]
+    s0, _ = state[rp]
+    def0 = streams[rp][1]
+    if node["optional"]:
+        valid = def0[s0] >= node["d"]
+        mask = pa.array(~valid)
+    else:
+        mask = None
+    children = [_assemble(c, state, consumed, streams) for c in node["children"]]
+    return pa.StructArray.from_arrays(
+        children, names=[c["name"] for c in node["children"]], mask=mask
+    )
+
+
+def read_field_arrow(buf: bytes, field: str) -> pa.Array:
+    """Assemble a TOP-LEVEL field of any shape — scalar, list, struct,
+    map, or mixed nesting — into one Arrow array through the Dremel
+    level streams. The multi-leaf complement to
+    :func:`read_column_arrow` (reference record assembly,
+    ``schema.go:283-312`` / ``file_reader.go:258-272``, but columnar)."""
+    meta = file_meta(buf)
+    tree = schema_tree(meta)
+    node = next((c for c in tree["children"] if c["name"] == field), None)
+    if node is None:
+        raise KeyError(f"{field!r}; fields: {[c['name'] for c in tree['children']]}")
+    leaves = _node_leaves(node)
+    streams, state = {}, {}
+    for lf in leaves:
+        rep, deflv, values, info = read_leaf_levels(buf, lf["path"])
+        streams[lf["path"]] = (rep, deflv, values, info)
+        starts = np.flatnonzero(rep == 0)
+        ends = (
+            np.concatenate([starts[1:], [len(rep)]])
+            if len(starts)
+            else np.empty(0, np.int64)
+        )
+        state[lf["path"]] = (starts, ends)
+    return _assemble(node, state, 0, streams)
+
+
+def field_arrow_type(node: dict, consumed: int = 0) -> pa.DataType:
+    """Footer-only Arrow type for a :func:`schema_tree` node — what
+    :func:`read_field_arrow` will produce, so a distributed scan can
+    plan struct/map/list schemas without touching data pages."""
+    lists = node["lists"]
+    if consumed < len(lists):
+        return pa.list_(field_arrow_type(node, consumed + 1))
+    if "leaf" in node:
+        info = dict(node["leaf"])
+        info["lists"] = []  # dims already wrapped by the tree recursion
+        return leaf_arrow_type(info)
+    ct = node.get("converted")
+    kids = node["children"]
+    if ct == _CT_LIST and len(kids) == 1 and kids[0]["repeated"]:
+        return field_arrow_type(_list_element_node(node), consumed)
+    if (
+        ct in (_CT_MAP, _CT_MAP_KV)
+        and len(kids) == 1
+        and kids[0]["repeated"]
+        and len(kids[0].get("children", [])) == 2
+    ):
+        kv = kids[0]
+        return pa.map_(
+            field_arrow_type(kv["children"][0], consumed + 1),
+            field_arrow_type(kv["children"][1], consumed + 1),
+        )
+    return pa.struct(
+        [pa.field(c["name"], field_arrow_type(c, consumed)) for c in kids]
+    )

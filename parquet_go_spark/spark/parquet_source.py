@@ -28,10 +28,10 @@ import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
 
 from ..compat.parquet_reader import (
+    field_arrow_type,
     file_meta_path,
-    leaf_arrow_type,
     read_table_arrow,
-    schema_leaf_info,
+    schema_tree,
 )
 
 __all__ = ["read_parquet_table", "parquet_scan_schema", "file_prunes"]
@@ -42,6 +42,11 @@ def _ddl_of_arrow(t: pa.DataType) -> str:
     Spark type (Spark has no unsigned integers)."""
     if pa.types.is_list(t):
         return f"array<{_ddl_of_arrow(t.value_type)}>"
+    if pa.types.is_map(t):
+        return f"map<{_ddl_of_arrow(t.key_type)},{_ddl_of_arrow(t.item_type)}>"
+    if pa.types.is_struct(t):
+        inner = ",".join(f"{f.name}:{_ddl_of_arrow(f.type)}" for f in t)
+        return f"struct<{inner}>"
     if pa.types.is_decimal(t):
         return f"decimal({t.precision},{t.scale})"
     if pa.types.is_timestamp(t):
@@ -69,23 +74,14 @@ def _ddl_of_arrow(t: pa.DataType) -> str:
 
 
 def parquet_scan_schema(path: str) -> list[tuple[str, pa.DataType, str]]:
-    """(field, arrow type, spark DDL) per single-leaf top-level field of
-    one file's footer, in schema order. Multi-leaf fields (struct/map)
-    are skipped — ``read_table_arrow`` cannot assemble them yet."""
-    leaves = schema_leaf_info(file_meta_path(path))
-    order: list[str] = []
-    tops: dict[str, list[str]] = {}
-    for leaf in leaves:
-        top = leaf.split(".")[0]
-        tops.setdefault(top, []).append(leaf)
-        if top not in order:
-            order.append(top)
+    """(field, arrow type, spark DDL) per top-level field of one file's
+    footer, in schema order — every shape (scalar, list, struct, map,
+    mixed), planned without touching data pages."""
+    tree = schema_tree(file_meta_path(path))
     out = []
-    for top in order:
-        if len(tops[top]) != 1:
-            continue
-        at = leaf_arrow_type(leaves[tops[top][0]])
-        out.append((top, at, _ddl_of_arrow(at)))
+    for node in tree["children"]:
+        at = field_arrow_type(node)
+        out.append((node["name"], at, _ddl_of_arrow(at)))
     return out
 
 

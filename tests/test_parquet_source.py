@@ -121,22 +121,47 @@ def test_string_stats_prune(pq_dir):
     assert len(file_prunes(files, [("s", "==", "zzz")])) == 0
 
 
-def test_struct_field_skipped_in_schema(tmp_path):
+def test_struct_map_scan(spark, tmp_path):
+    n = 120
     t = pa.table(
         {
-            "x": pa.array([1, 2], type=pa.int64()),
-            "st": pa.array([{"a": 1, "b": "u"}, {"a": 2, "b": "v"}]),
+            "x": pa.array(list(range(n)), type=pa.int64()),
+            "st": pa.array(
+                [
+                    {"a": i, "b": f"u{i}", "xs": [i, i + 1]} if i % 3 else None
+                    for i in range(n)
+                ],
+                type=pa.struct(
+                    [("a", pa.int64()), ("b", pa.string()), ("xs", pa.list_(pa.int32()))]
+                ),
+            ),
+            "mp": pa.array(
+                [{f"k{j}": j * i for j in range(i % 4)} if i % 5 else None for i in range(n)],
+                type=pa.map_(pa.string(), pa.int64()),
+            ),
         }
     )
     f = tmp_path / "s.parquet"
-    pq.write_table(t, f)
+    pq.write_table(t, f, compression="zstd")
     schema = parquet_scan_schema(str(f))
-    assert [n for n, _, _ in schema] == ["x"]  # struct skipped, not wrong
+    assert dict((nm, ddl) for nm, _, ddl in schema) == {
+        "x": "bigint",
+        "st": "struct<a:bigint,b:string,xs:array<int>>",
+        "mp": "map<string,bigint>",
+    }
     buf = open(f, "rb").read()
-    with pytest.raises(NotImplementedError):
-        read_table_arrow(buf, columns=None)  # struct requested implicitly
-    got = read_table_arrow(buf, columns=["x"])
-    assert got.column("x").to_pylist() == [1, 2]
+    got = read_table_arrow(buf)
+    assert got.to_pylist() == t.to_pylist()
+    df = read_parquet_table(spark, str(f))
+    rows = sorted(df.collect(), key=lambda r: r["x"])
+    for i, r in enumerate(rows):
+        exp_st = t.column("st")[i].as_py()
+        got_st = None if r["st"] is None else r["st"].asDict()
+        if exp_st is not None:
+            exp_st = dict(exp_st)
+        assert got_st == exp_st
+        exp_mp = t.column("mp")[i].as_py()
+        assert r["mp"] == (None if exp_mp is None else dict(exp_mp))
 
 
 def test_footer_only_planning_reads_tail(pq_dir):
