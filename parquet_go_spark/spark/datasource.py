@@ -388,3 +388,85 @@ class PGSDataSource(DataSource):
             _parse_writer_options(self.options),
             pid_base=pid_base,
         )
+
+
+@dataclass
+class _PGSQPartition(InputPartition):
+    path: str
+
+
+class _PGSQReader(DataSourceReader):
+    """``spark.read.format("pgsq")``: the distributed real-Parquet scan
+    (spark/parquet_source.py) behind the Python DataSource API — pushed
+    catalyst filters become footer-Statistics file pruning, one input
+    partition per surviving file, every page decoded by this engine's
+    kernels."""
+
+    def __init__(self, files: list[str], schema_triples: list[tuple]):
+        self.files = files
+        self.triples = schema_triples  # (name, arrow type, ddl)
+        self.prune: list[tuple] = []
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        for f in filters:
+            for col, op, value in _filter_to_prune(f):
+                # footer stats only compare ==, <=, >= on raw values
+                if op in ("==", "<=", ">="):
+                    self.prune.append((col, op, value))
+            yield f  # conservative: Spark re-applies every filter
+
+    def partitions(self) -> Sequence[InputPartition]:
+        from .parquet_source import file_prunes
+
+        files = file_prunes(self.files, self.prune) if self.prune else self.files
+        return [_PGSQPartition(f) for f in files] or [_PGSQPartition("")]
+
+    def read(self, partition: _PGSQPartition):
+        if not partition.path:
+            return
+        import pyarrow as pa
+
+        from ..compat.parquet_reader import read_table_arrow
+        from .decode_job import arrow_type_of_ddl
+
+        with open(partition.path, "rb") as fh:
+            buf = fh.read()
+        cols = [n for n, _, _ in self.triples]
+        tbl = read_table_arrow(buf, columns=cols)
+        arrays = [
+            tbl.column(n).combine_chunks().cast(arrow_type_of_ddl(ddl))
+            for n, _, ddl in self.triples
+        ]
+        yield from pa.table(dict(zip(cols, arrays))).to_batches(max_chunksize=1 << 16)
+
+
+class PGSParquetDataSource(DataSource):
+    """``format("pgsq")``: read directories of real ``.parquet`` files
+    (written by any implementation) through this engine's decode
+    kernels, planned from footers only, with filter-pushdown file
+    pruning. The catalyst front door over
+    ``parquet_source.read_parquet_table``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "pgsq"
+
+    def _files(self) -> list[str]:
+        from .parquet_source import _list_files
+
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("pgsq reader needs a load path: spark.read.format('pgsq').load(dir)")
+        return _list_files(path)
+
+    def schema(self) -> str:
+        from .parquet_source import parquet_scan_schema
+
+        triples = parquet_scan_schema(self._files()[0])
+        return ", ".join(f"`{n}` {ddl}" for n, _, ddl in triples)
+
+    def reader(self, schema) -> _PGSQReader:
+        from .parquet_source import parquet_scan_schema
+
+        files = self._files()
+        return _PGSQReader(files, parquet_scan_schema(files[0]))

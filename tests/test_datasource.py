@@ -219,3 +219,52 @@ def test_stream_read_format_pgs_tails_new_partitions(spark, tmp_path):
     got = spark.read.parquet(sink).toPandas()
     assert len(got) == 300  # no partition re-read, no partition missed
     assert sorted(got["url"]) == sorted(pdf["url"])
+
+
+@pytest.fixture(scope="module")
+def pq_dir(tmp_path_factory):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("pgsq")
+    t = pa.table(
+        {
+            "i": pa.array(range(900), type=pa.int64()),
+            "s": pa.array([f"v{i % 13}" for i in range(900)]),
+            "st": pa.array(
+                [{"a": i, "xs": [i % 7]} if i % 4 else None for i in range(900)],
+                type=pa.struct([("a", pa.int64()), ("xs", pa.list_(pa.int32()))]),
+            ),
+        }
+    )
+    for k in range(3):  # disjoint i-ranges per file -> footer-prunable
+        pq.write_table(t.slice(k * 300, 300), d / f"f{k}.parquet", compression="snappy")
+    return str(d)
+
+
+def test_read_format_pgsq_scans_real_parquet(spark, pq_dir):
+    from parquet_go_spark.spark.datasource import PGSParquetDataSource
+
+    spark.dataSource.register(PGSParquetDataSource)
+    df = spark.read.format("pgsq").load(pq_dir)
+    assert dict(df.dtypes)["st"] == "struct<a:bigint,xs:array<int>>"
+    assert df.count() == 900
+    assert df.agg({"i": "sum"}).collect()[0][0] == sum(range(900))
+    rows = df.where("st is not null").selectExpr("sum(st.a)").collect()
+    assert rows[0][0] == sum(i for i in range(900) if i % 4)
+
+
+def test_pgsq_pushed_filter_prunes_files_and_stays_exact(spark, pq_dir):
+    from parquet_go_spark.spark.datasource import PGSParquetDataSource, _PGSQReader
+    from parquet_go_spark.spark.parquet_source import parquet_scan_schema, _list_files
+
+    spark.dataSource.register(PGSParquetDataSource)
+    df = spark.read.format("pgsq").load(pq_dir)
+    got = df.where("i >= 700").agg({"i": "sum"}).collect()[0][0]
+    assert got == sum(range(700, 900))
+    assert df.where("i == -3").count() == 0
+    # the reader itself plans 1 of 3 files for the range predicate
+    files = _list_files(pq_dir)
+    rd = _PGSQReader(files, parquet_scan_schema(files[0]))
+    rd.prune = [("i", ">=", 700)]
+    assert len(rd.partitions()) == 1
