@@ -151,17 +151,31 @@ def cmd_encode(args) -> int:
     return 0
 
 
-def cmd_decode(args) -> int:
-    spark = _spark(args)
+def _load_table(spark, args):
+    """Route --input-format: 'pgs' = this engine's encoded dirs,
+    'parquet' = real .parquet through the kernel scan
+    (parquet-tool's ability to open any Parquet file,
+    ``cmd/parquet-tool/cmds``)."""
+    cols = args.columns.split(",") if args.columns else None
+    if getattr(args, "input_format", "pgs") == "parquet":
+        from .spark.parquet_source import read_parquet_table
+
+        return read_parquet_table(spark, args.enc, columns=cols)
     from .spark.decode_job import decode_table
 
-    df = decode_table(
+    return decode_table(
         spark,
         args.enc,
-        columns=args.columns.split(",") if args.columns else None,
-        validate_crc=args.validate_crc,
-        as_of=args.as_of,
+        columns=cols,
+        validate_crc=getattr(args, "validate_crc", False),
+        as_of=getattr(args, "as_of", None),
     )
+
+
+def cmd_decode(args) -> int:
+    spark = _spark(args)
+
+    df = _load_table(spark, args)
     df.write.mode("overwrite").parquet(args.out)
     print(json.dumps({"rows": spark.read.parquet(args.out).count(), "out": args.out}))
     return 0
@@ -199,11 +213,8 @@ def cmd_head(args) -> int:
     """First N rows of an encoded table as JSON lines (parquet-tool
     cat/head analogue, cmd/parquet-tool/cmds)."""
     spark = _spark(args)
-    from .spark.decode_job import decode_table
 
-    df = decode_table(
-        spark, args.enc, columns=args.columns.split(",") if args.columns else None
-    )
+    df = _load_table(spark, args)
     for row in df.limit(args.n).collect():
         print(json.dumps(row.asDict(), default=str))
     return 0
@@ -434,6 +445,12 @@ def main(argv=None) -> int:
     d.add_argument(
         "--as-of", type=int, default=None, help="time travel: read the table as of snapshot seq"
     )
+    d.add_argument(
+        "--input-format",
+        choices=["pgs", "parquet"],
+        default="pgs",
+        help="'parquet' reads real .parquet files through the kernel scan",
+    )
     d.set_defaults(fn=cmd_decode)
 
     m = sub.add_parser("meta")
@@ -455,6 +472,12 @@ def main(argv=None) -> int:
     h.add_argument("--enc", required=True)
     h.add_argument("-n", type=int, default=10)
     h.add_argument("--columns", default=None, help="comma-separated projection")
+    h.add_argument(
+        "--input-format",
+        choices=["pgs", "parquet"],
+        default="pgs",
+        help="'parquet' reads real .parquet files through the kernel scan",
+    )
     h.set_defaults(fn=cmd_head)
 
     s = sub.add_parser("schema")

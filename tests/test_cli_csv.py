@@ -105,3 +105,43 @@ def test_encode_csv_bad_typehint(tmp_path):
                 str(tmp_path / "enc4"),
             ]
         )
+
+
+def test_head_and_decode_real_parquet(spark, tmp_path, capsys):
+    rc = main(
+        [
+            "head",
+            "--enc",
+            "/root/testdata/sf0.001/documents.parquet",
+            "--input-format",
+            "parquet",
+            "-n",
+            "3",
+            "--columns",
+            "doc_id,lang",
+        ]
+    )
+    assert rc == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert [l["doc_id"] for l in lines] == [0, 1, 2]
+
+    out = str(tmp_path / "reexport")
+    rc = main(
+        [
+            "decode",
+            "--enc",
+            "/root/testdata/sf0.001/documents.parquet",
+            "--input-format",
+            "parquet",
+            "--out",
+            out,
+        ]
+    )
+    assert rc == 0
+    import duckdb
+
+    n = duckdb.sql(f"select count(*) from read_parquet('{out}/*.parquet')").fetchone()[0]
+    exp = duckdb.sql(
+        "select count(*) from read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    ).fetchone()[0]
+    assert n == exp
