@@ -130,7 +130,7 @@ def _decode_values(enc: int, ptype: str, payload, pos: int, nvals: int, dict_val
     raise ValueError(f"unsupported encoding {enc}")
 
 
-def read_column(buf: bytes, column: str):
+def read_column(buf: bytes, column: str, row_groups: list[int] | None = None):
     """Decode one flat column entirely with this engine's kernels.
 
     -> (validity bool[n], values ndarray | (lengths, data))."""
@@ -141,7 +141,9 @@ def read_column(buf: bytes, column: str):
     ptype = _PHYS[leaves[column]["type"]]
     type_length = leaves[column]["type_length"]
     validity_parts, value_parts, len_parts, data_parts = [], [], [], []
-    for rg in meta[4]:
+    for _rgi, rg in enumerate(meta[4]):
+        if row_groups is not None and _rgi not in row_groups:
+            continue
         for cc in rg[1]:
             cmeta = cc[3]
             if [p.decode() for p in cmeta[3]] != [column]:
@@ -326,7 +328,7 @@ def _levels_v1(payload, nv: int, max_rep: int, max_def: int):
     return np.asarray(rep, np.int64), np.asarray(deflv, np.int64), pos
 
 
-def read_leaf_levels(buf: bytes, column: str):
+def read_leaf_levels(buf: bytes, column: str, row_groups: list[int] | None = None):
     """Decode one leaf path (dotted for nesting, e.g. ``tags.list.element``)
     entirely with this engine's kernels.
 
@@ -343,7 +345,9 @@ def read_leaf_levels(buf: bytes, column: str):
     max_def, max_rep = info["max_def"], info["max_rep"]
     rep_parts, def_parts, value_parts, len_parts, data_parts = [], [], [], [], []
     mv = memoryview(buf)
-    for rg in meta[4]:
+    for _rgi, rg in enumerate(meta[4]):
+        if row_groups is not None and _rgi not in row_groups:
+            continue
         for cc in rg[1]:
             cmeta = cc[3]
             if [p.decode() for p in cmeta[3]] != info["path"]:
@@ -589,7 +593,7 @@ def _split_slots(starts, ends, rep, r):
     return child_starts, child_ends, counts
 
 
-def read_column_arrow(buf: bytes, column: str) -> pa.Array:
+def read_column_arrow(buf: bytes, column: str, row_groups: list[int] | None = None) -> pa.Array:
     """Decode a (possibly nested) leaf path into an Arrow array via
     Dremel assembly: lists at every repeated depth (null / empty / n
     elements), nulls at the leaf. Optional struct ancestors fold into
@@ -602,7 +606,7 @@ def read_column_arrow(buf: bytes, column: str) -> pa.Array:
         if len(cands) != 1:
             raise KeyError(f"{column!r}; leaves: {sorted(leaves)}")
         column = cands[0]
-    rep, deflv, values, info = read_leaf_levels(buf, column)
+    rep, deflv, values, info = read_leaf_levels(buf, column, row_groups)
     # top-level rows: one slot per rep==0 run
     starts = np.flatnonzero(rep == 0)
     ends = np.concatenate([starts[1:], [len(rep)]]) if len(starts) else np.empty(0, np.int64)
@@ -641,7 +645,11 @@ def table_fields(meta: dict) -> list[tuple[str, list[str]]]:
     return [(t, by_top[t]) for t in order]
 
 
-def read_table_arrow(buf: bytes, columns: list[str] | None = None) -> pa.Table:
+def read_table_arrow(
+    buf: bytes,
+    columns: list[str] | None = None,
+    row_groups: list[int] | None = None,
+) -> pa.Table:
     """Decode a whole Parquet file into an Arrow table through this
     engine's kernels (reference ``file_reader.go`` NextRow loop, but
     columnar and whole-file). Every field shape assembles: flat scalars,
@@ -658,14 +666,15 @@ def read_table_arrow(buf: bytes, columns: list[str] | None = None) -> pa.Table:
         fields = [(t, ls) for t, ls in fields if t in set(columns)]
         fields.sort(key=lambda f: columns.index(f[0]))
     names, arrays = [], []
-    for top, leaf_paths in fields:
+    for top, _leaf_paths in fields:
+        # read_field_arrow serves every shape, including the single-leaf
+        # struct that read_column_arrow would fold down to its leaf
         names.append(top)
-        arrays.append(
-            read_column_arrow(buf, leaf_paths[0])
-            if len(leaf_paths) == 1
-            else read_field_arrow(buf, top)
-        )
-    n_rows = int(meta[3]) if 3 in meta else (len(arrays[0]) if arrays else 0)
+        arrays.append(read_field_arrow(buf, top, row_groups))
+    if row_groups is not None:
+        n_rows = sum(int(meta[4][i][3]) for i in row_groups)
+    else:
+        n_rows = int(meta[3]) if 3 in meta else (len(arrays[0]) if arrays else 0)
     if not arrays:
         return pa.table({})
     for name, arr in zip(names, arrays):
@@ -927,7 +936,7 @@ def _assemble_group_as_struct(
     )
 
 
-def read_field_arrow(buf: bytes, field: str) -> pa.Array:
+def read_field_arrow(buf: bytes, field: str, row_groups: list[int] | None = None) -> pa.Array:
     """Assemble a TOP-LEVEL field of any shape — scalar, list, struct,
     map, or mixed nesting — into one Arrow array through the Dremel
     level streams. The multi-leaf complement to
@@ -941,7 +950,7 @@ def read_field_arrow(buf: bytes, field: str) -> pa.Array:
     leaves = _node_leaves(node)
     streams, state = {}, {}
     for lf in leaves:
-        rep, deflv, values, info = read_leaf_levels(buf, lf["path"])
+        rep, deflv, values, info = read_leaf_levels(buf, lf["path"], row_groups)
         streams[lf["path"]] = (rep, deflv, values, info)
         starts = np.flatnonzero(rep == 0)
         ends = (

@@ -393,14 +393,15 @@ class PGSDataSource(DataSource):
 @dataclass
 class _PGSQPartition(InputPartition):
     path: str
+    rg: int
 
 
 class _PGSQReader(DataSourceReader):
     """``spark.read.format("pgsq")``: the distributed real-Parquet scan
     (spark/parquet_source.py) behind the Python DataSource API — pushed
-    catalyst filters become footer-Statistics file pruning, one input
-    partition per surviving file, every page decoded by this engine's
-    kernels."""
+    catalyst filters become footer-Statistics row-group pruning, one
+    input partition per surviving row group, every page decoded by this
+    engine's kernels."""
 
     def __init__(self, files: list[str], schema_triples: list[tuple]):
         self.files = files
@@ -416,27 +417,29 @@ class _PGSQReader(DataSourceReader):
             yield f  # conservative: Spark re-applies every filter
 
     def partitions(self) -> Sequence[InputPartition]:
-        from .parquet_source import file_prunes
+        from .parquet_source import plan_scan_tasks
 
-        files = file_prunes(self.files, self.prune) if self.prune else self.files
-        return [_PGSQPartition(f) for f in files] or [_PGSQPartition("")]
+        tasks = plan_scan_tasks(self.files, self.prune or None)
+        return [_PGSQPartition(f, rg) for f, rg in tasks] or [_PGSQPartition("", -1)]
 
     def read(self, partition: _PGSQPartition):
         if not partition.path:
             return
+        import mmap
+
         import pyarrow as pa
 
         from ..compat.parquet_reader import read_table_arrow
         from .decode_job import arrow_type_of_ddl
 
-        with open(partition.path, "rb") as fh:
-            buf = fh.read()
         cols = [n for n, _, _ in self.triples]
-        tbl = read_table_arrow(buf, columns=cols)
-        arrays = [
-            tbl.column(n).combine_chunks().cast(arrow_type_of_ddl(ddl))
-            for n, _, ddl in self.triples
-        ]
+        with open(partition.path, "rb") as fh:
+            with mmap.mmap(fh.fileno(), 0, access=mmap.ACCESS_READ) as mm:
+                tbl = read_table_arrow(mm, columns=cols, row_groups=[partition.rg])
+                arrays = [
+                    tbl.column(n).combine_chunks().cast(arrow_type_of_ddl(ddl))
+                    for n, _, ddl in self.triples
+                ]
         yield from pa.table(dict(zip(cols, arrays))).to_batches(max_chunksize=1 << 16)
 
 

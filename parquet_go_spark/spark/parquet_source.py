@@ -6,15 +6,17 @@ This is the reference's read side (``file_reader.go`` NextRow /
 ``SeekToRowGroup``) re-expressed at cluster scale: the driver plans from
 footers alone (two tail preads per file, no data pages — the analogue of
 ``ReadFileMetaData``, ``file_meta.go:14-74``), and each Spark task
-decodes one whole file columnar through ``compat.parquet_reader``
-(hybrid / dict / delta / BSS kernels, V1+V2 pages, 4 codecs). Column
-projection happens inside the task: unselected column chunks are never
-decoded (reference ``skipChunk``, ``file_reader.go:112-130``).
+decodes ONE ROW GROUP columnar through ``compat.parquet_reader``
+(hybrid / dict / delta / BSS kernels, V1+V2 pages, 4 codecs) over an
+mmap of the file — column projection means unselected chunks are never
+decoded and their pages never fault in (reference ``skipChunk``,
+``file_reader.go:112-130``).
 
-Scale shape: one task per file, no shuffle, no driver data movement —
-a 100 TB table of right-sized files fans out to exactly its file count.
-File-level pruning plugs in ahead of the scan via the footers' row-group
-statistics (``file_prunes`` below), the same conservative min/max
+Scale shape: one task per row group, no shuffle, no driver data
+movement — a 100 TB table fans out to its row-group count whatever the
+file sizes, so one multi-gigabyte file cannot pin a single executor.
+Row-group pruning plugs in ahead of the scan via the footers'
+Statistics (``plan_scan_tasks`` below), the same conservative min/max
 contract as the engine's own manifest pruning.
 """
 
@@ -132,42 +134,56 @@ def _decode_stat(raw: bytes, ptype: int):
     return None
 
 
+def _rg_excluded(rg: dict, prune: list[tuple]) -> bool:
+    """One row group provably excluded by some predicate?"""
+    by_name = {}
+    for ch in rg[1]:
+        md = ch.get(3)
+        if md is None:
+            continue
+        by_name[b".".join(md[3]).decode()] = md
+    for col, op, value in prune:
+        md = by_name.get(col)
+        if md is None or 12 not in md:
+            continue
+        st = md[12]
+        ptype = md[1]
+        mx = _decode_stat(st.get(5, st.get(1)), ptype)
+        mn = _decode_stat(st.get(6, st.get(2)), ptype)
+        if mn is None or mx is None:
+            continue
+        if op == "==" and (value < mn or value > mx):
+            return True
+        if op == "<=" and mn > value:
+            return True
+        if op == ">=" and mx < value:
+            return True
+    return False
+
+
 def _footer_excludes(meta: dict, prune: list[tuple]) -> bool:
     """True when EVERY row group is provably excluded by some predicate."""
     rgs = meta.get(4) or []
     if not rgs:
         return False
-    for rg in rgs:
-        cols = rg[1]
-        by_name = {}
-        for ch in cols:
-            md = ch.get(3)
-            if md is None:
+    return all(_rg_excluded(rg, prune) for rg in rgs)
+
+
+def plan_scan_tasks(files: list[str], prune: list[tuple] | None) -> list[tuple[str, int]]:
+    """(path, row_group) task list from footers alone: the scan unit is
+    a ROW GROUP, not a file, so one multi-gigabyte file fans out across
+    executors instead of pinning one task (reference
+    ``SeekToRowGroup``, ``file_reader.go:144-155``, distributed).
+    Row groups whose Statistics provably exclude the predicates are
+    never planned."""
+    tasks = []
+    for f in files:
+        meta = file_meta_path(f)
+        for rgi, rg in enumerate(meta.get(4) or []):
+            if prune and _rg_excluded(rg, prune):
                 continue
-            name = b".".join(md[3]).decode()
-            by_name[name] = md
-        rg_excluded = False
-        for col, op, value in prune:
-            md = by_name.get(col)
-            if md is None or 12 not in md:
-                continue
-            st = md[12]
-            ptype = md[1]
-            mx = _decode_stat(st.get(5, st.get(1)), ptype)
-            mn = _decode_stat(st.get(6, st.get(2)), ptype)
-            if mn is None or mx is None:
-                continue
-            if op == "==" and (value < mn or value > mx):
-                rg_excluded = True
-            elif op == "<=" and mn > value:
-                rg_excluded = True
-            elif op == ">=" and mx < value:
-                rg_excluded = True
-            if rg_excluded:
-                break
-        if not rg_excluded:
-            return False
-    return True
+            tasks.append((f, rgi))
+    return tasks
 
 
 def read_parquet_table(
@@ -177,14 +193,14 @@ def read_parquet_table(
     prune: list[tuple] | None = None,
 ) -> DataFrame:
     """Read a directory/glob/file of real Parquet into a DataFrame via
-    this engine's kernels — one task per file, projection inside the
-    task, optional footer-stats file pruning (``prune`` uses the same
-    ``[(col, op, value)]`` contract as ``decode_table``; conservative,
-    re-apply the exact filter)."""
+    this engine's kernels — one task per ROW GROUP, projection inside
+    the task (unselected column chunks never decoded; the mmap-backed
+    buffer never faults their pages in), optional footer-stats
+    row-group pruning (``prune`` uses the same ``[(col, op, value)]``
+    contract as ``decode_table``; conservative, re-apply the exact
+    filter)."""
     files = _list_files(path)
-    if prune:
-        files = file_prunes(files, prune)
-    schema = parquet_scan_schema(files[0] if files else _list_files(path)[0])
+    schema = parquet_scan_schema(files[0])
     if columns is not None:
         known = {n for n, _, _ in schema}
         missing = [c for c in columns if c not in known]
@@ -196,23 +212,26 @@ def read_parquet_table(
         )
     cols = [n for n, _, _ in schema]
     out_ddl = ", ".join(f"`{n}` {ddl}" for n, _, ddl in schema)
-    if not files:
+    tasks = plan_scan_tasks(files, prune)
+    if not tasks:
         return spark.createDataFrame([], schema=out_ddl)
     target = {n: _spark_arrow_type(ddl) for n, _, ddl in schema}
 
-    fdf = spark.createDataFrame([(f,) for f in files], "path string").repartition(
-        len(files), "path"
-    )
+    fdf = spark.createDataFrame(
+        [(f, rg) for f, rg in tasks], "path string, rg int"
+    ).repartition(min(len(tasks), 4096), "path", "rg")
 
     def scan(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import mmap
+
         for b in batches:
-            for p in b.column("path"):
+            for p, rg in zip(b.column("path"), b.column("rg")):
                 with open(p.as_py(), "rb") as fh:
-                    buf = fh.read()
-                tbl = read_table_arrow(buf, columns=cols)
-                arrays = [
-                    tbl.column(n).combine_chunks().cast(target[n]) for n in cols
-                ]
+                    with mmap.mmap(fh.fileno(), 0, access=mmap.ACCESS_READ) as mm:
+                        tbl = read_table_arrow(mm, columns=cols, row_groups=[rg.as_py()])
+                        arrays = [
+                            tbl.column(n).combine_chunks().cast(target[n]) for n in cols
+                        ]
                 out = pa.table(dict(zip(cols, arrays)))
                 yield from out.to_batches(max_chunksize=1 << 16)
 

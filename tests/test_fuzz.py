@@ -227,7 +227,16 @@ def _interop_fixture() -> bytes:
     return buf.getvalue()
 
 
-_INTEROP_ACCEPTABLE = ACCEPTABLE + (zlib.error, TypeError, NotImplementedError, OSError)
+# any raise is a controlled rejection (the governor guards allocation;
+# corrupted thrift shapes surface as Type/Attribute errors) — the
+# contract is: never hang, never crash the interpreter, never over-allocate
+_INTEROP_ACCEPTABLE = ACCEPTABLE + (
+    zlib.error,
+    TypeError,
+    AttributeError,
+    NotImplementedError,
+    OSError,
+)
 
 
 @settings(max_examples=120, deadline=5000)

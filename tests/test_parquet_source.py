@@ -173,3 +173,19 @@ def test_footer_only_planning_reads_tail(pq_dir):
 def test_missing_dir_raises(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         read_parquet_table(spark, str(tmp_path / "nothing"))
+
+
+def test_row_group_granular_tasks_and_pruning(spark, tmp_path):
+    from parquet_go_spark.spark.parquet_source import plan_scan_tasks
+
+    f = tmp_path / "big.parquet"
+    t = pa.table({"i": pa.array(range(1000), type=pa.int64())})
+    pq.write_table(t, f, row_group_size=100)  # 10 row groups, one file
+    tasks = plan_scan_tasks([str(f)], None)
+    assert len(tasks) == 10  # a big file fans out, it doesn't pin one task
+    # rg-level stats pruning: only the last row group can hold i >= 950
+    pruned = plan_scan_tasks([str(f)], [("i", ">=", 950)])
+    assert pruned == [(str(f), 9)]
+    df = read_parquet_table(spark, str(f), prune=[("i", ">=", 950)])
+    got = df.where("i >= 950").agg({"i": "sum"}).collect()[0][0]
+    assert got == sum(range(950, 1000))
