@@ -37,6 +37,7 @@ OP_QUERIES = [
     "langid_ngram",
     "embedding_cosine_topk",
     "embedding_ivf_topk",
+    "parquet_scan_distributed",
 ]
 
 
