@@ -169,12 +169,21 @@ def choose_encoding(col: ColumnData, compression: str = "none"):
         # and overstates the ratio badly on heterogeneous columns.
         # Budgets scale with chunk size so the selector's fixed cost stays
         # a bounded fraction of the encode itself on small chunks.
-        # Skip candidacy outright when the trained-dict DEFLATE estimate
-        # already exceeds 4x: FSST's table (<=255 symbols of <=8 bytes)
-        # tops out well under the ~6.7x it would need to overcome its
-        # 0.60 cost penalty from there, and training is the selector's
-        # single most expensive probe (~35% of boilerplate-column encode).
-        if total >= 4096 and est.get("zdict", float("inf")) > total / 4:
+        # Skip candidacy outright when the entropy-coded estimate is
+        # already strong: FSST's table (<=255 symbols of <=8 bytes)
+        # tops out well under what it would need to overcome its 0.60
+        # cost penalty from there, and train+trial-encode is the
+        # selector's single most expensive probe (~40% of selector time
+        # on web-text chunks). Against slow DEFLATE (penalty 0.20) FSST
+        # stays a candidate below 4x; against zstd-3 (penalty 0.08) it
+        # must be ~1.5x smaller still, which only happens when zstd
+        # itself does poorly — below ~2x.
+        # Candidacy also needs enough bytes to amortize the probe's fixed
+        # kernel cost (symbol-table construction + two strided gathers is
+        # ~60 ms regardless of sample size — on a 64 KiB chunk that is
+        # pure selector tax, on a 64 MiB production chunk it is noise).
+        z_gate = total / (2 if zdict_penalty == 0.08 else 4)
+        if total >= 1 << 18 and est.get("zdict", float("inf")) > z_gate:
             from ..kernels import fsst as _fsst
 
             sample_bytes = int(min(SAMPLE_BYTES, max(total // 8, 4096)))
