@@ -676,6 +676,48 @@ def _q_parquet_scan_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.where(F.col("n_chars") >= 100)
 
 
+def _q_parquet_scan_page_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet PageIndex end-to-end: OUR writer emits ColumnIndex +
+    OffsetIndex (parquet-format PageIndex.md; the reference computes page
+    stats ``data_store.go:166-179`` but never serializes them), and the
+    distributed scan's page tier (compat/page_index.py) turns them into
+    surviving row ranges so excluded pages' bytes are never decompressed.
+    The fixture is lineitem sorted by l_orderkey (tight page bounds),
+    written once per sf_dir with an atomic rename; the predicate is
+    re-applied exactly after the conservative prune."""
+    import hashlib
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq_
+
+    from parquet_go_spark.compat.parquet_writer import write_parquet
+    from parquet_go_spark.spark.parquet_source import read_parquet_table
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    cache = os.path.join(tempfile.gettempdir(), f"pgs_pageidx_{tag}")
+    path = os.path.join(cache, "lineitem_sorted.parquet")
+    if not os.path.exists(path):
+        os.makedirs(cache, exist_ok=True)
+        t = pq_.read_table(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_partkey", "l_quantity", "l_extendedprice", "l_returnflag"],
+        ).sort_by("l_orderkey")
+        blob = write_parquet(
+            t,
+            compression="snappy",
+            max_page=1 << 16,
+            max_row_group=max(t.num_rows // 4, 1),
+            page_index=True,
+        )
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as fh:
+            fh.write(blob)
+        os.replace(tmp, path)
+    df = read_parquet_table(spark, path, prune=[("l_orderkey", "<=", 600)])
+    return df.where(F.col("l_orderkey") <= 600)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # encoding layer: identity round-trips (auto selector + per-codec)
@@ -694,6 +736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_message_schema": _rt_message_schema,
         "parquet_interop_nested": _q_parquet_interop_nested,
         "parquet_scan_distributed": _q_parquet_scan_distributed,
+        "parquet_scan_page_prune": _q_parquet_scan_page_prune,
         "html_extract_text": _q_html_extract,
         "html_stats": _q_html_stats,
         "url_normalize": _q_url_normalize,
@@ -931,6 +974,10 @@ WHERE round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) >= 0.35
         "parquet_scan_distributed": (
             "SELECT doc_id, text, lang, source, n_chars FROM documents"
             " WHERE n_chars >= 100"
+        ),
+        "parquet_scan_page_prune": (
+            "SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice,"
+            " l_returnflag FROM lineitem WHERE l_orderkey <= 600"
         ),
         "html_extract_text": _html_extract_duck_sql(),
         "html_stats": _html_stats_duck_sql(),

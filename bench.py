@@ -38,6 +38,7 @@ OP_QUERIES = [
     "embedding_cosine_topk",
     "embedding_ivf_topk",
     "parquet_scan_distributed",
+    "parquet_scan_page_prune",
 ]
 
 

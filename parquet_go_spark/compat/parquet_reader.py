@@ -328,22 +328,39 @@ def _levels_v1(payload, nv: int, max_rep: int, max_def: int):
     return np.asarray(rep, np.int64), np.asarray(deflv, np.int64), pos
 
 
-def read_leaf_levels(buf: bytes, column: str, row_groups: list[int] | None = None):
+def read_leaf_levels(
+    buf: bytes,
+    column: str,
+    row_groups: list[int] | None = None,
+    row_ranges: list[tuple[int, int]] | None = None,
+):
     """Decode one leaf path (dotted for nesting, e.g. ``tags.list.element``)
     entirely with this engine's kernels.
 
     -> (rep_levels, def_levels, values, info) where values is an ndarray
     or (lengths, data) for byte leaves, holding only fully-defined entries.
-    """
+
+    ``row_ranges`` (requires exactly one selected row group): decode only
+    the rows inside the given sorted, non-overlapping ``[lo, hi)`` ranges
+    (relative to the row group's first row). Flat leaves (max_rep == 0)
+    additionally PAGE-SEEK via the chunk's OffsetIndex when the writer
+    emitted one — excluded pages' bytes are never read or decompressed
+    (parquet-format PageIndex.md). Nested leaves decode every page and
+    trim; either way, every leaf of a field lands on the exact same row
+    set, so Dremel assembly stays aligned across leaves."""
     meta = file_meta(buf)
     leaves = schema_leaf_info(meta)
     if column not in leaves:
         raise KeyError(f"{column!r}; leaves: {sorted(leaves)}")
+    if row_ranges is not None and (row_groups is None or len(row_groups) != 1):
+        raise ValueError("row_ranges requires exactly one selected row group")
     info = leaves[column]
     ptype = _PHYS[info["type"]]
     type_length = info["type_length"]
     max_def, max_rep = info["max_def"], info["max_rep"]
     rep_parts, def_parts, value_parts, len_parts, data_parts = [], [], [], [], []
+    rows_parts: list[np.ndarray] = []
+    page_seeked = False
     mv = memoryview(buf)
     for _rgi, rg in enumerate(meta[4]):
         if row_groups is not None and _rgi not in row_groups:
@@ -356,10 +373,13 @@ def read_leaf_levels(buf: bytes, column: str, row_groups: list[int] | None = Non
             n_values = cmeta[5]
             start = min(cmeta.get(11, cmeta[9]), cmeta[9])
             end = start + cmeta[7]
-            pos = start
             dict_vals = None
             seen = 0
-            while seen < n_values and pos < end:
+
+            def walk_page(pos: int) -> tuple[int, int]:
+                """Decode ONE page at ``pos``; appends to the stream parts
+                (or sets the dictionary). -> (new_pos, page_type, nv)."""
+                nonlocal dict_vals
                 hdr, pos = read_struct(mv, pos)
                 page_type = hdr[1]
                 raw_len, comp_len = hdr[2], hdr[3]
@@ -397,7 +417,7 @@ def read_leaf_levels(buf: bytes, column: str, row_groups: list[int] | None = Non
                             if ptype == "int96"
                             else plain.decode_fixed(payload, dn, ptype)
                         )
-                    continue
+                    return pos, page_type, 0
                 if page_type == 0:  # data page V1
                     dph = hdr[5]
                     nv, enc = dph[1], dph[2]
@@ -438,7 +458,40 @@ def read_leaf_levels(buf: bytes, column: str, row_groups: list[int] | None = Non
                     data_parts.append(np.asarray(repr_[1], np.uint8))
                 else:
                     value_parts.append(repr_)
-                seen += nv
+                return pos, page_type, nv
+
+            locs = None
+            if row_ranges is not None and max_rep == 0:
+                from .page_index import read_offset_index
+
+                locs = read_offset_index(buf, cc)
+            if locs:
+                # page-seek: only pages whose row span overlaps a range
+                n_rg_rows = int(rg[3])
+                firsts = [loc[2] for loc in locs] + [n_rg_rows]
+                if 11 in cmeta and cmeta[11] < cmeta[9]:
+                    _, pt, _ = walk_page(cmeta[11])
+                    _plausible(pt == 2, "dictionary_page_offset points at a data page")
+                r_starts = np.array([r[0] for r in row_ranges], dtype=np.int64)
+                r_ends = np.array([r[1] for r in row_ranges], dtype=np.int64)
+                for i, loc in enumerate(locs):
+                    lo, hi = firsts[i], firsts[i + 1]
+                    # page [lo, hi) overlaps some surviving range?
+                    j = int(np.searchsorted(r_ends, lo, side="right"))
+                    if j >= len(r_starts) or r_starts[j] >= hi:
+                        continue
+                    _, pt, nv = walk_page(loc[0])
+                    _plausible(
+                        pt in (0, 3) and nv == hi - lo,
+                        "OffsetIndex row spans disagree with page headers",
+                    )
+                    rows_parts.append(np.arange(lo, hi, dtype=np.int64))
+                page_seeked = True
+            else:
+                pos = start
+                while seen < n_values and pos < end:
+                    pos, _pt, nv = walk_page(pos)
+                    seen += nv
     rep = np.concatenate(rep_parts) if rep_parts else np.empty(0, np.int64)
     deflv = np.concatenate(def_parts) if def_parts else np.empty(0, np.int64)
     if ptype in ("bytes", "flba"):
@@ -447,6 +500,32 @@ def read_leaf_levels(buf: bytes, column: str, row_groups: list[int] | None = Non
         values = (lens, data)
     else:
         values = np.concatenate(value_parts) if value_parts else np.empty(0)
+    if row_ranges is not None:
+        from .page_index import rows_in_ranges
+
+        if page_seeked:
+            rows = (
+                np.concatenate(rows_parts) if rows_parts else np.empty(0, np.int64)
+            )
+        else:
+            # every level position belongs to the row opened by the last
+            # rep == 0 position at or before it
+            rows = np.cumsum(rep == 0) - 1
+        keep_pos = rows_in_ranges(rows, row_ranges)
+        vmask = keep_pos[deflv == max_def]
+        rep, deflv = rep[keep_pos], deflv[keep_pos]
+        if ptype in ("bytes", "flba"):
+            lens, data = values
+            from ..core.columns import gather_segments
+
+            starts_v = (
+                np.concatenate([[0], np.cumsum(lens)[:-1]]).astype(np.int64)
+                if len(lens)
+                else np.empty(0, np.int64)
+            )
+            values = (lens[vmask], gather_segments(data, starts_v[vmask], lens[vmask]))
+        else:
+            values = values[vmask]
     return rep, deflv, values, info
 
 
@@ -593,7 +672,12 @@ def _split_slots(starts, ends, rep, r):
     return child_starts, child_ends, counts
 
 
-def read_column_arrow(buf: bytes, column: str, row_groups: list[int] | None = None) -> pa.Array:
+def read_column_arrow(
+    buf: bytes,
+    column: str,
+    row_groups: list[int] | None = None,
+    row_ranges: list[tuple[int, int]] | None = None,
+) -> pa.Array:
     """Decode a (possibly nested) leaf path into an Arrow array via
     Dremel assembly: lists at every repeated depth (null / empty / n
     elements), nulls at the leaf. Optional struct ancestors fold into
@@ -606,7 +690,7 @@ def read_column_arrow(buf: bytes, column: str, row_groups: list[int] | None = No
         if len(cands) != 1:
             raise KeyError(f"{column!r}; leaves: {sorted(leaves)}")
         column = cands[0]
-    rep, deflv, values, info = read_leaf_levels(buf, column, row_groups)
+    rep, deflv, values, info = read_leaf_levels(buf, column, row_groups, row_ranges)
     # top-level rows: one slot per rep==0 run
     starts = np.flatnonzero(rep == 0)
     ends = np.concatenate([starts[1:], [len(rep)]]) if len(starts) else np.empty(0, np.int64)
@@ -649,13 +733,18 @@ def read_table_arrow(
     buf: bytes,
     columns: list[str] | None = None,
     row_groups: list[int] | None = None,
+    row_ranges: list[tuple[int, int]] | None = None,
 ) -> pa.Table:
     """Decode a whole Parquet file into an Arrow table through this
     engine's kernels (reference ``file_reader.go`` NextRow loop, but
     columnar and whole-file). Every field shape assembles: flat scalars,
     lists of any depth, structs, maps, and their mixtures — single-leaf
     fields via :func:`read_column_arrow`, multi-leaf fields via the
-    full Dremel tree assembly (:func:`read_field_arrow`)."""
+    full Dremel tree assembly (:func:`read_field_arrow`).
+
+    ``row_ranges`` (with exactly one row group selected) materializes
+    only those rows, page-seeking flat columns through the OffsetIndex
+    when the writer emitted one — the PageIndex read path."""
     meta = file_meta(buf)
     fields = table_fields(meta)
     if columns is not None:
@@ -670,8 +759,11 @@ def read_table_arrow(
         # read_field_arrow serves every shape, including the single-leaf
         # struct that read_column_arrow would fold down to its leaf
         names.append(top)
-        arrays.append(read_field_arrow(buf, top, row_groups))
-    if row_groups is not None:
+        arrays.append(read_field_arrow(buf, top, row_groups, row_ranges))
+    if row_ranges is not None:
+        rg_rows = int(meta[4][row_groups[0]][3])
+        n_rows = sum(min(hi, rg_rows) - lo for lo, hi in row_ranges if lo < rg_rows)
+    elif row_groups is not None:
         n_rows = sum(int(meta[4][i][3]) for i in row_groups)
     else:
         n_rows = int(meta[3]) if 3 in meta else (len(arrays[0]) if arrays else 0)
@@ -936,12 +1028,21 @@ def _assemble_group_as_struct(
     )
 
 
-def read_field_arrow(buf: bytes, field: str, row_groups: list[int] | None = None) -> pa.Array:
+def read_field_arrow(
+    buf: bytes,
+    field: str,
+    row_groups: list[int] | None = None,
+    row_ranges: list[tuple[int, int]] | None = None,
+) -> pa.Array:
     """Assemble a TOP-LEVEL field of any shape — scalar, list, struct,
     map, or mixed nesting — into one Arrow array through the Dremel
     level streams. The multi-leaf complement to
     :func:`read_column_arrow` (reference record assembly,
-    ``schema.go:283-312`` / ``file_reader.go:258-272``, but columnar)."""
+    ``schema.go:283-312`` / ``file_reader.go:258-272``, but columnar).
+
+    ``row_ranges`` trims every leaf to the same exact row set BEFORE
+    assembly (page-seeking flat leaves via the OffsetIndex when one is
+    present), so the assembled field holds exactly the ranged rows."""
     meta = file_meta(buf)
     tree = schema_tree(meta)
     node = next((c for c in tree["children"] if c["name"] == field), None)
@@ -950,7 +1051,7 @@ def read_field_arrow(buf: bytes, field: str, row_groups: list[int] | None = None
     leaves = _node_leaves(node)
     streams, state = {}, {}
     for lf in leaves:
-        rep, deflv, values, info = read_leaf_levels(buf, lf["path"], row_groups)
+        rep, deflv, values, info = read_leaf_levels(buf, lf["path"], row_groups, row_ranges)
         streams[lf["path"]] = (rep, deflv, values, info)
         starts = np.flatnonzero(rep == 0)
         ends = (

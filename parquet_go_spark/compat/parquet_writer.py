@@ -102,6 +102,63 @@ def _stats_bytes(v, ptype: str) -> bytes:
     return bytes(v)  # byte arrays: raw bytes
 
 
+def _index_bound(v, ptype: str, is_max: bool, cap: int = 64) -> bytes | None:
+    """ColumnIndex bound for one page: plain-encoded value, with long
+    byte values truncated per the spec's convention (min: plain prefix =
+    valid lower bound; max: truncate-and-increment = strict upper bound;
+    an all-0xFF prefix has no safe increment -> no bound, stored as
+    b'' which readers treat as unknown)."""
+    if v is None:
+        return None
+    b = _stats_bytes(v, ptype)
+    if ptype != "bytes" or len(b) <= cap:
+        return b
+    if not is_max:
+        return b[:cap]
+    p = bytearray(b[:cap])
+    while p and p[-1] == 0xFF:
+        p.pop()
+    if not p:
+        return None
+    p[-1] += 1
+    return bytes(p)
+
+
+def _record_page(
+    pidx: list | None,
+    col: ColumnData,
+    offset: int,
+    size: int,
+    first_row: int,
+    n_rows: int,
+    vstart: int,
+    vend: int,
+    dlo: int,
+    dhi: int,
+) -> None:
+    """Append one data page's ColumnIndex/OffsetIndex record."""
+    if pidx is None:
+        return
+    from ..core.chunk import _page_slice_column
+
+    nvals = vend - vstart
+    if nvals:
+        mn, mx = column_minmax(_page_slice_column(col, vstart, vend, dlo, dhi))
+    else:
+        mn = mx = None
+    pidx.append(
+        {
+            "offset": offset,
+            "size": size,
+            "first_row": first_row,
+            "min": _index_bound(mn, col.ptype, False),
+            "max": _index_bound(mx, col.ptype, True),
+            "null_count": n_rows - nvals,
+            "null_page": nvals == 0,
+        }
+    )
+
+
 def _statistics_struct(col: ColumnData, distinct: int):
     """thrift Statistics (parquet.thrift): 3=null_count, 4=distinct_count,
     5=max_value, 6=min_value. Reference parity: chunk_writer.go:283-290
@@ -116,7 +173,7 @@ def _statistics_struct(col: ColumnData, distinct: int):
     return st
 
 
-def _write_chunk(out: bytearray, col: ColumnData, name: str, enc_name: str | None, compression: str, codec: int, max_page: int, page_version: int = 1, crc: bool = False):
+def _write_chunk(out: bytearray, col: ColumnData, name: str, enc_name: str | None, compression: str, codec: int, max_page: int, page_version: int = 1, crc: bool = False, pidx: list | None = None):
     """Write one column chunk (dict page + data pages) into ``out``;
     returns (col_chunk_struct, meta_row)."""
     enc = _choose(col, enc_name)
@@ -213,6 +270,10 @@ def _write_chunk(out: bytearray, col: ColumnData, name: str, enc_name: str | Non
             c = zlib.crc32(page_bytes)
             hdr_fields[4] = ("i32", c - (1 << 32) if c >= 1 << 31 else c)
         hdr = write_struct(hdr_fields)
+        _record_page(
+            pidx, col, len(out), len(hdr) + len(page_bytes),
+            row_lo, row_hi - row_lo, vstart, vend, dlo, dhi,
+        )
         out += hdr + page_bytes
         total_raw += raw_add + len(hdr)
         total_comp += len(page_bytes) + len(hdr)
@@ -304,6 +365,7 @@ def _write_chunk_nested(
     codec: int,
     max_page: int,
     crc: bool,
+    pidx: list | None = None,
 ):
     """Write one NESTED leaf chunk (V1 pages: size-prefixed rep + def
     hybrid streams at their true bit widths, then values); pages cut on
@@ -403,6 +465,12 @@ def _write_chunk_nested(
             c = zlib.crc32(comp)
             hdr_fields[4] = ("i32", c - (1 << 32) if c >= 1 << 31 else c)
         hdr = write_struct(hdr_fields)
+        # null_count counts NULL LEAF SLOTS (level positions below
+        # max_def), not null rows — phi-plo positions, vhi-vlo present
+        _record_page(
+            pidx, col, len(out), len(hdr) + len(comp),
+            lo_row, phi - plo, vlo, vhi, dlo, dhi,
+        )
         out += hdr + comp
         total_raw += len(body) + len(hdr)
         total_comp += len(comp) + len(hdr)
@@ -447,6 +515,7 @@ def write_parquet(
     max_row_group: int | None = None,
     page_version: int = 1,
     crc: bool = False,
+    page_index: bool = False,
     return_meta: bool = False,
 ):
     """pa.Table -> Parquet file bytes (flat or nested schema: lists at
@@ -459,8 +528,15 @@ def write_parquet(
     ``page_version``: 1 (default) or 2 — V2 keeps levels outside the
     compressed region (``page_v2.go``). ``crc=True`` writes per-page
     CRC32 into page headers (``WithCRC``).
+    ``page_index=True`` appends a parquet-format PageIndex
+    (ColumnIndex + OffsetIndex per chunk, PageIndex.md layout: all
+    ColumnIndexes then all OffsetIndexes between the last row group and
+    the footer) so readers — ours and foreign engines — can prune at
+    page granularity; bounds use the spec's truncate-and-increment
+    convention for long byte values.
     ``return_meta=True`` -> (bytes, [{column, encoding, raw/comp bytes}]).
     """
+    from .page_index import column_index_struct, offset_index_struct
     from .shred import leaf_specs
 
     metas: list[dict] = []
@@ -482,6 +558,7 @@ def write_parquet(
     n_rows = table.num_rows
     group_rows = max_row_group or max(n_rows, 1)
     row_groups = []
+    chunk_pages: list[tuple[dict, list]] = []  # (cc struct, page records)
     off = 0
     while off == 0 or off < n_rows:
         part = table.slice(off, min(group_rows, n_rows - off) if n_rows else 0)
@@ -490,19 +567,25 @@ def write_parquet(
             if name in nested_specs:
                 arr = part.column(name).combine_chunks()
                 for spec in nested_specs[name]:
+                    pidx: list | None = [] if page_index else None
                     cc, mrow = _write_chunk_nested(
                         out, arr, spec, (encodings or {}).get(name), compression, codec,
-                        max_page, crc,
+                        max_page, crc, pidx,
                     )
+                    if page_index:
+                        chunk_pages.append((cc, pidx))
                     col_chunks.append(cc)
                     mrow["row_group"] = len(row_groups)
                     metas.append(mrow)
                 continue
             col = from_arrow(part.column(name))
+            pidx = [] if page_index else None
             cc, mrow = _write_chunk(
                 out, col, name, (encodings or {}).get(name), compression, codec, max_page,
-                page_version, crc,
+                page_version, crc, pidx,
             )
+            if page_index:
+                chunk_pages.append((cc, pidx))
             col_chunks.append(cc)
             mrow["row_group"] = len(row_groups)
             metas.append(mrow)
@@ -516,6 +599,23 @@ def write_parquet(
         off += max(part.num_rows, 1)
         if n_rows == 0:
             break
+    # PageIndex region: between the last row group and the footer, all
+    # ColumnIndex structs first, then all OffsetIndexes (parquet-mr
+    # layout); each ColumnChunk records its spans (fields 6/7 and 4/5)
+    for cc, pages in chunk_pages:
+        if not pages:
+            continue
+        ci = write_struct(column_index_struct(pages))
+        cc[6] = ("i64", len(out))
+        cc[7] = ("i32", len(ci))
+        out += ci
+    for cc, pages in chunk_pages:
+        if not pages:
+            continue
+        oi = write_struct(offset_index_struct(pages))
+        cc[4] = ("i64", len(out))
+        cc[5] = ("i32", len(oi))
+        out += oi
     fmeta = {
         1: ("i32", 1),
         2: ("list", ("struct", schema_elems)),

@@ -64,6 +64,11 @@ def _read_value(buf, pos: int, vtype: int):
         etype = hdr & 0x0F
         if size == 15:
             size, pos = read_uvarint(buf, pos)
+        if etype in (T_TRUE, T_FALSE):
+            # bool LIST elements take one byte each (1=true, 2=false) —
+            # unlike field-context bools, whose value lives in the type id
+            out = [buf[pos + i] == T_TRUE for i in range(size)]
+            return out, pos + size
         out = []
         for _ in range(size):
             v, pos = _read_value(buf, pos, etype)

@@ -55,9 +55,14 @@ def _value_bytes(t: str, v) -> bytes:
         return write_struct(v)
     if t == "list":
         elem_t, items = v
-        et = _TYPES[elem_t]
+        et = _TYPES.get(elem_t, T_TRUE if elem_t == "bool" else None)
+        if et is None:
+            raise ValueError(elem_t)
         n = len(items)
         hdr = bytes([(min(n, 15) << 4) | et]) + (uvarint(n) if n >= 15 else b"")
+        if elem_t == "bool":
+            # bool list elements take one byte each (1=true, 2=false)
+            return hdr + bytes(T_TRUE if it else T_FALSE for it in items)
         return hdr + b"".join(_value_bytes(elem_t, it) for it in items)
     raise ValueError(t)
 

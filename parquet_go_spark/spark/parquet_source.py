@@ -224,11 +224,29 @@ def read_parquet_table(
     def scan(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import mmap
 
+        from ..compat.page_index import page_prune_ranges
+        from ..compat.parquet_reader import file_meta
+
         for b in batches:
             for p, rg in zip(b.column("path"), b.column("rg")):
                 with open(p.as_py(), "rb") as fh:
                     with mmap.mmap(fh.fileno(), 0, access=mmap.ACCESS_READ) as mm:
-                        tbl = read_table_arrow(mm, columns=cols, row_groups=[rg.as_py()])
+                        ranges = None
+                        if prune:
+                            # page tier: the file's own PageIndex
+                            # (ColumnIndex/OffsetIndex) narrows this row
+                            # group to surviving PAGES — excluded pages'
+                            # bytes never decompress or fault in.
+                            # None = writer emitted no index: read all.
+                            ranges = page_prune_ranges(
+                                mm, file_meta(mm), rg.as_py(), prune
+                            )
+                        tbl = read_table_arrow(
+                            mm,
+                            columns=cols,
+                            row_groups=[rg.as_py()],
+                            row_ranges=ranges,
+                        )
                         arrays = [
                             tbl.column(n).combine_chunks().cast(target[n]) for n in cols
                         ]
