@@ -429,13 +429,24 @@ class _PGSQReader(DataSourceReader):
 
         import pyarrow as pa
 
-        from ..compat.parquet_reader import read_table_arrow
+        from ..compat.page_index import page_prune_ranges
+        from ..compat.parquet_reader import file_meta, read_table_arrow
         from .decode_job import arrow_type_of_ddl
 
         cols = [n for n, _, _ in self.triples]
         with open(partition.path, "rb") as fh:
             with mmap.mmap(fh.fileno(), 0, access=mmap.ACCESS_READ) as mm:
-                tbl = read_table_arrow(mm, columns=cols, row_groups=[partition.rg])
+                ranges = None
+                if self.prune:
+                    # page tier: pushed filters narrow the row group to
+                    # surviving pages via the file's own PageIndex;
+                    # Spark re-applies every filter exactly afterwards
+                    ranges = page_prune_ranges(
+                        mm, file_meta(mm), partition.rg, self.prune
+                    )
+                tbl = read_table_arrow(
+                    mm, columns=cols, row_groups=[partition.rg], row_ranges=ranges
+                )
                 arrays = [
                     tbl.column(n).combine_chunks().cast(arrow_type_of_ddl(ddl))
                     for n, _, ddl in self.triples

@@ -268,3 +268,42 @@ def test_pgsq_pushed_filter_prunes_files_and_stays_exact(spark, pq_dir):
     rd = _PGSQReader(files, parquet_scan_schema(files[0]))
     rd.prune = [("i", ">=", 700)]
     assert len(rd.partitions()) == 1
+
+
+def test_pgsq_page_tier_skips_excluded_pages(spark, tmp_path):
+    """Pushed filters reach the PageIndex tier: corrupt an excluded
+    page's bytes and the filtered pgsq read still returns exact rows —
+    proof the page was never decompressed."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parquet_go_spark.compat.page_index import read_offset_index
+    from parquet_go_spark.compat.parquet_reader import file_meta_path
+    from parquet_go_spark.spark.datasource import PGSParquetDataSource
+
+    d = tmp_path / "pqidx"
+    d.mkdir()
+    n = 10_000
+    t = pa.table(
+        {
+            "k": pa.array(range(n), type=pa.int64()),
+            "s": pa.array([f"u{i:06d}" for i in range(n)]),
+        }
+    )
+    buf = io.BytesIO()
+    pq.write_table(t, buf, write_page_index=True, data_page_size=4096)
+    blob = bytearray(buf.getvalue())
+    p = d / "f0.parquet"
+    p.write_bytes(bytes(blob))
+    meta = file_meta_path(str(p))
+    locs = read_offset_index(bytes(blob), meta[4][0][1][0])  # column k
+    off, size, first = locs[0]  # first page: rows [0, ...), excluded below
+    blob[off + 5 : off + size] = b"\x00" * (size - 5)
+    p.write_bytes(bytes(blob))
+
+    spark.dataSource.register(PGSParquetDataSource)
+    df = spark.read.format("pgsq").load(str(d)).where(f"k >= {n - 200}")
+    got = sorted(r["k"] for r in df.collect())
+    assert got == list(range(n - 200, n))
