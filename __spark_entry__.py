@@ -718,6 +718,47 @@ def _q_parquet_scan_page_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.where(F.col("l_orderkey") <= 600)
 
 
+def _q_parquet_scan_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet BloomFilter end-to-end (parquet-format BloomFilter.md:
+    XXH64 over plain encodings, SBBF bitset at
+    ColumnMetaData.bloom_filter_offset): the fixture scatters l_orderkey
+    by sorting on l_partkey, so every row group spans the whole orderkey
+    range and Statistics cannot exclude anything — the bloom probe is
+    the only tier that can prove absence, dropping row groups without
+    the key before any task launches. The predicate re-applies exactly
+    after the conservative prune."""
+    import hashlib
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq_
+
+    from parquet_go_spark.compat.parquet_writer import write_parquet
+    from parquet_go_spark.spark.parquet_source import read_parquet_table
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    cache = os.path.join(tempfile.gettempdir(), f"pgs_bloomidx_{tag}")
+    path = os.path.join(cache, "lineitem_scattered.parquet")
+    if not os.path.exists(path):
+        os.makedirs(cache, exist_ok=True)
+        t = pq_.read_table(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_partkey", "l_quantity", "l_extendedprice", "l_returnflag"],
+        ).sort_by("l_partkey")
+        blob = write_parquet(
+            t,
+            compression="snappy",
+            max_row_group=max(t.num_rows // 4, 1),
+            bloom_columns=["l_orderkey"],
+        )
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as fh:
+            fh.write(blob)
+        os.replace(tmp, path)
+    df = read_parquet_table(spark, path, prune=[("l_orderkey", "==", 600)])
+    return df.where(F.col("l_orderkey") == 600)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # encoding layer: identity round-trips (auto selector + per-codec)
@@ -737,6 +778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parquet_interop_nested": _q_parquet_interop_nested,
         "parquet_scan_distributed": _q_parquet_scan_distributed,
         "parquet_scan_page_prune": _q_parquet_scan_page_prune,
+        "parquet_scan_bloom_prune": _q_parquet_scan_bloom_prune,
         "html_extract_text": _q_html_extract,
         "html_stats": _q_html_stats,
         "url_normalize": _q_url_normalize,
@@ -978,6 +1020,10 @@ WHERE round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) >= 0.35
         "parquet_scan_page_prune": (
             "SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice,"
             " l_returnflag FROM lineitem WHERE l_orderkey <= 600"
+        ),
+        "parquet_scan_bloom_prune": (
+            "SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice,"
+            " l_returnflag FROM lineitem WHERE l_orderkey = 600"
         ),
         "html_extract_text": _html_extract_duck_sql(),
         "html_stats": _html_stats_duck_sql(),

@@ -516,6 +516,8 @@ def write_parquet(
     page_version: int = 1,
     crc: bool = False,
     page_index: bool = False,
+    bloom_columns: list[str] | None = None,
+    bloom_fpp: float = 0.01,
     return_meta: bool = False,
 ):
     """pa.Table -> Parquet file bytes (flat or nested schema: lists at
@@ -534,8 +536,15 @@ def write_parquet(
     the footer) so readers — ours and foreign engines — can prune at
     page granularity; bounds use the spec's truncate-and-increment
     convention for long byte values.
+    ``bloom_columns`` writes parquet-format split-block bloom filters
+    (BloomFilter.md: XXH64 over plain-encoded values, SBBF bitset behind
+    a BloomFilterHeader at ColumnMetaData.bloom_filter_offset) for the
+    named FLAT columns, sized from each chunk's distinct count at
+    ``bloom_fpp`` — the equality-prune tier min/max can't provide on
+    hash-scattered keys.
     ``return_meta=True`` -> (bytes, [{column, encoding, raw/comp bytes}]).
     """
+    from .bloom_filter import bloom_bytes_for_column, bloom_header_bytes
     from .page_index import column_index_struct, offset_index_struct
     from .shred import leaf_specs
 
@@ -555,10 +564,19 @@ def write_parquet(
             schema_elems.append(_leaf_schema_elem(name, t, optional=True))
             n_leaves += 1
 
+    if bloom_columns:
+        unknown = set(bloom_columns) - set(table.column_names)
+        nested = set(bloom_columns) & set(nested_specs)
+        if unknown or nested:
+            raise ValueError(
+                f"bloom_columns must name flat columns; unknown={sorted(unknown)}"
+                f" nested={sorted(nested)}"
+            )
     n_rows = table.num_rows
     group_rows = max_row_group or max(n_rows, 1)
     row_groups = []
     chunk_pages: list[tuple[dict, list]] = []  # (cc struct, page records)
+    bloom_jobs: list[tuple[dict, bytes]] = []  # (ColumnMetaData struct, bitset)
     off = 0
     while off == 0 or off < n_rows:
         part = table.slice(off, min(group_rows, n_rows - off) if n_rows else 0)
@@ -586,6 +604,10 @@ def write_parquet(
             )
             if page_index:
                 chunk_pages.append((cc, pidx))
+            if bloom_columns and name in bloom_columns:
+                bits = bloom_bytes_for_column(col, fpp=bloom_fpp)
+                if bits is not None:
+                    bloom_jobs.append((cc[3][1], bits))
             col_chunks.append(cc)
             mrow["row_group"] = len(row_groups)
             metas.append(mrow)
@@ -599,6 +621,14 @@ def write_parquet(
         off += max(part.num_rows, 1)
         if n_rows == 0:
             break
+    # bloom filters: header + bitset per indexed chunk, offsets into
+    # ColumnMetaData fields 14/15 (spec places them after the data,
+    # before the footer; exact position is carried by the offsets)
+    for cmeta_struct, bits in bloom_jobs:
+        hdr = bloom_header_bytes(len(bits))
+        cmeta_struct[14] = ("i64", len(out))
+        cmeta_struct[15] = ("i32", len(hdr) + len(bits))
+        out += hdr + bits
     # PageIndex region: between the last row group and the footer, all
     # ColumnIndex structs first, then all OffsetIndexes (parquet-mr
     # layout); each ColumnChunk records its spans (fields 6/7 and 4/5)

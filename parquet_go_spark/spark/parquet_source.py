@@ -134,14 +134,36 @@ def _decode_stat(raw: bytes, ptype: int):
     return None
 
 
-def _rg_excluded(rg: dict, prune: list[tuple]) -> bool:
-    """One row group provably excluded by some predicate?"""
+def _rg_chunks_by_name(rg: dict) -> dict[str, dict]:
     by_name = {}
     for ch in rg[1]:
         md = ch.get(3)
         if md is None:
             continue
         by_name[b".".join(md[3]).decode()] = md
+    return by_name
+
+
+def _rg_bloom_excluded(path: str, rg: dict, eq: list[tuple]) -> bool:
+    """Probe the row group's parquet BloomFilters (BloomFilter.md) for
+    equality predicates the Statistics couldn't exclude — one bounded
+    pread per (chunk, predicate), never a data page. False positives
+    keep the group (conservative); a definite miss drops it."""
+    from ..compat.bloom_filter import bloom_probe_file
+
+    by_name = _rg_chunks_by_name(rg)
+    for col, value in eq:
+        md = by_name.get(col)
+        if md is None:
+            continue
+        if not bloom_probe_file(path, md, value):
+            return True
+    return False
+
+
+def _rg_excluded(rg: dict, prune: list[tuple]) -> bool:
+    """One row group provably excluded by some predicate?"""
+    by_name = _rg_chunks_by_name(rg)
     for col, op, value in prune:
         md = by_name.get(col)
         if md is None or 12 not in md:
@@ -175,12 +197,16 @@ def plan_scan_tasks(files: list[str], prune: list[tuple] | None) -> list[tuple[s
     executors instead of pinning one task (reference
     ``SeekToRowGroup``, ``file_reader.go:144-155``, distributed).
     Row groups whose Statistics provably exclude the predicates are
-    never planned."""
+    never planned; equality predicates additionally probe any
+    parquet BloomFilters the writer stored (one bounded pread each)."""
     tasks = []
+    eq = [(c, v) for c, op, v in (prune or []) if op == "=="]
     for f in files:
         meta = file_meta_path(f)
         for rgi, rg in enumerate(meta.get(4) or []):
             if prune and _rg_excluded(rg, prune):
+                continue
+            if eq and _rg_bloom_excluded(f, rg, eq):
                 continue
             tasks.append((f, rgi))
     return tasks
