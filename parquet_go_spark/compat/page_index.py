@@ -98,7 +98,11 @@ def decode_stat(raw: bytes | None, ptype: int):
 def _page_excluded(op: str, value, mn, mx) -> bool:
     """Provable exclusion for one page given decoded bounds. NaN or
     unknown bounds keep the page (every comparison with NaN is False,
-    which would wrongly 'exclude')."""
+    which would wrongly 'exclude'). ``notnull`` never excludes here —
+    all-null pages are dropped by the null_pages flag before bounds are
+    consulted."""
+    if op == "notnull":
+        return False
     if mn is None or mx is None:
         return False
     try:
@@ -106,6 +110,8 @@ def _page_excluded(op: str, value, mn, mx) -> bool:
             return False
         if op == "==":
             return value < mn or value > mx
+        if op == "in":
+            return all(v < mn or v > mx for v in value)
         if op == "<=":
             return mn > value
         if op == "<":

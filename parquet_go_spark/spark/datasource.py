@@ -411,8 +411,10 @@ class _PGSQReader(DataSourceReader):
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
         for f in filters:
             for col, op, value in _filter_to_prune(f):
-                # footer stats only compare ==, <=, >= on raw values
-                if op in ("==", "<=", ">="):
+                # ==/<=/>= compare footer stats and page-index bounds;
+                # ==/IN additionally probe bloom filters; notnull drops
+                # all-null chunks/pages via null counts
+                if op in ("==", "<=", ">=", "in", "notnull"):
                     self.prune.append((col, op, value))
             yield f  # conservative: Spark re-applies every filter
 

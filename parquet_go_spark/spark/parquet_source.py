@@ -152,11 +152,11 @@ def _rg_bloom_excluded(path: str, rg: dict, eq: list[tuple]) -> bool:
     from ..compat.bloom_filter import bloom_probe_file
 
     by_name = _rg_chunks_by_name(rg)
-    for col, value in eq:
+    for col, values in eq:
         md = by_name.get(col)
         if md is None:
             continue
-        if not bloom_probe_file(path, md, value):
+        if not any(bloom_probe_file(path, md, v) for v in values):
             return True
     return False
 
@@ -170,16 +170,27 @@ def _rg_excluded(rg: dict, prune: list[tuple]) -> bool:
             continue
         st = md[12]
         ptype = md[1]
+        if op == "notnull":
+            # Statistics.null_count == value count ⇒ the chunk is all
+            # null ⇒ no row satisfies IsNotNull
+            if st.get(3) is not None and st[3] >= md[5]:
+                return True
+            continue
         mx = _decode_stat(st.get(5, st.get(1)), ptype)
         mn = _decode_stat(st.get(6, st.get(2)), ptype)
         if mn is None or mx is None:
             continue
-        if op == "==" and (value < mn or value > mx):
-            return True
-        if op == "<=" and mn > value:
-            return True
-        if op == ">=" and mx < value:
-            return True
+        try:
+            if op == "==" and (value < mn or value > mx):
+                return True
+            if op == "in" and all(v < mn or v > mx for v in value):
+                return True
+            if op == "<=" and mn > value:
+                return True
+            if op == ">=" and mx < value:
+                return True
+        except TypeError:
+            continue
     return False
 
 
@@ -200,7 +211,11 @@ def plan_scan_tasks(files: list[str], prune: list[tuple] | None) -> list[tuple[s
     never planned; equality predicates additionally probe any
     parquet BloomFilters the writer stored (one bounded pread each)."""
     tasks = []
-    eq = [(c, v) for c, op, v in (prune or []) if op == "=="]
+    eq = [
+        (c, (v,) if op == "==" else tuple(v))
+        for c, op, v in (prune or [])
+        if op in ("==", "in")
+    ]
     for f in files:
         meta = file_meta_path(f)
         for rgi, rg in enumerate(meta.get(4) or []):

@@ -123,6 +123,50 @@ class TestWriteProbe:
         # an absent key plans nothing
         assert plan_scan_tasks([p], [("k", "==", N + 5)]) == []
 
+    def test_in_list_probes_every_member(self, bloom_file):
+        from parquet_go_spark.spark.parquet_source import plan_scan_tasks
+
+        p, _, keys = bloom_file
+        # members from two different row groups -> both planned
+        hit = plan_scan_tasks(
+            [p], [("k", "in", (int(keys[0]), int(keys[10_001])))]
+        )
+        assert 1 <= len(hit) <= 2
+        # all members absent -> nothing planned
+        assert plan_scan_tasks([p], [("k", "in", (N + 1, N + 2))]) == []
+
+    def test_notnull_drops_all_null_row_group(self, tmp_path):
+        from parquet_go_spark.spark.parquet_source import plan_scan_tasks
+
+        t = pa.table(
+            {
+                "k": pa.array(
+                    [None] * 5000 + list(range(5000)), type=pa.int64()
+                )
+            }
+        )
+        p = tmp_path / "nn.parquet"
+        import io
+
+        buf = io.BytesIO()
+        pq.write_table(t, buf, row_group_size=5000)
+        p.write_bytes(buf.getvalue())
+        tasks = plan_scan_tasks([str(p)], [("k", "notnull", None)])
+        assert [rg for _, rg in tasks] == [1]
+
+    def test_pgsq_pushes_in_and_notnull(self, spark, bloom_file):
+        from parquet_go_spark.spark.datasource import PGSParquetDataSource
+
+        p, _, keys = bloom_file
+        spark.dataSource.register(PGSParquetDataSource)
+        df = spark.read.format("pgsq").load(p)
+        a, b = int(keys[1]), int(keys[10_002])
+        got = sorted(
+            r["k"] for r in df.where(f"k in ({a}, {b})").select("k").collect()
+        )
+        assert got == sorted([a, b])
+        assert df.where("k is not null").count() == N
+
     def test_scan_exact_after_bloom_prune(self, spark, bloom_file):
         from parquet_go_spark.spark.parquet_source import read_parquet_table
 

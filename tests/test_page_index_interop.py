@@ -138,6 +138,46 @@ class TestReadForeignIndex:
         out = read_table_arrow(pa_file, None, [0], r)
         assert out.num_rows == 0 and out.column_names == table.column_names
 
+    def test_in_list_keeps_only_member_pages(self, table, pa_file):
+        meta = file_meta(pa_file)
+        r = page_prune_ranges(pa_file, meta, 0, [("k", "in", (100, 12_500))])
+        covered = sum(hi - lo for lo, hi in r)
+        assert covered < N // 2
+        out = read_table_arrow(pa_file, None, [0], r)
+        assert out.equals(_expect(table, N, r))
+        got = set(out.column("k").to_pylist())
+        assert {100, 12_500} <= got
+
+    def test_notnull_drops_all_null_pages(self):
+        # byte-estimate page cuts never isolate an all-null run next to
+        # values (nulls encode to ~0 bytes), so the clean page-level
+        # notnull case is the all-null column: every page is a null
+        # page and IsNotNull prunes the chunk to nothing
+        t = pa.table(
+            {
+                "k": pa.array(range(600), type=pa.int64()),
+                "v": pa.array([None] * 600, type=pa.float64()),
+            }
+        )
+        b = write_parquet(t, max_page=1200, page_index=True)
+        meta = file_meta(b)
+        assert page_prune_ranges(b, meta, 0, [("v", "notnull", None)]) == []
+        # a partially-null chunk stays un-narrowed (conservative)
+        t2 = pa.table(
+            {
+                "v": pa.array(
+                    [None] * 450 + [float(i) for i in range(150)],
+                    type=pa.float64(),
+                )
+            }
+        )
+        b2 = write_parquet(t2, max_page=1200, page_index=True)
+        m2 = file_meta(b2)
+        r2 = page_prune_ranges(b2, m2, 0, [("v", "notnull", None)])
+        assert r2 == [(0, 600)]
+        out = read_table_arrow(b2, None, [0], r2)
+        assert out.equals(t2)
+
     def test_nested_column_row_aligned(self, table, pa_file):
         """tags (list leaf, no page seek) must land on the same rows as
         the page-seeked flat columns."""
