@@ -208,6 +208,7 @@ def _write_chunk(out: bytearray, col: ColumnData, name: str, enc_name: str | Non
     data_offset = len(out)
     encodings_used.add(enc)
     vstart = 0
+    n_data_pages = 0
     vcum = (
         np.concatenate([[0], np.cumsum(col.lengths)]).astype(np.int64)
         if col.ptype == "bytes"
@@ -278,6 +279,16 @@ def _write_chunk(out: bytearray, col: ColumnData, name: str, enc_name: str | Non
         total_raw += raw_add + len(hdr)
         total_comp += len(page_bytes) + len(hdr)
         vstart = vend
+        n_data_pages += 1
+    # PageEncodingStats (field 13): lets readers prove every data page
+    # is dictionary-encoded and use the dict page as the exact distinct
+    # set (parquet-mr DictionaryFilter)
+    enc_stats = []
+    if dict_offset is not None:
+        enc_stats.append({1: ("i32", 2), 2: ("i32", E_PLAIN), 3: ("i32", 1)})
+    enc_stats.append(
+        {1: ("i32", 3 if page_version == 2 else 0), 2: ("i32", enc), 3: ("i32", n_data_pages)}
+    )
     meta = {
         1: ("i32", _PQ_TYPE[col.ptype]),
         2: ("list", ("i32", sorted(encodings_used))),
@@ -288,6 +299,7 @@ def _write_chunk(out: bytearray, col: ColumnData, name: str, enc_name: str | Non
         7: ("i64", total_comp),
         9: ("i64", data_offset),
         12: ("struct", _statistics_struct(col, distinct)),
+        13: ("list", ("struct", enc_stats)),
     }
     if dict_offset is not None:
         meta[11] = ("i64", dict_offset)
@@ -405,6 +417,7 @@ def _write_chunk_nested(
         total_comp += len(comp) + len(hdr)
         encodings_used.add(E_PLAIN)
     data_offset = len(out)
+    n_data_pages = 0
     # row-aligned page cuts by estimated leaf bytes per row
     per_pos_bytes = 8.0 if col.ptype != "bytes" else max(
         1.0, (col.data.nbytes / max(len(leaf), 1))
@@ -474,7 +487,12 @@ def _write_chunk_nested(
         out += hdr + comp
         total_raw += len(body) + len(hdr)
         total_comp += len(comp) + len(hdr)
+        n_data_pages += 1
     n_positions = int(pos_edges[-1])
+    enc_stats = []
+    if dict_offset is not None:
+        enc_stats.append({1: ("i32", 2), 2: ("i32", E_PLAIN), 3: ("i32", 1)})
+    enc_stats.append({1: ("i32", 0), 2: ("i32", enc), 3: ("i32", n_data_pages)})
     meta = {
         1: ("i32", _PQ_TYPE[col.ptype]),
         2: ("list", ("i32", sorted(encodings_used))),
@@ -485,6 +503,7 @@ def _write_chunk_nested(
         7: ("i64", total_comp),
         9: ("i64", data_offset),
         12: ("struct", {3: ("i64", n_positions - len(leaf))}),
+        13: ("list", ("struct", enc_stats)),
     }
     if dict_offset is not None:
         meta[11] = ("i64", dict_offset)

@@ -144,12 +144,17 @@ def _rg_chunks_by_name(rg: dict) -> dict[str, dict]:
     return by_name
 
 
-def _rg_bloom_excluded(path: str, rg: dict, eq: list[tuple]) -> bool:
-    """Probe the row group's parquet BloomFilters (BloomFilter.md) for
-    equality predicates the Statistics couldn't exclude — one bounded
-    pread per (chunk, predicate), never a data page. False positives
-    keep the group (conservative); a definite miss drops it."""
+def _rg_point_lookup_excluded(path: str, rg: dict, eq: list[tuple]) -> bool:
+    """Point-lookup exclusion for ==/IN predicates the Statistics
+    couldn't decide: probe the chunk's parquet BloomFilter
+    (BloomFilter.md; probabilistic, no false negatives), then — when the
+    chunk's encoding_stats prove full dictionary encoding — the
+    dictionary page itself (parquet-mr DictionaryFilter semantics: the
+    dict IS the exact distinct set, so a miss is proof). One bounded
+    pread per probe, never a data page. Anything inconclusive keeps the
+    group."""
     from ..compat.bloom_filter import bloom_probe_file
+    from ..compat.dict_filter import dict_probe_file
 
     by_name = _rg_chunks_by_name(rg)
     for col, values in eq:
@@ -157,6 +162,8 @@ def _rg_bloom_excluded(path: str, rg: dict, eq: list[tuple]) -> bool:
         if md is None:
             continue
         if not any(bloom_probe_file(path, md, v) for v in values):
+            return True
+        if not dict_probe_file(path, md, values):
             return True
     return False
 
@@ -208,8 +215,10 @@ def plan_scan_tasks(files: list[str], prune: list[tuple] | None) -> list[tuple[s
     executors instead of pinning one task (reference
     ``SeekToRowGroup``, ``file_reader.go:144-155``, distributed).
     Row groups whose Statistics provably exclude the predicates are
-    never planned; equality predicates additionally probe any
-    parquet BloomFilters the writer stored (one bounded pread each)."""
+    never planned; ==/IN predicates additionally probe any parquet
+    BloomFilters the writer stored and — on fully dictionary-encoded
+    chunks — the dictionary page itself (exact membership, parquet-mr
+    DictionaryFilter semantics), one bounded pread each."""
     tasks = []
     eq = [
         (c, (v,) if op == "==" else tuple(v))
@@ -221,7 +230,7 @@ def plan_scan_tasks(files: list[str], prune: list[tuple] | None) -> list[tuple[s
         for rgi, rg in enumerate(meta.get(4) or []):
             if prune and _rg_excluded(rg, prune):
                 continue
-            if eq and _rg_bloom_excluded(f, rg, eq):
+            if eq and _rg_point_lookup_excluded(f, rg, eq):
                 continue
             tasks.append((f, rgi))
     return tasks
