@@ -92,6 +92,8 @@ def cmd_encode(args) -> int:
             partitions=args.partitions,
             compression=args.compression,
             resume=not args.no_resume,
+            page_index=args.page_index,
+            bloom_columns=args.bloom_columns.split(",") if args.bloom_columns else None,
         ).collect()
     else:
         from .spark.encode_job import encode_table
@@ -181,7 +183,53 @@ def cmd_decode(args) -> int:
     return 0
 
 
+def _parquet_meta(path: str) -> int:
+    """Footer-only metadata dump for real .parquet files (tail preads,
+    no data pages): per row group and column chunk — encodings, sizes,
+    stats, and which prune structures the writer stored (PageIndex,
+    bloom filter, fully-dict encoding_stats)."""
+    from .compat.dict_filter import all_data_pages_dict
+    from .compat.page_index import decode_stat
+    from .compat.parquet_reader import file_meta_path
+    from .spark.parquet_source import _list_files
+
+    enc_names = {
+        0: "plain", 2: "plain_dict", 3: "rle", 4: "bitpack",
+        5: "delta_bp", 6: "delta_length", 7: "delta_bytes",
+        8: "rle_dict", 9: "bss",
+    }
+    for f in _list_files(path):
+        meta = file_meta_path(f)
+        rgs = meta.get(4) or []
+        print(json.dumps({"file": f, "rows": meta.get(3), "row_groups": len(rgs)}))
+        for rgi, rg in enumerate(rgs):
+            for cc in rg[1]:
+                md = cc.get(3)
+                if md is None:
+                    continue
+                st = md.get(12, {})
+                ptype = md[1]
+                row = {
+                    "rg": rgi,
+                    "column": b".".join(md[3]).decode(),
+                    "codec": {0: "none", 1: "snappy", 2: "gzip", 6: "zstd"}.get(md[4], md[4]),
+                    "values": md[5],
+                    "bytes": md[7],
+                    "encodings": [enc_names.get(e, e) for e in md[2]],
+                    "nulls": st.get(3),
+                    "min": repr(decode_stat(st.get(6, st.get(2)), ptype)),
+                    "max": repr(decode_stat(st.get(5, st.get(1)), ptype)),
+                    "page_index": 6 in cc and 4 in cc,
+                    "bloom": 14 in md,
+                    "dict_complete": all_data_pages_dict(md),
+                }
+                print(json.dumps(row))
+    return 0
+
+
 def cmd_meta(args) -> int:
+    if getattr(args, "input_format", "pgs") == "parquet":
+        return _parquet_meta(args.enc)
     spark = _spark(args)
     from pyspark.sql import functions as F
 
@@ -409,7 +457,15 @@ def main(argv=None) -> int:
     e.add_argument(
         "--bloom-columns",
         default=None,
-        help="comma-separated columns to build manifest bloom filters for (point-lookup prune)",
+        help="comma-separated columns to build bloom filters for (point-lookup "
+        "prune): manifest SBBF for the chunks format, parquet-format "
+        "BloomFilter.md structures for --format parquet",
+    )
+    e.add_argument(
+        "--page-index",
+        action="store_true",
+        help="with --format parquet: write the parquet-format PageIndex "
+        "(ColumnIndex + OffsetIndex) so any engine can prune pages",
     )
     e.add_argument(
         "--encodings",
@@ -455,6 +511,14 @@ def main(argv=None) -> int:
 
     m = sub.add_parser("meta")
     m.add_argument("--enc", required=True)
+    m.add_argument(
+        "--input-format",
+        choices=["pgs", "parquet"],
+        default="pgs",
+        help="'parquet' prints real-Parquet footer metadata from tail preads "
+        "only (row groups, chunk encodings, stats, PageIndex/bloom/dict "
+        "presence) — parquet-tool meta over foreign files",
+    )
     m.set_defaults(fn=cmd_meta)
 
     g = sub.add_parser("gen-pages")

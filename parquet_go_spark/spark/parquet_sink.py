@@ -32,7 +32,17 @@ def encode_table_parquet(
     encodings: dict[str, str] | None = None,
     salt: int = 0x5A17,
     resume: bool = True,
+    page_index: bool = False,
+    bloom_columns: list[str] | None = None,
+    bloom_fpp: float = 0.01,
+    max_row_group: int | None = None,
 ) -> DataFrame:
+    """``page_index`` / ``bloom_columns`` / ``bloom_fpp`` /
+    ``max_row_group`` pass straight through to
+    :func:`compat.parquet_writer.write_parquet` per partition file, so
+    the emitted table carries the spec pruning structures (PageIndex,
+    BloomFilter, PageEncodingStats) any engine — including our own
+    ``read_parquet_table`` — can prune on."""
     spark = df.sparkSession
     cols = df.columns
     os.makedirs(out_dir, exist_ok=True)
@@ -67,7 +77,14 @@ def encode_table_parquet(
         if recs:
             table = pa.Table.from_batches(recs)
             payload, metas = write_parquet(
-                table, compression=compression, encodings=encodings, return_meta=True
+                table,
+                compression=compression,
+                encodings=encodings,
+                page_index=page_index,
+                bloom_columns=bloom_columns,
+                bloom_fpp=bloom_fpp,
+                max_row_group=max_row_group,
+                return_meta=True,
             )
             tmp = fpath + f".tmp.{os.getpid()}"
             with open(tmp, "wb") as f:

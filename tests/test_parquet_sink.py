@@ -49,3 +49,40 @@ def test_parquet_sink_resume(spark, tmp_path):
     untouched = [p for p in files1 if f"part-{victim:05d}" not in p]
     for p in untouched:
         assert files1[p] == files2[p]
+
+
+def test_parquet_sink_emits_prune_structures(spark, tmp_path):
+    """page_index/bloom_columns pass through to every partition file:
+    pyarrow flags the PageIndex, our planner prunes row groups via the
+    bloom, and the distributed scan stays exact."""
+    import io
+
+    import pyarrow.parquet as pq
+
+    from parquet_go_spark.compat.bloom_filter import bloom_probe_file
+    from parquet_go_spark.compat.parquet_reader import file_meta_path
+    from parquet_go_spark.spark.parquet_source import read_parquet_table
+
+    out = str(tmp_path / "pq_idx")
+    df = pages_df(spark, 2000, partitions=2)
+    encode_table_parquet(
+        df, out, key_col="url", partitions=3, compression="snappy",
+        page_index=True, bloom_columns=["url"], max_row_group=400,
+    ).collect()
+    files = sorted(glob.glob(f"{out}/part-*.parquet"))
+    assert files
+    md = pq.ParquetFile(files[0]).metadata
+    col0 = md.row_group(0).column(0)
+    assert col0.has_column_index and col0.has_offset_index
+    # the url chunk carries a bloom our prober can consult
+    meta = file_meta_path(files[0])
+    cc_url = [
+        c for c in meta[4][0][1]
+        if [p.decode() for p in c[3][3]] == ["url"]
+    ][0]
+    assert 14 in cc_url[3]
+    assert bloom_probe_file(files[0], cc_url[3], "https://no.such.url/") is False
+    # end-to-end: point lookup through the sinked table
+    one = df.select("url").limit(1).collect()[0][0]
+    hit = read_parquet_table(spark, out, prune=[("url", "==", one)])
+    assert hit.where(hit.url == one).count() == 1
