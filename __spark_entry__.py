@@ -759,6 +759,29 @@ def _q_parquet_scan_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.where(F.col("l_orderkey") == 600)
 
 
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: connected components over the LSH candidate
+    pairs by iterative min-label propagation (one shuffle per round,
+    localCheckpoint-truncated lineage, converges in O(component
+    diameter)). The oracle replicates reachability with a DuckDB
+    recursive CTE over the same deterministic pair SQL."""
+    from parquet_go_spark.ops.cluster import dup_clusters
+
+    docs = _load(spark, sf_dir, "documents")
+    return dup_clusters(docs, lsh_pairs(docs))
+
+
+def _q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection per near-dup cluster (longest text,
+    ties to the smallest id) — the final corpus-dedup step: one kept
+    row per cluster."""
+    from parquet_go_spark.ops.cluster import canonical_docs, dup_clusters
+
+    docs = _load(spark, sf_dir, "documents")
+    kept = canonical_docs(docs, dup_clusters(docs, lsh_pairs(docs)))
+    return kept.withColumn("n_kept_chars", F.col("n_kept_chars").cast("long"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # encoding layer: identity round-trips (auto selector + per-codec)
@@ -828,6 +851,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _load(spark, sf_dir, "documents")
         ),
         "lsh_dup_pairs": lambda spark, sf_dir: lsh_pairs(_load(spark, sf_dir, "documents")),
+        "dedup_clusters": _q_dedup_clusters,
+        "dedup_canonical": _q_dedup_canonical,
         "ngram_jaccard_pairs": lambda spark, sf_dir: ngram_jaccard_pairs(
             _load(spark, sf_dir, "documents")
         ),
@@ -891,6 +916,31 @@ st AS (
 )
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM st a JOIN st b ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id
+"""
+    clusters_cte = f"""
+WITH RECURSIVE pairs AS ({lsh_cte}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+),
+reach(id, lab) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
+)
+SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY id
+"""
+    canonical_sql = f"""
+WITH clusters AS ({clusters_cte}),
+j AS (
+  SELECT d.doc_id, c.cluster_id, CAST(length(d.text) AS BIGINT) AS n_kept_chars
+  FROM documents d JOIN clusters c USING (doc_id)
+)
+SELECT doc_id, cluster_id, n_kept_chars FROM (
+  SELECT j.*, row_number() OVER (
+    PARTITION BY cluster_id ORDER BY n_kept_chars DESC, doc_id ASC) AS rn
+  FROM j
+) WHERE rn = 1
 """
     jacc_sql = f"""
 WITH pairs AS ({lsh_cte}),
@@ -1114,6 +1164,8 @@ WHERE round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) >= 0.35
         ),
         "minhash_signatures": mh_sql,
         "lsh_dup_pairs": lsh_cte,
+        "dedup_clusters": clusters_cte,
+        "dedup_canonical": canonical_sql,
         "ngram_jaccard_pairs": jacc_sql,
         "multimodal_image_hist": _MULTIMODAL_DUCK,
         "embedding_cosine_topk": topk_sql,
