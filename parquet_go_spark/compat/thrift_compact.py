@@ -53,6 +53,8 @@ def _read_value(buf, pos: int, vtype: int):
     if vtype == T_DOUBLE:
         import struct as _s
 
+        if pos + 8 > len(buf):
+            raise ValueError("thrift compact: truncated double")
         return _s.unpack("<d", bytes(buf[pos : pos + 8]))[0], pos + 8
     if vtype == T_BINARY:
         ln, pos = read_uvarint(buf, pos)

@@ -276,3 +276,51 @@ def test_fuzz_parquet_reader_corruption(data):
         pass
     except pyarrow.lib.ArrowException:
         pass  # codec-level rejection (snappy/zstd) is an acceptable failure
+
+
+@settings(max_examples=200, deadline=2000)
+@given(st.binary(min_size=0, max_size=256))
+def test_fuzz_bloom_header_reader(buf):
+    """Forged BloomFilterHeaders must raise ValueError or report
+    absent/unsupported (None) — never allocate from a lying numBytes or
+    crash uncontrolled (compat/bloom_filter.py governor)."""
+    from parquet_go_spark.compat.bloom_filter import read_bloom_bitset
+
+    try:
+        out = read_bloom_bitset(buf, {14: 0, 1: 6})
+        assert out is None or isinstance(out, bytes)
+    except (ValueError, KeyError, IndexError, TypeError):
+        pass
+
+
+@settings(max_examples=200, deadline=2000)
+@given(st.binary(min_size=0, max_size=256), st.integers(0, 7))
+def test_fuzz_page_index_structs(buf, ptype):
+    """Garbage ColumnIndex/OffsetIndex regions parse to a controlled
+    rejection or a well-typed result, and pruning over them never
+    crashes (it may only KEEP more than necessary)."""
+    from parquet_go_spark.compat.page_index import (
+        read_column_index,
+        read_offset_index,
+    )
+
+    cc = {4: 0, 5: len(buf), 6: 0, 7: len(buf), 3: {1: ptype}}
+    for fn in (read_offset_index, read_column_index):
+        try:
+            fn(buf, cc)
+        except (ValueError, KeyError, IndexError, TypeError):
+            pass
+
+
+@settings(max_examples=100, deadline=4000)
+@given(st.lists(st.binary(min_size=0, max_size=80), min_size=0, max_size=40),
+       st.integers(0, 2**31 - 1))
+def test_property_xxh64_vectorized_matches_scalar(vals, seed):
+    import numpy as np
+
+    from parquet_go_spark.kernels.xxhash64 import xxh64, xxh64_column
+
+    lens = np.array([len(v) for v in vals], dtype=np.int64)
+    data = np.frombuffer(b"".join(vals), dtype=np.uint8)
+    hv = xxh64_column(lens, data, seed=seed)
+    assert [int(h) for h in hv] == [xxh64(v, seed) for v in vals]
