@@ -213,6 +213,53 @@ def cell_scores_sql(cents: np.ndarray, vec_expr: str, dot_fn: str | None = None)
     return "array(" + ", ".join(dots) + ")"
 
 
+def train_ivf_kmeans(
+    df: DataFrame,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 13,
+    max_iter: int = 20,
+    sample_rows: int | None = 200_000,
+) -> np.ndarray:
+    """Train the IVF coarse quantizer with distributed k-means (MLlib
+    kmeans||) over L2-NORMALIZED vectors — spherical k-means, so the
+    unit-normalized centers order cells by angle and ``ivf_topk``'s
+    argmax-dot assignment is exactly nearest-centroid-by-cosine.
+
+    -> (dim, n_cells) centroid matrix, drop-in for the ``centroids``
+    parameter of :func:`ivf_topk` (the assignment/probe plan is
+    identical to the seeded random quantizer; only recall improves,
+    because trained cells follow the corpus density).
+
+    Scale shape: one MLlib kmeans|| fit — Spark's parallel k-means++
+    init plus ``max_iter`` Lloyd rounds, each one map-side partial
+    aggregation over the (optionally sampled) corpus; the model itself
+    is dim x n_cells doubles on the driver."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    nrm = (
+        f"sqrt(aggregate(zip_with({vec_col}, {vec_col}, (x, y) ->"
+        " cast(x as double) * y), 0D, (acc, x) -> acc + x))"
+    )
+    feats = df.select(
+        array_to_vector(
+            F.expr(
+                f"transform({vec_col}, x -> cast(x as double) / nullif({nrm}, 0D))"
+            )
+        ).alias("features")
+    ).na.drop()
+    if sample_rows is not None:
+        total = feats.count()
+        if total > sample_rows:
+            feats = feats.sample(fraction=sample_rows / total, seed=seed)
+    model = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(feats)
+    cents = np.asarray(model.clusterCenters(), dtype=np.float64).T  # (dim, cells)
+    norms = np.linalg.norm(cents, axis=0, keepdims=True)
+    norms[norms == 0] = 1.0
+    return np.round(cents / norms, 6)
+
+
 def ivf_topk(
     df: DataFrame,
     queries: DataFrame,
@@ -222,6 +269,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 13,
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k via an IVF (inverted-file) index: every
     corpus vector is assigned to its argmax-dot coarse cell in one
@@ -234,9 +282,19 @@ def ivf_topk(
     buckets by signature equality (recall from collision probability),
     IVF buckets by quantizer proximity (recall tuned by n_probe with the
     standard nprobe/ncells trade-off). All constants are deterministic
-    literals, so the DuckDB oracle reproduces the result exactly."""
+    literals, so the DuckDB oracle reproduces the result exactly.
+
+    ``centroids`` (a (dim, n_cells) matrix, e.g. from
+    :func:`train_ivf_kmeans`) replaces the seeded random quantizer with
+    a trained one — same plan, better recall at scale."""
     dim = len(queries.select(vec_col).first()[0])
-    cents = ivf_centroids(dim, n_cells, seed)
+    if centroids is not None:
+        cents = np.asarray(centroids, dtype=np.float64)
+        if cents.shape[0] != dim:
+            raise ValueError(f"centroids dim {cents.shape[0]} != vectors dim {dim}")
+        n_cells = cents.shape[1]
+    else:
+        cents = ivf_centroids(dim, n_cells, seed)
     ds = cell_scores_sql(cents, "e")
     nrm = "sqrt(aggregate(zip_with(e, e, (x, y) -> x * y), 0D, (acc, x) -> acc + x))"
 

@@ -270,3 +270,41 @@ def test_range_layout_prunes_partitions(spark, tmp_path):
         r["url"] for r in b.select("url").collect()
     )
     assert a.count() > 0
+
+
+def test_ivf_trained_quantizer_recall(spark):
+    """A spherical-k-means-trained quantizer slots into the same plan
+    and matches or beats the seeded random quantizer's recall@k against
+    the exact scorer on a clustered corpus."""
+    import numpy as np
+
+    from parquet_go_spark.ops.similarity import cosine_topk, ivf_topk, train_ivf_kmeans
+
+    rng = np.random.default_rng(17)
+    # clustered corpus: 6 gaussian blobs — exactly where a trained
+    # quantizer out-buckets a random one
+    centers = rng.standard_normal((6, 16)) * 3
+    vecs = np.concatenate(
+        [c + 0.3 * rng.standard_normal((40, 16)) for c in centers]
+    )
+    rows = [(i, v.astype("float32").tolist()) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = df.filter("vec_id % 40 = 0")
+
+    def recall(res, want):
+        got = {(r["q_id"], r["n_id"]) for r in res.collect()}
+        return len(got & want) / len(want)
+
+    want = {(r["q_id"], r["n_id"]) for r in cosine_topk(df, queries, k=5).collect()}
+    cents = train_ivf_kmeans(df, n_cells=8, seed=7)
+    assert cents.shape == (16, 8)
+    r_trained = recall(ivf_topk(df, queries, k=5, n_probe=2, centroids=cents), want)
+    r_random = recall(ivf_topk(df, queries, k=5, n_cells=8, n_probe=2), want)
+    assert r_trained >= r_random
+    assert r_trained >= 0.9  # blob members share the trained cell
+    # same plan shape: broadcast probe join, never a nested loop
+    plan = (
+        ivf_topk(df, queries, k=5, n_probe=2, centroids=cents)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
