@@ -1152,11 +1152,18 @@ WHERE round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) >= 0.35
             " len(regexp_extract_all(text, '[a-z0-9]+')) AS n_word_tokens FROM documents)"
         ),
         "text_quality": (
-            "SELECT doc_id, n_tokens, n_types, ttr, ttr < 0.3 AS low_quality FROM ("
+            "SELECT doc_id, n_tokens, n_types, ttr, punct_ratio, stop_ratio,"
+            " (ttr < 0.3 OR punct_ratio > 0.1 OR stop_ratio = 0.0) AS low_quality FROM ("
             "SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,"
             " len(list_distinct(string_split(text, ' '))) AS n_types,"
             " CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)"
-            "   / len(string_split(text, ' ')) AS ttr FROM documents)"
+            "   / len(string_split(text, ' ')) AS ttr,"
+            " CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)"
+            "   / greatest(length(text), 1) AS punct_ratio,"
+            " CAST(len(list_filter(string_split(text, ' '), w -> w IN"
+            " ('the', 'a', 'an', 'and', 'or', 'of', 'to', 'in', 'is', 'it'))) AS DOUBLE)"
+            "   / len(string_split(text, ' ')) AS stop_ratio"
+            " FROM documents)"
         ),
         "fingerprint_md5": (
             "SELECT doc_id, md5(text) AS fp,"

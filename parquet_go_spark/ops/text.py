@@ -30,20 +30,38 @@ def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+# small engine-portable stopword core (quality signal, not linguistics)
+STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+
 def text_quality(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Quality heuristics: type-token ratio + mean word length; the
-    low-quality flag mimics boilerplate/spam filters in web-text
-    pipelines (near-zero vocabulary diversity)."""
+    """Quality heuristics over web text: type-token ratio, punctuation
+    ratio, stopword ratio; the low-quality flag mimics boilerplate/spam
+    filters in web-text pipelines (near-zero vocabulary diversity, or
+    punctuation-heavy markup soup, or a stopword-free keyword-stuffed
+    page). Pure built-in SQL — whole-stage codegen, zero Python."""
     words = F.split(F.col(text_col), " ")
     n_tokens = F.size(words)
     n_types = F.size(F.array_distinct(words))
     ttr = n_types.cast("double") / n_tokens.cast("double")
+    n_chars = F.length(F.col(text_col))
+    punct_ratio = (
+        F.size(F.expr(f"regexp_extract_all({text_col}, '[.,;:!?]', 0)")).cast("double")
+        / F.greatest(n_chars, F.lit(1)).cast("double")
+    )
+    stops = ", ".join(f"'{w}'" for w in STOPWORDS)
+    stop_ratio = (
+        F.expr(f"size(filter(split({text_col}, ' '), w -> w in ({stops})))").cast("double")
+        / n_tokens.cast("double")
+    )
     return df.select(
         F.col(id_col),
         n_tokens.cast("long").alias("n_tokens"),
         n_types.cast("long").alias("n_types"),
         ttr.alias("ttr"),
-        (ttr < 0.3).alias("low_quality"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stop_ratio"),
+        ((ttr < 0.3) | (punct_ratio > 0.1) | (stop_ratio == 0.0)).alias("low_quality"),
     )
 
 
