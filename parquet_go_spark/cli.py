@@ -153,25 +153,57 @@ def cmd_encode(args) -> int:
     return 0
 
 
+def _parse_where(wheres: list[str]) -> list[tuple]:
+    """col:op:value triples -> prune predicates; values parse as
+    int/float when possible."""
+    predicate = []
+    for w in wheres:
+        col, op, raw = w.split(":", 2)
+        val: object = raw
+        try:
+            val = int(raw)
+        except ValueError:
+            try:
+                val = float(raw)
+            except ValueError:
+                pass
+        predicate.append((col, op, val))
+    return predicate
+
+
 def _load_table(spark, args):
     """Route --input-format: 'pgs' = this engine's encoded dirs,
     'parquet' = real .parquet through the kernel scan
     (parquet-tool's ability to open any Parquet file,
-    ``cmd/parquet-tool/cmds``)."""
+    ``cmd/parquet-tool/cmds``). ``--where`` predicates feed every prune
+    tier the source supports (manifest stats/blooms/page stats for pgs;
+    footer stats/blooms/dictionaries/PageIndex for parquet) and are then
+    re-applied exactly."""
+    from pyspark.sql import functions as F
+
     cols = args.columns.split(",") if args.columns else None
+    prune = _parse_where(args.where) if getattr(args, "where", None) else None
     if getattr(args, "input_format", "pgs") == "parquet":
         from .spark.parquet_source import read_parquet_table
 
-        return read_parquet_table(spark, args.enc, columns=cols)
-    from .spark.decode_job import decode_table
+        df = read_parquet_table(spark, args.enc, columns=cols, prune=prune)
+    else:
+        from .spark.decode_job import decode_table
 
-    return decode_table(
-        spark,
-        args.enc,
-        columns=cols,
-        validate_crc=getattr(args, "validate_crc", False),
-        as_of=getattr(args, "as_of", None),
-    )
+        df = decode_table(
+            spark,
+            args.enc,
+            columns=cols,
+            validate_crc=getattr(args, "validate_crc", False),
+            as_of=getattr(args, "as_of", None),
+            prune=prune,
+        )
+    for col, op, val in prune or []:
+        c = F.col(col)
+        df = df.where(
+            {"==": c == val, "<=": c <= val, ">=": c >= val}.get(op, F.lit(True))
+        )
+    return df
 
 
 def cmd_decode(args) -> int:
@@ -371,19 +403,7 @@ def cmd_delete(args) -> int:
     spark = _spark(args)
     from .spark.maintenance import delete_where
 
-    predicate = []
-    for w in args.where:
-        col, op, raw = w.split(":", 2)
-        val: object = raw
-        try:
-            val = int(raw)
-        except ValueError:
-            try:
-                val = float(raw)
-            except ValueError:
-                pass
-        predicate.append((col, op, val))
-    print(json.dumps(delete_where(spark, args.enc, predicate)))
+    print(json.dumps(delete_where(spark, args.enc, _parse_where(args.where))))
     return 0
 
 
@@ -507,6 +527,13 @@ def main(argv=None) -> int:
         default="pgs",
         help="'parquet' reads real .parquet files through the kernel scan",
     )
+    d.add_argument(
+        "--where",
+        action="append",
+        default=None,
+        help="col:op:value (op: ==, <=, >=); prunes partitions/row groups/"
+        "pages/blooms, then re-applies exactly; repeat for a conjunction",
+    )
     d.set_defaults(fn=cmd_decode)
 
     m = sub.add_parser("meta")
@@ -541,6 +568,13 @@ def main(argv=None) -> int:
         choices=["pgs", "parquet"],
         default="pgs",
         help="'parquet' reads real .parquet files through the kernel scan",
+    )
+    h.add_argument(
+        "--where",
+        action="append",
+        default=None,
+        help="col:op:value (op: ==, <=, >=); prunes partitions/row groups/"
+        "pages/blooms, then re-applies exactly; repeat for a conjunction",
     )
     h.set_defaults(fn=cmd_head)
 

@@ -298,6 +298,25 @@ class TestWriteIndex:
         assert ci2["null_pages"] and all(ci2["null_pages"])
         assert page_prune_ranges(b2, m2, 0, [("v", "==", 10.0)]) == []
 
+    def test_v2_pages_with_index_roundtrip(self, table):
+        """Our V2 data pages and the PageIndex coexist: prune + decode
+        exact, pyarrow reads the file."""
+        b = write_parquet(
+            table.select(["k", "s"]),
+            compression="zstd",
+            page_version=2,
+            max_page=16_384,
+            max_row_group=8192,
+            page_index=True,
+        )
+        assert pq.ParquetFile(io.BytesIO(b)).read().equals(table.select(["k", "s"]))
+        meta = file_meta(b)
+        r = page_prune_ranges(b, meta, 0, [("k", "<=", 300)])
+        assert r and r[-1][1] < 8192
+        out = read_table_arrow(b, None, [0], r)
+        exp = _expect(table.slice(0, 8192).select(["k", "s"]), 8192, r)
+        assert out.equals(exp)
+
     def test_nested_leaf_index_prunes(self, table, our_file):
         """The tags leaf carries an index too (null counts over level
         positions); pruning on k with tags selected stays exact."""
