@@ -29,6 +29,7 @@ from .encode_job import encode_table
 
 __all__ = [
     "compact_table",
+    "compact_parquet_dir",
     "compact_stream_output",
     "table_bytes",
     "rollback_table",
@@ -317,6 +318,64 @@ def compact_table(
             "target_partition_bytes": target_partition_bytes,
             "layout": layout,
             "key_col": key_col,
+        },
+    )
+    return spark.createDataFrame(man_rows, schema=mf.MANIFEST_DDL)
+
+
+def compact_parquet_dir(
+    spark: SparkSession,
+    src_path: str,
+    dst_dir: str,
+    key_col: str | None = None,
+    partitions: int | None = None,
+    target_partition_bytes: int = 256 << 20,
+    compression: str = "snappy",
+    page_index: bool = False,
+    bloom_columns: list[str] | None = None,
+) -> DataFrame:
+    """Small-file compaction for REAL ``.parquet`` directories written
+    by ANY engine (Iceberg rewrite-data-files over foreign files):
+    right-size from footers alone (per-row-group total_byte_size — no
+    data pages read at plan time), scan through the kernels one task
+    per row group, rewrite via the parquet sink into ``partitions``
+    files. Compaction is also the moment to ADD the prune structures
+    the original writer skipped (``page_index`` / ``bloom_columns``).
+    Sources are left untouched; a ``compact`` snapshot in ``dst_dir``
+    records the lineage."""
+    from ..compat.parquet_reader import file_meta_path
+    from .parquet_sink import encode_table_parquet
+    from .parquet_source import _list_files, read_parquet_table
+
+    files = _list_files(src_path)
+    total_raw = 0
+    n_rgs = 0
+    for f in files:
+        meta = file_meta_path(f)
+        for rg in meta.get(4) or []:
+            n_rgs += 1
+            total_raw += int(rg[2])  # total_byte_size (uncompressed)
+    if partitions is None:
+        partitions = max(1, math.ceil(total_raw / max(target_partition_bytes, 1)))
+    man = encode_table_parquet(
+        read_parquet_table(spark, src_path),
+        dst_dir,
+        key_col=key_col,
+        partitions=partitions,
+        compression=compression,
+        page_index=page_index,
+        bloom_columns=bloom_columns,
+    )
+    man_rows = man.collect()
+    mf.commit_snapshot(
+        dst_dir,
+        "compact",
+        {
+            "sources": [os.path.abspath(f) for f in files],
+            "source_row_groups": n_rgs,
+            "raw_bytes": total_raw,
+            "partitions": partitions,
+            "target_partition_bytes": target_partition_bytes,
         },
     )
     return spark.createDataFrame(man_rows, schema=mf.MANIFEST_DDL)

@@ -76,3 +76,44 @@ def test_compact_can_recluster_to_range(spark, tmp_path):
     compact_table(spark, src, dst, key_col="seq", partitions=8, layout="range")
     # compaction re-clustered: range predicate now skips most partitions
     assert len(surviving_partitions(dst, [("seq", "<=", 10000)])) <= 2
+
+
+def test_compact_parquet_dir_merges_foreign_files(spark, tmp_path):
+    """Six tiny pyarrow files -> right-sized kernel-written parquet with
+    prune structures added at compaction time; content invariant."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parquet_go_spark.spark import manifest as mf
+    from parquet_go_spark.spark.maintenance import compact_parquet_dir
+
+    src = tmp_path / "small"
+    src.mkdir()
+    n = 1200
+    t = pa.table(
+        {
+            "k": pa.array(range(n), type=pa.int64()),
+            "s": pa.array([f"v{i % 37}" for i in range(n)]),
+        }
+    )
+    for i in range(6):
+        pq.write_table(t.slice(i * 200, 200), src / f"small-{i}.parquet")
+    dst = str(tmp_path / "compacted")
+    man = compact_parquet_dir(
+        spark, str(src), dst, key_col="k", partitions=2,
+        page_index=True, bloom_columns=["k"],
+    )
+    assert man.count() == 2 * 2  # partitions x columns
+    import glob
+
+    out_files = sorted(glob.glob(f"{dst}/part-*.parquet"))
+    assert len(out_files) == 2
+    back = pq.ParquetDataset(out_files).read()
+    assert back.num_rows == n
+    assert sorted(back.column("k").to_pylist()) == list(range(n))
+    # compaction added the prune structures the source lacked
+    md = pq.ParquetFile(out_files[0]).metadata
+    assert md.row_group(0).column(0).has_column_index
+    snaps = mf.read_snapshots(dst)
+    assert snaps[-1]["operation"] == "compact"
+    assert snaps[-1]["config"]["source_row_groups"] == 6
