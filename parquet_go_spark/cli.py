@@ -347,11 +347,36 @@ def cmd_rowcount(args) -> int:
 
 def cmd_compact(args) -> int:
     spark = _spark(args)
-    from .spark.maintenance import compact_table
+    from .spark.maintenance import compact_parquet_dir, compact_table
 
     key_col = args.key_col
     if key_col and "," in key_col:
         key_col = [c.strip() for c in key_col.split(",")]
+    if getattr(args, "input_format", "pgs") == "parquet":
+        # foreign real-Parquet small-file compaction through the kernel
+        # sink; compaction is also the moment to retrofit prune structures
+        man = compact_parquet_dir(
+            spark,
+            args.src,
+            args.out,
+            key_col=key_col if isinstance(key_col, str) else None,
+            partitions=args.partitions,
+            target_partition_bytes=args.target_mb << 20,
+            compression="snappy" if args.compression == "none" else args.compression,
+            page_index=args.page_index,
+            bloom_columns=args.bloom_columns.split(",") if args.bloom_columns else None,
+        )
+        rows = man.collect()
+        print(
+            json.dumps(
+                {
+                    "partitions": len({r["partition"] for r in rows}),
+                    "rows": sum(r["num_rows"] for r in rows) // max(len({r["column"] for r in rows}), 1),
+                    "out": args.out,
+                }
+            )
+        )
+        return 0
     man = compact_table(
         spark,
         args.src.split(","),
@@ -601,6 +626,23 @@ def main(argv=None) -> int:
     cp.add_argument("--target-mb", type=int, default=256, help="raw MB per output partition")
     cp.add_argument("--layout", default="hash", choices=["hash", "range", "zorder"])
     cp.add_argument("--compression", default="none", choices=["none", "zlib", "snappy", "zstd", "lz4"])
+    cp.add_argument(
+        "--input-format",
+        choices=["pgs", "parquet"],
+        default="pgs",
+        help="'parquet' compacts a directory of real .parquet files (any "
+        "writer) through the kernel scan + parquet sink",
+    )
+    cp.add_argument(
+        "--page-index",
+        action="store_true",
+        help="with --input-format parquet: write the PageIndex into the compacted files",
+    )
+    cp.add_argument(
+        "--bloom-columns",
+        default=None,
+        help="with --input-format parquet: comma-separated bloom filter columns",
+    )
     cp.set_defaults(fn=cmd_compact)
 
     rb = sub.add_parser("rollback", help="roll the table back to a snapshot (deletes later appends)")
