@@ -102,15 +102,21 @@ def file_prunes(files: list[str], prune: list[tuple]) -> list[str]:
     column Statistics (thrift field 12 of ColumnMetaData: ordered
     min_value/max_value in fields 6/5, legacy min/max in 2/1) provably
     exclude every predicate
-    match. Conservative — missing stats keep the file."""
+    match. Conservative — missing stats keep the file. Footer preads
+    run through a thread pool (IO-bound; order preserved)."""
     from ..compat.parquet_reader import file_meta, table_fields  # noqa: F401
 
-    keep = []
-    for f in files:
-        meta = file_meta_path(f)
-        if not _footer_excludes(meta, prune):
-            keep.append(f)
-    return keep
+    def survives(f: str) -> bool:
+        return not _footer_excludes(file_meta_path(f), prune)
+
+    if len(files) <= 1:
+        flags = [survives(f) for f in files]
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(32, len(files))) as ex:
+            flags = list(ex.map(survives, files))
+    return [f for f, ok in zip(files, flags) if ok]
 
 
 def _decode_stat(raw: bytes, ptype: int):
@@ -218,22 +224,37 @@ def plan_scan_tasks(files: list[str], prune: list[tuple] | None) -> list[tuple[s
     never planned; ==/IN predicates additionally probe any parquet
     BloomFilters the writer stored and — on fully dictionary-encoded
     chunks — the dictionary page itself (exact membership, parquet-mr
-    DictionaryFilter semantics), one bounded pread each."""
-    tasks = []
+    DictionaryFilter semantics), one bounded pread each.
+
+    Planning is IO-bound (tail preads + index probes, no CPU), so files
+    plan through a thread pool: a 100k-file table's planning latency is
+    max(pread latency) x files/32, not their sum. Results keep the
+    files' order, so the task list stays deterministic."""
     eq = [
         (c, (v,) if op == "==" else tuple(v))
         for c, op, v in (prune or [])
         if op in ("==", "in")
     ]
-    for f in files:
+
+    def plan_file(f: str) -> list[tuple[str, int]]:
+        out = []
         meta = file_meta_path(f)
         for rgi, rg in enumerate(meta.get(4) or []):
             if prune and _rg_excluded(rg, prune):
                 continue
             if eq and _rg_point_lookup_excluded(f, rg, eq):
                 continue
-            tasks.append((f, rgi))
-    return tasks
+            out.append((f, rgi))
+        return out
+
+    if len(files) <= 1:
+        per_file = [plan_file(f) for f in files]
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(32, len(files))) as ex:
+            per_file = list(ex.map(plan_file, files))
+    return [t for group in per_file for t in group]
 
 
 def read_parquet_table(
