@@ -574,6 +574,34 @@ def _q_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_table(spark, out).select("doc_id", "lang", "source", "n_chars")
 
 
+def _q_delete_where_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read delete (spark/maintenance.py delete_where
+    mode="mor", the Iceberg v2 position-delete analogue): matching
+    partitions gain a sidecar of deleted row ordinals — data files are
+    never rewritten, so a take-down in a 100 TB table costs a
+    predicate-column projection decode per candidate partition plus KBs
+    of sidecar, and EVERY historical snapshot stays time-travelable.
+    The query returns the live view UNION the as-of-0 view, gating both
+    the position subtraction and the pinned history in one hash.
+    Oracle: survivors (null lang never matches an IN) plus all rows."""
+    import tempfile
+
+    from parquet_go_spark.spark import manifest as mf
+    from parquet_go_spark.spark.decode_job import decode_table
+    from parquet_go_spark.spark.encode_job import encode_table
+    from parquet_go_spark.spark.maintenance import delete_where
+
+    d = _load(spark, sf_dir, "documents").select("doc_id", "lang", "source", "n_chars")
+    out = tempfile.mkdtemp(prefix="pgs_mor_q_") + "/enc"
+    encode_table(d, out, key_col="doc_id", partitions=4, compression="snappy").collect()
+    mf.commit_snapshot(out, "encode")
+    delete_where(spark, out, [("lang", "in", ("de", "fr"))], mode="mor")
+    cols = ["doc_id", "lang", "source", "n_chars"]
+    live = decode_table(spark, out).select(*cols).withColumn("view", F.lit("live"))
+    asof = decode_table(spark, out, as_of=0).select(*cols).withColumn("view", F.lit("asof"))
+    return live.unionByName(asof)
+
+
 def _q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Copy-on-write MERGE (spark/maintenance.py merge_into): encode
     doc_id < 400, then merge a source batch covering 300..500 with
@@ -841,6 +869,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_travel_as_of": _q_time_travel,
         "schema_evolution": _q_schema_evolution,
         "delete_where": _q_delete_where,
+        "delete_where_mor": _q_delete_where_mor,
         "merge_upsert": _q_merge_upsert,
         # training-data pipeline ops
         "dedup_exact": lambda spark, sf_dir: exact_dedup(_load(spark, sf_dir, "documents")),
@@ -1132,6 +1161,12 @@ WHERE round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) >= 0.35
         "delete_where": (
             "SELECT doc_id, lang, source, n_chars FROM documents"
             " WHERE lang IS DISTINCT FROM 'de'"
+        ),
+        "delete_where_mor": (
+            "SELECT doc_id, lang, source, n_chars, 'live' AS view FROM documents"
+            " WHERE lang IS NULL OR lang NOT IN ('de', 'fr')"
+            " UNION ALL"
+            " SELECT doc_id, lang, source, n_chars, 'asof' AS view FROM documents"
         ),
         "merge_upsert": (
             "SELECT doc_id, lang, source, n_chars FROM documents WHERE doc_id < 300"

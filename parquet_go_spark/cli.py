@@ -428,7 +428,7 @@ def cmd_delete(args) -> int:
     spark = _spark(args)
     from .spark.maintenance import delete_where
 
-    print(json.dumps(delete_where(spark, args.enc, _parse_where(args.where))))
+    print(json.dumps(delete_where(spark, args.enc, _parse_where(args.where), mode=args.mode)))
     return 0
 
 
@@ -657,6 +657,13 @@ def main(argv=None) -> int:
         action="append",
         required=True,
         help="col:op:value (op: ==, <=, >=); repeat for a conjunction",
+    )
+    dl.add_argument(
+        "--mode",
+        choices=["cow", "mor"],
+        default="cow",
+        help="cow rewrites candidate partitions in place; mor writes "
+        "positional delete sidecars (no rewrite, history preserved)",
     )
     dl.set_defaults(fn=cmd_delete)
 

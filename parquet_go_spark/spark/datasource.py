@@ -117,16 +117,26 @@ def _filter_to_prune(f: Filter) -> list[tuple]:
     return [(col, ">=", value)]
 
 
-def _decode_partition_to_batches(enc_dir: str, fields: list[dict], pid: int, prune: list[tuple]):
+def _decode_partition_to_batches(
+    enc_dir: str,
+    fields: list[dict],
+    pid: int,
+    prune: list[tuple],
+    delete_files: list[str] | None = None,
+):
     """Decode one committed partition file -> Arrow batch iterator;
-    shared by the batch reader and the stream reader."""
+    shared by the batch reader and the stream reader. ``delete_files``
+    pins the merge-on-read sidecar apply set (time travel); None applies
+    every sidecar on disk (current read)."""
     import os
 
+    from . import manifest as mf
     from .decode_job import decode_blobs_to_batch, logical_of_ddl
     from .encode_job import parse_partition_file
 
     if pid < 0:
         return
+    dpos = mf.delete_positions(enc_dir, pid, files=delete_files)
     path = os.path.join(enc_dir, f"part-{pid:05d}.bin")
     with open(path, "rb") as fh:
         payload = fh.read()
@@ -150,6 +160,7 @@ def _decode_partition_to_batches(enc_dir: str, fields: list[dict], pid: int, pru
     batch = decode_blobs_to_batch(
         blobs, cols, nested, logicals, prune or None,
         arrow_types=arrow_types, fallback_rows=fallback,
+        delete_pos=dpos if dpos.size else None,
     )
     if batch is not None:
         yield batch
@@ -157,10 +168,17 @@ def _decode_partition_to_batches(enc_dir: str, fields: list[dict], pid: int, pru
 
 class _PGSReader(DataSourceReader):
     def __init__(self, enc_dir: str, schema_fields: list[dict], as_of: int | None = None):
+        from . import manifest as mf
+
         self.enc_dir = enc_dir
         self.fields = schema_fields
         self.prune: list[tuple] = []
         self.as_of = as_of
+        # merge-on-read apply set: pinned by the snapshot under time
+        # travel, else every sidecar on disk (resolved per task)
+        self.delete_files = (
+            mf.snapshot_delete_files(enc_dir, as_of) if as_of is not None else None
+        )
 
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
         for f in filters:
@@ -189,7 +207,10 @@ class _PGSReader(DataSourceReader):
         return [_PGSPartition(pid) for pid in pids] or [_PGSPartition(-1)]
 
     def read(self, partition: _PGSPartition):
-        return _decode_partition_to_batches(self.enc_dir, self.fields, partition.pid, self.prune)
+        return _decode_partition_to_batches(
+            self.enc_dir, self.fields, partition.pid, self.prune,
+            delete_files=self.delete_files,
+        )
 
 
 def _offset_pids(offset: dict) -> set[int]:
@@ -378,6 +399,8 @@ class PGSDataSource(DataSource):
                 existing
                 + _glob.glob(os.path.join(mf.manifest_dir(enc_dir), "part-*.parquet"))
                 + _glob.glob(os.path.join(mf.snapshot_dir(enc_dir), "snap-*.json"))
+                + _glob.glob(os.path.join(mf.deletes_dir(enc_dir), "del-*.parquet"))
+                + _glob.glob(os.path.join(mf.claims_dir(enc_dir), "claim-*.json"))
             ):
                 os.remove(p)
             os.makedirs(enc_dir, exist_ok=True)

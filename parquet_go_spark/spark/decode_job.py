@@ -177,6 +177,7 @@ def decode_blobs_to_batch(
     prune: list[tuple] | None,
     arrow_types: "dict | None" = None,
     fallback_rows: int | None = None,
+    delete_pos: "np.ndarray | None" = None,
 ) -> "pa.RecordBatch | None":
     """Decode one partition's column blobs into a row-aligned Arrow
     batch, applying page-level pruning (``_surviving_ranges``) when the
@@ -184,7 +185,10 @@ def decode_blobs_to_batch(
     or the partition is empty. Selected columns absent from ``blobs``
     (schema evolution) are filled with typed nulls (``arrow_types``);
     ``fallback_rows`` supplies the row count when NO selected column is
-    present in the partition."""
+    present in the partition. ``delete_pos`` (sorted int64 row ordinals
+    within the partition, merge-on-read sidecars) drops those rows from
+    the decoded batch — positions are partition-global, so they compose
+    with page-seek decode via the surviving row ranges."""
     row_sel = None
     if prune:
         ranges, total = _surviving_ranges(prune, blobs)
@@ -228,7 +232,23 @@ def decode_blobs_to_batch(
                 raise ValueError(f"column {c!r} missing and no arrow type to null-fill")
             a = pa.nulls(n_rows, arrow_types[c])
         arrays.append(a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a)
-    return pa.RecordBatch.from_arrays(arrays, names=list(cols))
+    batch = pa.RecordBatch.from_arrays(arrays, names=list(cols))
+    if delete_pos is not None and len(delete_pos):
+        if row_sel is not None:
+            row_ids = np.concatenate(
+                [np.arange(lo, hi, dtype=np.int64) for lo, hi in row_sel]
+            )
+        else:
+            row_ids = np.arange(n_rows, dtype=np.int64)
+        # delete_pos is sorted: membership via searchsorted, no hash set
+        idx = np.searchsorted(delete_pos, row_ids)
+        idx[idx == len(delete_pos)] = 0
+        keep = delete_pos[idx] != row_ids
+        if not keep.all():
+            batch = batch.filter(pa.array(keep))
+        if not batch.num_rows:
+            return None
+    return batch
 
 _DDL_LOGICAL = {
     "string": "string",
@@ -375,6 +395,19 @@ def decode_table(
         return spark.createDataFrame([], schema=out_ddl)
     files = spark.read.format("binaryFile").load(paths).select("path", "content")
 
+    # merge-on-read delete sidecars: the apply set is pinned by the
+    # snapshot under time travel (a version before a MOR delete still
+    # reads the rows), else every sidecar on disk. Planned on the driver
+    # so every task applies the same consistent set.
+    del_names = (
+        mf.snapshot_delete_files(enc_dir, as_of)
+        if as_of is not None
+        else mf.list_delete_files(enc_dir)
+    )
+    del_by_pid: dict[int, list[str]] = {}
+    for name in del_names:
+        del_by_pid.setdefault(int(name[len("del-") : len("del-") + 5]), []).append(name)
+
     nested_cols = {
         c for c in cols if by_name[c]["ddl"].strip().startswith(("array<", "map<", "struct<"))
     }
@@ -395,6 +428,14 @@ def decode_table(
         for b in batches:
             for path, content in zip(b.column("path"), b.column("content")):
                 blobs = parse_partition_file(content.as_py(), want)
+                import os as _os
+
+                bpid = int(_os.path.basename(path.as_py())[len("part-") : -len(".bin")])
+                dpos = (
+                    mf.delete_positions(enc_dir, bpid, files=del_by_pid[bpid])
+                    if bpid in del_by_pid
+                    else None
+                )
                 missing = set(cols) - set(blobs)
                 fallback = None
                 if missing:
@@ -436,6 +477,7 @@ def decode_table(
                     prune,
                     arrow_types=arrow_types,
                     fallback_rows=fallback,
+                    delete_pos=dpos,
                 )
                 if batch is not None:
                     yield batch

@@ -186,6 +186,7 @@ def encode_table(
     layout: str = "hash",
     resume: bool = True,
     append: bool = False,
+    job_id: str | None = None,
     evolve_schema: bool = False,
     sort_within: str | list[str] | None = None,
     page_crc: bool = False,
@@ -296,8 +297,29 @@ def encode_table(
                 f"append schema mismatch: table has {existing_fields}, "
                 f"appending {new_fields} (pass evolve_schema=True to add columns)"
             )
-        pid_base = mf.next_partition_base(out_dir)
+        # job_id defers the base to an atomic range CLAIM (taken below,
+        # once the output partition count is known): concurrent append
+        # jobs with distinct job_ids get disjoint id ranges instead of
+        # both computing the same next_partition_base and clobbering
+        # each other's partition files. Without job_id the table keeps
+        # its single-append-writer contract (crash resume at the same
+        # base).
+        if job_id is None:
+            pid_base = mf.next_partition_base(out_dir)
     else:
+        if job_id is not None:
+            raise ValueError("job_id is only meaningful with append=True")
+        # fresh (non-append) write into a reused directory: leftover
+        # merge-on-read sidecars / append claims belong to the OLD
+        # table's row ordinals and id space — clear them or they poison
+        # the new one (snapshots/manifests are handled by overwrite
+        # semantics at the datasource layer; resume relies on them)
+        import glob as _glob
+
+        for p in _glob.glob(os.path.join(mf.deletes_dir(out_dir), "del-*.parquet")) + _glob.glob(
+            os.path.join(mf.claims_dir(out_dir), "claim-*.json")
+        ):
+            os.remove(p)
         mf.write_table_schema(out_dir, new_fields)
     try:
         from pyspark.sql.pandas.types import to_arrow_schema
@@ -354,6 +376,11 @@ def encode_table(
         df = df.repartition(partitions)
     # key_col=None and partitions=None/0: encode the source partitioning
     # as-is (no shuffle) — for inputs already bucketed at write time
+    if append and job_id is not None:
+        # output partition count is settled now: claim [base, base+n)
+        # atomically so concurrent appenders never overlap
+        n_out = partitions or df.rdd.getNumPartitions()
+        pid_base = mf.claim_append_base(out_dir, job_id, n_out)
     if sort_within:
         # local sort only (no extra shuffle): clusters runs/prefixes so
         # RLE-dict, delta-BP, and DELTA_BYTE_ARRAY see longer runs

@@ -45,17 +45,21 @@ def merge_into(
     key: str,
     partitions: int | None = None,
     evolve_schema: bool = False,
+    mode: str = "cow",
     **encode_kwargs,
 ) -> dict:
-    """Copy-on-write upsert (Iceberg MERGE analogue): table rows whose
-    ``key`` appears in ``src`` are replaced by the ``src`` row; new keys
-    append. Composition of the two verified primitives: a bloom/stats-
-    pruned ``delete_where(key IN src-keys)`` (touches only partitions
-    that may hold a matching key), then ``encode_table(append=True)`` of
-    the source batch; a trailing ``merge`` snapshot pins the result.
-    Because the delete rewrites partitions IN PLACE, historical snapshots
-    pinning a rewritten partition are tombstoned (``as_of`` them raises
-    'invalidated') — time travel survives appends, not rewrites.
+    """Upsert (Iceberg MERGE analogue): table rows whose ``key`` appears
+    in ``src`` are replaced by the ``src`` row; new keys append.
+    Composition of the two verified primitives: a bloom/stats-pruned
+    ``delete_where(key IN src-keys)`` (touches only partitions that may
+    hold a matching key), then ``encode_table(append=True)`` of the
+    source batch; a trailing ``merge`` snapshot pins the result.
+    ``mode="cow"`` rewrites matched partitions in place, so historical
+    snapshots pinning them are tombstoned (``as_of`` raises
+    'invalidated'). ``mode="mor"`` marks the replaced rows in positional
+    delete sidecars instead — no data file is rewritten, every
+    historical snapshot stays time-travelable, and the matched
+    partitions pay read amplification until compaction.
 
     Scale shape: the delete is per-candidate-partition; the append is a
     normal encode job. The key set itself is collected to the driver to
@@ -66,7 +70,7 @@ def merge_into(
     keys = [r[0] for r in src.select(key).where(F.col(key).isNotNull()).distinct().collect()]
     deleted = {"rows_deleted": 0, "candidates": 0}
     if keys:
-        deleted = delete_where(spark, enc_dir, [(key, "in", tuple(keys))])
+        deleted = delete_where(spark, enc_dir, [(key, "in", tuple(keys))], mode=mode)
     n_parts = partitions or max(1, min(len(keys) // 50_000 + 1, 64))
     encode_table(
         src,
@@ -82,6 +86,7 @@ def merge_into(
         "merge",
         {
             "key": key,
+            "mode": mode,
             "src_keys": len(keys),
             "rows_replaced": deleted["rows_deleted"],
             "delete_candidates": deleted["candidates"],
@@ -99,6 +104,7 @@ def delete_where(
     spark: SparkSession,
     enc_dir: str,
     predicate: list[tuple],
+    mode: str = "cow",
     **encode_kwargs,
 ) -> dict:
     """Delete the rows matching ``predicate`` (a conjunction of the same
@@ -106,31 +112,61 @@ def delete_where(
     op in {"==", "<=", ">=", "in", "notnull"}) — the take-down/GDPR
     operation a web corpus needs.
 
-    Scale shape: the manifest stats/bloom tiers first prove which
-    partitions MAY contain a match (``surviving_partitions``); only those
-    are decoded, filtered, and re-encoded in place — one Spark task per
-    candidate partition, every other partition untouched. A trailing
-    ``delete`` snapshot pins the result. Returns {"candidates", "rows_
-    deleted", "snapshot"}. Rewritten partitions keep their block codec;
-    pass ``page_stats=True`` / ``bloom_columns=[...]`` explicitly to
-    re-derive those (same knobs as ``encode_table``). The rewrite replaces the partition file then
-    its manifest (each an atomic rename); a crash between the two leaves
-    a CRC mismatch that ``validate_crc=True`` reports, and re-running the
-    delete repairs it."""
+    Both modes share the plan front: the manifest stats/bloom tiers
+    first prove which partitions MAY contain a match
+    (``surviving_partitions``); one Spark task per candidate partition,
+    every other partition untouched. A trailing ``delete`` snapshot pins
+    the result. Returns {"candidates", "rows_deleted", "snapshot"}.
+
+    ``mode="cow"`` (copy-on-write): candidates are decoded, filtered,
+    and re-encoded in place. Rewritten partitions keep their block
+    codec; pass ``page_stats=True`` / ``bloom_columns=[...]`` explicitly
+    to re-derive those (same knobs as ``encode_table``). Historical
+    snapshots pinning a rewritten partition are tombstoned (their bytes
+    are gone). The rewrite replaces the partition file then its manifest
+    (each an atomic rename); a crash between the two leaves a CRC
+    mismatch that ``validate_crc=True`` reports, and re-running the
+    delete repairs it.
+
+    ``mode="mor"`` (merge-on-read, Iceberg v2 position deletes): each
+    matching partition gains a tiny sidecar of deleted row ordinals
+    (``deletes/del-<pid>-<k>.parquet``); data files and manifests are
+    untouched. Readers subtract the positions at decode. The scale
+    trade: a take-down of a few urls in a 100 TB table costs one
+    projection-decode of the PREDICATE columns per candidate partition
+    plus KBs of sidecar — not a re-encode of every candidate — and read
+    amplification until a compaction (or a COW delete) materializes the
+    sidecars away. Time travel SURVIVES: snapshots pin their sidecar
+    set, so ``as_of`` a version before the delete still reads the rows
+    — MOR never invalidates history."""
+    if mode not in ("cow", "mor"):
+        raise ValueError(f"delete_where mode must be 'cow' or 'mor', got {mode!r}")
     import pyarrow as pa
 
     from .datasource import _decode_partition_to_batches  # full decode, no prune
     from .decode_job import surviving_partitions
     from .encode_job import encode_columns_to_partition
 
+    # repair a prior crash between a COW rewrite and its sidecar
+    # cleanup before planning: stale sidecars are provably already
+    # materialized (metadata-only sweep — manifest + sidecar headers)
+    for pid in sorted({int(n[len("del-") : len("del-") + 5]) for n in mf.list_delete_files(enc_dir)}):
+        mf.remove_stale_delete_files(enc_dir, pid)
+
     cand = surviving_partitions(enc_dir, predicate)
     fields = mf.read_table_schema(enc_dir)
     cols = [f["name"] for f in fields]
     if not cand:
-        snap = mf.commit_snapshot(enc_dir, "delete", {"predicate": repr(predicate), "rows_deleted": 0})
+        snap = mf.commit_snapshot(
+            enc_dir, "delete", {"predicate": repr(predicate), "mode": mode, "rows_deleted": 0}
+        )
         return {"candidates": 0, "rows_deleted": 0, "snapshot": snap["seq"]}
     paths = [os.path.join(enc_dir, f"part-{pid:05d}.bin") for pid in sorted(cand)]
     files = spark.read.format("binaryFile").load(paths).select("path")
+
+    def _pid_of(p: str) -> int:
+        local = p[len("file:") :] if p.startswith("file:") else p
+        return int(os.path.basename(local)[len("part-") : -len(".bin")])
 
     def rewrite(it):
         import pandas as pd
@@ -138,16 +174,20 @@ def delete_where(
         for pdf in it:
             out = []
             for p in pdf["path"]:
-                local = p[len("file:") :] if p.startswith("file:") else p
-                pid = int(os.path.basename(local)[len("part-") : -len(".bin")])
+                pid = _pid_of(p)
+                # a COW rewrite folds existing MOR sidecars in (the
+                # decode below applies them), so `kept` is live rows
+                # minus the new matches
                 batches = list(_decode_partition_to_batches(enc_dir, fields, pid, []))
                 table = pa.Table.from_batches(batches).combine_chunks() if batches else None
                 deleted = 0
+                rewrote = False
+                had_sidecars = bool(mf.list_delete_files(enc_dir, pid))
                 if table is not None and table.num_rows:
                     keep = _not_matching_mask(table, predicate)
                     kept = table.filter(keep)
                     deleted = table.num_rows - kept.num_rows
-                    if deleted:
+                    if deleted or had_sidecars:
                         kw = dict(encode_kwargs)
                         man_rows = mf.read_partition_manifest(enc_dir, pid)
                         if man_rows:
@@ -160,19 +200,69 @@ def delete_where(
                             )
                             kw.setdefault("compression", codec)
                         encode_columns_to_partition(kept, cols, enc_dir, pid, **kw)
-                out.append({"partition": pid, "rows_deleted": deleted})
+                        rewrote = True
+                out.append({"partition": pid, "rows_deleted": deleted, "rewritten": rewrote})
             yield pd.DataFrame(out)
 
-    rows = files.mapInPandas(rewrite, schema="partition int, rows_deleted long").collect()
+    def mark(it):
+        import numpy as np
+        import pandas as pd
+        import pyarrow.compute as pc
+
+        from .decode_job import decode_blobs_to_batch, logical_of_ddl
+        from .encode_job import parse_partition_file
+
+        pred_cols = sorted({p[0] for p in predicate})
+        pred_fields = [f for f in fields if f["name"] in pred_cols]
+        nested = {
+            f["name"]
+            for f in pred_fields
+            if f["ddl"].strip().startswith(("array<", "map<", "struct<"))
+        }
+        logicals = {f["name"]: logical_of_ddl(f["ddl"]) for f in pred_fields}
+        for pdf in it:
+            out = []
+            for p in pdf["path"]:
+                pid = _pid_of(p)
+                local = p[len("file:") :] if p.startswith("file:") else p
+                with open(local, "rb") as fh:
+                    payload = fh.read()
+                # projection decode: ONLY the predicate columns — the
+                # point of MOR is never touching the wide columns
+                blobs = parse_partition_file(payload, set(pred_cols))
+                batch = decode_blobs_to_batch(blobs, pred_cols, nested, logicals, None)
+                deleted = 0
+                if batch is not None and batch.num_rows:
+                    match = pc.invert(
+                        _not_matching_mask(pa.Table.from_batches([batch]), predicate)
+                    )
+                    if isinstance(match, pa.ChunkedArray):
+                        match = match.combine_chunks()
+                    pos = np.flatnonzero(match.to_numpy(zero_copy_only=False)).astype(np.int64)
+                    already = mf.delete_positions(enc_dir, pid)
+                    new_pos = np.setdiff1d(pos, already, assume_unique=True)
+                    if new_pos.size:
+                        mf.write_delete_file(enc_dir, pid, new_pos, base_rows=batch.num_rows)
+                        deleted = int(new_pos.size)
+                out.append({"partition": pid, "rows_deleted": deleted, "rewritten": False})
+            yield pd.DataFrame(out)
+
+    fn = mark if mode == "mor" else rewrite
+    rows = files.mapInPandas(
+        fn, schema="partition int, rows_deleted long, rewritten boolean"
+    ).collect()
     deleted = sum(r["rows_deleted"] for r in rows)
-    rewritten = {r["partition"] for r in rows if r["rows_deleted"] > 0}
+    rewritten = {r["partition"] for r in rows if r["rewritten"]}
     if rewritten:
-        # historical versions pinning a rewritten partition are now
-        # physically unreproducible — tombstone them so as_of raises
-        # instead of reading the rewritten bytes under an old seq
+        # COW only: materialized sidecars are dropped (their ordinals
+        # refer to the pre-rewrite file), and historical versions pinning
+        # a rewritten partition are tombstoned so as_of raises instead of
+        # reading the rewritten bytes under an old seq
+        for pid in sorted(rewritten):
+            mf.remove_delete_files(enc_dir, pid)
         mf.invalidate_snapshots(enc_dir, rewritten)
     snap = mf.commit_snapshot(
-        enc_dir, "delete", {"predicate": repr(predicate), "rows_deleted": deleted}
+        enc_dir, "delete", {"predicate": repr(predicate), "mode": mode, "rows_deleted": deleted}
     )
     return {"candidates": len(cand), "rows_deleted": deleted, "snapshot": snap["seq"]}
 
@@ -227,6 +317,14 @@ def rollback_table(out_dir: str, seq: int) -> dict:
         ):
             if os.path.exists(path):
                 os.remove(path)
+        mf.remove_delete_files(out_dir, pid)
+    # merge-on-read sidecars committed after the target snapshot are
+    # rolled back too: the target pinned its apply set, anything newer
+    # (a MOR delete since then) is undone by removing the sidecar
+    pinned_dels = set(mf.snapshot_delete_files(out_dir, seq))
+    for name in mf.list_delete_files(out_dir):
+        if name not in pinned_dels:
+            os.remove(os.path.join(mf.deletes_dir(out_dir), name))
     import glob as _glob
     import json as _json
 

@@ -86,25 +86,142 @@ def read_manifest(spark, out_dir: str):
     return spark.read.schema(MANIFEST_DDL).parquet(os.path.join(manifest_dir(out_dir)))
 
 
+# ------------------------------------------- merge-on-read delete files
+# Iceberg-v2 position-delete analogue: a delete "touches" a partition by
+# writing a tiny sidecar of row ordinals instead of rewriting the data
+# file — at 100 TB a take-down of a few urls costs KBs of sidecar, not a
+# re-encode of every candidate partition. Readers subtract the positions
+# at decode; compaction/COW rewrites materialize them away.
+
+
+def deletes_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, "deletes")
+
+
+def delete_file_name(pid: int, k: int) -> str:
+    return f"del-{pid:05d}-{k:04d}.parquet"
+
+
+def list_delete_files(out_dir: str, pid: int | None = None) -> list[str]:
+    """Basenames of every delete sidecar (optionally one partition's),
+    sorted — the current-read apply set."""
+    pat = f"del-{pid:05d}-*.parquet" if pid is not None else "del-*.parquet"
+    return sorted(os.path.basename(p) for p in glob.glob(os.path.join(deletes_dir(out_dir), pat)))
+
+
+def write_delete_file(out_dir: str, pid: int, positions, base_rows: int) -> str:
+    """Atomically write one positional-delete sidecar for partition
+    ``pid`` (sorted int64 row ordinals within the partition file) and
+    return its basename. Sidecars accumulate; readers union them.
+    ``base_rows`` — the partition's manifest row count the ordinals were
+    computed against — is stamped into the file so a later in-place
+    rewrite (which renumbers ordinals) makes the sidecar PROVABLY stale:
+    readers raise instead of silently deleting the wrong rows."""
+    import numpy as np
+
+    pos = np.asarray(positions, dtype=np.int64)
+    if pos.size == 0:
+        raise ValueError("refusing to write an empty delete file")
+    pos = np.unique(pos)  # sorted + deduped
+    if pos[0] < 0 or pos[-1] >= base_rows:
+        raise ValueError(f"delete positions out of range [0, {base_rows})")
+    os.makedirs(deletes_dir(out_dir), exist_ok=True)
+    k = 0
+    existing = list_delete_files(out_dir, pid)
+    if existing:
+        k = int(existing[-1][len("del-") + 6 : -len(".parquet")]) + 1
+    name = delete_file_name(pid, k)
+    path = os.path.join(deletes_dir(out_dir), name)
+    tmp = path + f".tmp.{os.getpid()}"
+    table = pa.table({"pos": pa.array(pos, pa.int64())}).replace_schema_metadata(
+        {"base_rows": str(int(base_rows))}
+    )
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+    return name
+
+
+def _sidecar_base_rows(table) -> int:
+    meta = table.schema.metadata or {}
+    return int(meta.get(b"base_rows", b"-1"))
+
+
+def delete_positions(out_dir: str, pid: int, files: list[str] | None = None):
+    """Union of deleted row ordinals for partition ``pid`` as a sorted
+    int64 numpy array. ``files`` restricts to a pinned apply set (time
+    travel); None means every sidecar on disk (current read). Raises if
+    a sidecar's stamped ``base_rows`` disagrees with the partition's
+    current manifest row count — the sidecar predates an in-place
+    rewrite and its ordinals are meaningless (crash window between a
+    COW rewrite and its sidecar cleanup; ``remove_stale_delete_files``
+    repairs, since a completed rewrite already materialized them)."""
+    import numpy as np
+
+    names = files if files is not None else list_delete_files(out_dir, pid)
+    prefix = f"del-{pid:05d}-"
+    parts = []
+    cur_rows = None
+    for name in names:
+        if not name.startswith(prefix):
+            continue
+        path = os.path.join(deletes_dir(out_dir), name)
+        t = pq.read_table(path)
+        base = _sidecar_base_rows(t)
+        if base >= 0:
+            if cur_rows is None:
+                man = read_partition_manifest(out_dir, pid)
+                cur_rows = man[0]["num_rows"] if man else 0
+            if base != cur_rows:
+                raise ValueError(
+                    f"stale delete sidecar {name}: written against "
+                    f"{base} rows but partition {pid} now has {cur_rows} "
+                    "(in-place rewrite without sidecar cleanup); run "
+                    "remove_stale_delete_files to repair"
+                )
+        parts.append(t.column("pos").to_numpy())
+    if not parts:
+        return np.empty(0, dtype=np.int64)
+    return np.unique(np.concatenate(parts))
+
+
+def remove_stale_delete_files(out_dir: str, pid: int) -> list[str]:
+    """Remove sidecars whose ``base_rows`` no longer matches partition
+    ``pid``'s manifest row count. Safe by construction: a mismatch
+    proves a rewrite completed after the sidecar was written, and every
+    completed rewrite decodes live rows (sidecars applied) — the
+    positions are already materialized into the data file."""
+    man = read_partition_manifest(out_dir, pid)
+    cur_rows = man[0]["num_rows"] if man else 0
+    removed = []
+    for name in list_delete_files(out_dir, pid):
+        path = os.path.join(deletes_dir(out_dir), name)
+        base = _sidecar_base_rows(pq.read_table(path))
+        if base >= 0 and base != cur_rows:
+            os.remove(path)
+            removed.append(name)
+    return removed
+
+
+def remove_delete_files(out_dir: str, pid: int) -> list[str]:
+    """Drop every sidecar of partition ``pid`` — REQUIRED after any
+    in-place rewrite of its data file (positions refer to the old row
+    ordinals). Returns removed basenames."""
+    removed = []
+    for name in list_delete_files(out_dir, pid):
+        os.remove(os.path.join(deletes_dir(out_dir), name))
+        removed.append(name)
+    return removed
+
+
 # ------------------------------------------------------- snapshot lineage
 def snapshot_dir(out_dir: str) -> str:
     return os.path.join(out_dir, "snapshots")
 
 
-def commit_snapshot(out_dir: str, operation: str, config: dict | None = None) -> dict:
-    """Append one job-level snapshot (Iceberg-snapshot analogue): a
-    sequenced, immutable JSON record of what is committed right now —
-    partition count, byte totals, per-encoding mix, the job config, and
-    the parent snapshot. Written tmp+rename, so readers only ever see
-    complete snapshots; the latest sequence number is the table's current
-    version. Call after the encode job's manifest DataFrame has been
-    acted on (the partitions are committed by then)."""
-    import time as _time
-
-    os.makedirs(snapshot_dir(out_dir), exist_ok=True)
+def _next_seq(out_dir: str) -> tuple[int, int | None]:
+    """(next free seq, parent seq). Counts invalidated tombstones too
+    (snap-*.json.invalid): a burned seq is never reused."""
     existing = sorted(glob.glob(os.path.join(snapshot_dir(out_dir), "snap-*.json")))
-    # seq counts invalidated tombstones too (snap-*.json.invalid):
-    # a burned seq is never reused
     all_seqs = [
         int(os.path.basename(p)[len("snap-") :][:6])
         for p in glob.glob(os.path.join(snapshot_dir(out_dir), "snap-*.json*"))
@@ -114,6 +231,26 @@ def commit_snapshot(out_dir: str, operation: str, config: dict | None = None) ->
     if existing:
         with open(existing[-1]) as f:
             parent = json.load(f)["seq"]
+    return seq, parent
+
+
+def commit_snapshot(out_dir: str, operation: str, config: dict | None = None) -> dict:
+    """Append one job-level snapshot (Iceberg-snapshot analogue): a
+    sequenced, immutable JSON record of what is committed right now —
+    partition count, byte totals, per-encoding mix, live delete-file set,
+    the job config, and the parent snapshot. Call after the encode job's
+    manifest DataFrame has been acted on (the partitions are committed by
+    then).
+
+    Concurrency: the seq is claimed by an ATOMIC ``os.link`` of the
+    staged record onto ``snap-<seq>.json`` — creating the name fails if
+    another committer got there first, and the loser recomputes seq and
+    parent and retries (optimistic CAS, Iceberg's commit protocol). Two
+    concurrent committers therefore always produce two distinct, complete
+    snapshots; ``os.replace`` here would have silently clobbered one."""
+    import time as _time
+
+    os.makedirs(snapshot_dir(out_dir), exist_ok=True)
     total_raw = total_enc = n_rows = 0
     encodings: dict[str, int] = {}
     pids = committed_partitions(out_dir)
@@ -127,9 +264,19 @@ def commit_snapshot(out_dir: str, operation: str, config: dict | None = None) ->
                 first_col = r["column"]
             if r["column"] == first_col:
                 n_rows += r["num_rows"]
+    # merge-on-read deletes: live row count subtracts the deleted
+    # positions; the sidecar basenames are pinned so time travel applies
+    # exactly the deletes this version saw (and none committed later)
+    delete_files = list_delete_files(out_dir)
+    n_deleted = 0
+    by_pid: dict[int, list[str]] = {}
+    for name in delete_files:
+        by_pid.setdefault(int(name[len("del-") : len("del-") + 5]), []).append(name)
+    for pid, names in by_pid.items():
+        if pid in pids:
+            n_deleted += int(delete_positions(out_dir, pid, files=names).size)
     snap = {
-        "seq": seq,
-        "parent": parent,
+        "parent": None,
         "ts": _time.strftime("%Y-%m-%dT%H:%M:%SZ", _time.gmtime()),
         "operation": operation,
         "partitions": len(pids),
@@ -137,18 +284,27 @@ def commit_snapshot(out_dir: str, operation: str, config: dict | None = None) ->
         # here is what makes snapshots functional (time travel, rollback)
         # rather than descriptive — the Iceberg manifest-list analogue
         "partition_ids": sorted(pids),
-        "num_rows": n_rows,
+        "delete_files": delete_files,
+        "num_rows": n_rows - n_deleted,
         "raw_bytes": total_raw,
         "encoded_bytes": total_enc,
         "encodings": encodings,
         "config": config or {},
     }
-    path = os.path.join(snapshot_dir(out_dir), f"snap-{seq:06d}.json")
-    tmp = path + f".tmp.{os.getpid()}"
-    with open(tmp, "w") as f:
-        json.dump(snap, f)
-    os.replace(tmp, path)
-    return snap
+    while True:
+        seq, parent = _next_seq(out_dir)
+        snap["seq"], snap["parent"] = seq, parent
+        path = os.path.join(snapshot_dir(out_dir), f"snap-{seq:06d}.json")
+        tmp = path + f".tmp.{os.getpid()}.{id(snap)}"
+        with open(tmp, "w") as f:
+            json.dump(snap, f)
+        try:
+            os.link(tmp, path)  # atomic create-if-absent: the CAS
+        except FileExistsError:
+            os.remove(tmp)
+            continue  # lost the race: recompute seq/parent, retry
+        os.remove(tmp)
+        return snap
 
 
 def read_snapshots(out_dir: str) -> list[dict]:
@@ -180,6 +336,20 @@ def snapshot_partitions(out_dir: str, seq: int) -> set[int]:
     return set(ids)
 
 
+def snapshot_delete_files(out_dir: str, seq: int) -> list[str]:
+    """The delete-sidecar apply set pinned by snapshot ``seq`` — time
+    travel applies exactly these positions, so a version BEFORE a
+    merge-on-read delete still reads the rows (MOR deletes never
+    invalidate history, unlike in-place rewrites). Snapshots predating
+    delete-file support pin the empty set (no sidecars existed)."""
+    path = os.path.join(snapshot_dir(out_dir), f"snap-{seq:06d}.json")
+    if not os.path.exists(path):
+        # same contract (and wording) as snapshot_partitions
+        snapshot_partitions(out_dir, seq)
+    with open(path) as f:
+        return list(json.load(f).get("delete_files") or [])
+
+
 def next_partition_base(out_dir: str) -> int:
     """First free partition id for an append job: one past the highest id
     in the LATEST SNAPSHOT (not the committed set) so a crashed append
@@ -190,9 +360,77 @@ def next_partition_base(out_dir: str) -> int:
     snaps = read_snapshots(out_dir)
     if snaps and snaps[-1].get("partition_ids") is not None:
         ids = snaps[-1]["partition_ids"]
-        return (max(ids) + 1) if ids else 0
-    pids = committed_partitions(out_dir)
-    return (max(pids) + 1) if pids else 0
+        base = (max(ids) + 1) if ids else 0
+    else:
+        pids = committed_partitions(out_dir)
+        base = (max(pids) + 1) if pids else 0
+    # never hand out ids inside a range another append job has claimed
+    for c in read_claims(out_dir):
+        base = max(base, c["base"] + c["n"])
+    return base
+
+
+def claims_dir(out_dir: str) -> str:
+    return os.path.join(snapshot_dir(out_dir), "claims")
+
+
+def read_claims(out_dir: str) -> list[dict]:
+    out = []
+    for p in sorted(glob.glob(os.path.join(claims_dir(out_dir), "claim-*.json"))):
+        with open(p) as f:
+            out.append(json.load(f))
+    return out
+
+
+def claim_append_base(out_dir: str, job_id: str, n_partitions: int) -> int:
+    """Atomically claim the partition-id range [base, base+n) for an
+    append job — the optimistic-concurrency piece that lets SEVERAL
+    append jobs target one table at once without id collisions (two
+    unclaimed appends would both compute the same
+    ``next_partition_base`` and clobber each other's partition files).
+
+    Allocation is serialized by an ``flock`` on ``snapshots/claims/.lock``
+    (one driver-side lock per append job, not per partition — this is
+    the role a catalog service plays for Iceberg; a shared POSIX
+    filesystem is this sandbox's catalog). Re-claiming with the same
+    ``job_id`` returns the existing base, so a crashed job re-runs
+    against its own range and resume replays its committed partitions.
+    Abandoned claims burn their range — ids are never reused, same
+    contract as burned snapshot seqs."""
+    import fcntl
+    import time as _time
+
+    if n_partitions < 1:
+        raise ValueError("claim_append_base needs n_partitions >= 1")
+    os.makedirs(claims_dir(out_dir), exist_ok=True)
+    with open(os.path.join(claims_dir(out_dir), ".lock"), "w") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        for c in read_claims(out_dir):
+            if c["job_id"] == job_id:
+                if c["n"] < n_partitions:
+                    raise ValueError(
+                        f"append job {job_id!r} re-run with more partitions "
+                        f"({n_partitions}) than its claim ({c['n']}); use a "
+                        "new job_id for a differently-shaped job"
+                    )
+                return c["base"]
+        base = next_partition_base(out_dir)
+        for c in read_claims(out_dir):
+            base = max(base, c["base"] + c["n"])
+        path = os.path.join(claims_dir(out_dir), f"claim-{base:06d}.json")
+        tmp = path + f".tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "job_id": job_id,
+                    "base": base,
+                    "n": int(n_partitions),
+                    "ts": _time.strftime("%Y-%m-%dT%H:%M:%SZ", _time.gmtime()),
+                },
+                f,
+            )
+        os.replace(tmp, path)
+        return base
 
 
 def invalidate_snapshots(out_dir: str, rewritten_pids: set[int]) -> list[int]:
