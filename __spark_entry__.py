@@ -602,6 +602,33 @@ def _q_delete_where_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return live.unionByName(asof)
 
 
+def _q_delete_keys_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equality delete + sequence semantics (spark/maintenance.py
+    delete_keys, the Iceberg v2 equality-delete-file analogue): the
+    delete is O(metadata) — one sidecar of key values scoped by the
+    stats/bloom tiers, NO data scan or Spark job — and applies only to
+    partitions committed before it, so re-appending two of the deleted
+    keys resurrects them (with the new payload) while the originals
+    stay gone. Oracle: survivors plus the re-appended rows."""
+    import tempfile
+
+    from parquet_go_spark.spark import manifest as mf
+    from parquet_go_spark.spark.decode_job import decode_table
+    from parquet_go_spark.spark.encode_job import encode_table
+    from parquet_go_spark.spark.maintenance import delete_keys
+
+    d = _load(spark, sf_dir, "documents").select("doc_id", "lang", "source", "n_chars")
+    out = tempfile.mkdtemp(prefix="pgs_eq_q_") + "/enc"
+    encode_table(d, out, key_col="doc_id", partitions=4, bloom_columns=["doc_id"]).collect()
+    mf.commit_snapshot(out, "encode")
+    victims = list(range(0, 200, 25))  # 0,25,...,175
+    delete_keys(out, "doc_id", victims)
+    reinsert = d.filter(F.col("doc_id").isin(victims[:3])).withColumn("lang", F.lit("re"))
+    encode_table(reinsert, out, key_col="doc_id", partitions=1, append=True).collect()
+    mf.commit_snapshot(out, "append")
+    return decode_table(spark, out).select("doc_id", "lang", "source", "n_chars")
+
+
 def _q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Copy-on-write MERGE (spark/maintenance.py merge_into): encode
     doc_id < 400, then merge a source batch covering 300..500 with
@@ -870,6 +897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_evolution": _q_schema_evolution,
         "delete_where": _q_delete_where,
         "delete_where_mor": _q_delete_where_mor,
+        "delete_keys_eq": _q_delete_keys_eq,
         "merge_upsert": _q_merge_upsert,
         # training-data pipeline ops
         "dedup_exact": lambda spark, sf_dir: exact_dedup(_load(spark, sf_dir, "documents")),
@@ -1167,6 +1195,13 @@ WHERE round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) >= 0.35
             " WHERE lang IS NULL OR lang NOT IN ('de', 'fr')"
             " UNION ALL"
             " SELECT doc_id, lang, source, n_chars, 'asof' AS view FROM documents"
+        ),
+        "delete_keys_eq": (
+            "SELECT doc_id, lang, source, n_chars FROM documents"
+            " WHERE doc_id NOT IN (0, 25, 50, 75, 100, 125, 150, 175)"
+            " UNION ALL"
+            " SELECT doc_id, 're' AS lang, source, n_chars FROM documents"
+            " WHERE doc_id IN (0, 25, 50)"
         ),
         "merge_upsert": (
             "SELECT doc_id, lang, source, n_chars FROM documents WHERE doc_id < 300"

@@ -425,6 +425,16 @@ def cmd_delete(args) -> int:
     the manifest stats cannot clear (take-down operation). Each --where
     is col:op:value, op in ==,<=,>=; values parse as int/float when
     possible."""
+    if args.mode == "eq":
+        # equality delete: metadata-only, no Spark session needed
+        from .spark.maintenance import delete_keys
+
+        triples = _parse_where(args.where)
+        cols = {c for c, _, _ in triples}
+        if len(cols) != 1 or any(op != "==" for _, op, _ in triples):
+            raise SystemExit("--mode eq takes one or more col:==:value on a single column")
+        print(json.dumps(delete_keys(args.enc, next(iter(cols)), [v for _, _, v in triples])))
+        return 0
     spark = _spark(args)
     from .spark.maintenance import delete_where
 
@@ -660,10 +670,12 @@ def main(argv=None) -> int:
     )
     dl.add_argument(
         "--mode",
-        choices=["cow", "mor"],
+        choices=["cow", "mor", "eq"],
         default="cow",
         help="cow rewrites candidate partitions in place; mor writes "
-        "positional delete sidecars (no rewrite, history preserved)",
+        "positional delete sidecars (no rewrite, history preserved); "
+        "eq writes one equality sidecar from metadata alone (no scan, "
+        "no Spark job; --where must be col:==:value on one column)",
     )
     dl.set_defaults(fn=cmd_delete)
 

@@ -123,11 +123,12 @@ def _decode_partition_to_batches(
     pid: int,
     prune: list[tuple],
     delete_files: list[str] | None = None,
+    eq_files: list[str] | None = None,
 ):
     """Decode one committed partition file -> Arrow batch iterator;
-    shared by the batch reader and the stream reader. ``delete_files``
-    pins the merge-on-read sidecar apply set (time travel); None applies
-    every sidecar on disk (current read)."""
+    shared by the batch reader and the stream reader. ``delete_files``/
+    ``eq_files`` pin the merge-on-read sidecar apply sets (time travel);
+    None applies every sidecar on disk (current read)."""
     import os
 
     from . import manifest as mf
@@ -137,6 +138,7 @@ def _decode_partition_to_batches(
     if pid < 0:
         return
     dpos = mf.delete_positions(enc_dir, pid, files=delete_files)
+    eq_specs = mf.eq_deletes_by_pid(enc_dir, eq_files).get(pid)
     path = os.path.join(enc_dir, f"part-{pid:05d}.bin")
     with open(path, "rb") as fh:
         payload = fh.read()
@@ -161,6 +163,7 @@ def _decode_partition_to_batches(
         blobs, cols, nested, logicals, prune or None,
         arrow_types=arrow_types, fallback_rows=fallback,
         delete_pos=dpos if dpos.size else None,
+        eq_deletes=eq_specs,
     )
     if batch is not None:
         yield batch
@@ -174,10 +177,13 @@ class _PGSReader(DataSourceReader):
         self.fields = schema_fields
         self.prune: list[tuple] = []
         self.as_of = as_of
-        # merge-on-read apply set: pinned by the snapshot under time
+        # merge-on-read apply sets: pinned by the snapshot under time
         # travel, else every sidecar on disk (resolved per task)
         self.delete_files = (
             mf.snapshot_delete_files(enc_dir, as_of) if as_of is not None else None
+        )
+        self.eq_files = (
+            mf.snapshot_eq_delete_files(enc_dir, as_of) if as_of is not None else None
         )
 
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
@@ -209,7 +215,7 @@ class _PGSReader(DataSourceReader):
     def read(self, partition: _PGSPartition):
         return _decode_partition_to_batches(
             self.enc_dir, self.fields, partition.pid, self.prune,
-            delete_files=self.delete_files,
+            delete_files=self.delete_files, eq_files=self.eq_files,
         )
 
 
@@ -399,7 +405,7 @@ class PGSDataSource(DataSource):
                 existing
                 + _glob.glob(os.path.join(mf.manifest_dir(enc_dir), "part-*.parquet"))
                 + _glob.glob(os.path.join(mf.snapshot_dir(enc_dir), "snap-*.json"))
-                + _glob.glob(os.path.join(mf.deletes_dir(enc_dir), "del-*.parquet"))
+                + _glob.glob(os.path.join(mf.deletes_dir(enc_dir), "*.parquet"))
                 + _glob.glob(os.path.join(mf.claims_dir(enc_dir), "claim-*.json"))
             ):
                 os.remove(p)

@@ -178,6 +178,7 @@ def decode_blobs_to_batch(
     arrow_types: "dict | None" = None,
     fallback_rows: int | None = None,
     delete_pos: "np.ndarray | None" = None,
+    eq_deletes: "list[tuple] | None" = None,
 ) -> "pa.RecordBatch | None":
     """Decode one partition's column blobs into a row-aligned Arrow
     batch, applying page-level pruning (``_surviving_ranges``) when the
@@ -188,7 +189,16 @@ def decode_blobs_to_batch(
     present in the partition. ``delete_pos`` (sorted int64 row ordinals
     within the partition, merge-on-read sidecars) drops those rows from
     the decoded batch — positions are partition-global, so they compose
-    with page-seek decode via the surviving row ranges."""
+    with page-seek decode via the surviving row ranges. ``eq_deletes``
+    ([(column, values), ...], equality sidecars scoped to this
+    partition) drops rows whose column value is in the set; the key
+    column rides along in the decode even when unselected (same
+    mechanism as predicate columns) and is trimmed from the result."""
+    cols_in = list(cols)
+    if eq_deletes:
+        cols = cols_in + [c for c, _ in eq_deletes if c not in cols_in]
+        # dedupe, order-stable
+        cols = list(dict.fromkeys(cols))
     row_sel = None
     if prune:
         ranges, total = _surviving_ranges(prune, blobs)
@@ -248,6 +258,27 @@ def decode_blobs_to_batch(
             batch = batch.filter(pa.array(keep))
         if not batch.num_rows:
             return None
+    if eq_deletes:
+        import pyarrow.compute as pc
+
+        for col, values in eq_deletes:
+            if col not in batch.schema.names:
+                continue  # column never written here (evolution): no match
+            c = batch.column(col)
+            try:
+                vset = pa.array(values, type=c.type)
+            except (pa.ArrowInvalid, pa.ArrowTypeError):
+                vset = pa.array(values).cast(c.type)
+            m = pc.is_in(c, value_set=vset)
+            if m.null_count:
+                m = pc.fill_null(m, False)  # null key never matches
+            keep = pc.invert(m)
+            if not pc.all(keep).as_py():
+                batch = batch.filter(keep)
+            if not batch.num_rows:
+                return None
+        if cols != cols_in:
+            batch = batch.select(cols_in)
     return batch
 
 _DDL_LOGICAL = {
@@ -407,13 +438,23 @@ def decode_table(
     del_by_pid: dict[int, list[str]] = {}
     for name in del_names:
         del_by_pid.setdefault(int(name[len("del-") : len("del-") + 5]), []).append(name)
+    eq_names = (
+        mf.snapshot_eq_delete_files(enc_dir, as_of)
+        if as_of is not None
+        else mf.list_eq_delete_files(enc_dir)
+    )
+    eq_by_pid = mf.eq_deletes_by_pid(enc_dir, eq_names) if eq_names else {}
+    # equality-delete key columns ride along in the decode (and in the
+    # type maps) even when unselected, like predicate columns
+    eq_cols = {c for specs in eq_by_pid.values() for c, _ in specs if c in by_name}
 
+    typed = list(dict.fromkeys(list(cols) + sorted(eq_cols)))
     nested_cols = {
-        c for c in cols if by_name[c]["ddl"].strip().startswith(("array<", "map<", "struct<"))
+        c for c in typed if by_name[c]["ddl"].strip().startswith(("array<", "map<", "struct<"))
     }
-    logicals = {c: logical_of_ddl(by_name[c]["ddl"]) for c in cols}
+    logicals = {c: logical_of_ddl(by_name[c]["ddl"]) for c in typed}
     arrow_types = {}
-    for c in cols:
+    for c in typed:
         try:
             arrow_types[c] = arrow_type_of_ddl(by_name[c]["ddl"])
         except ValueError:
@@ -427,10 +468,14 @@ def decode_table(
         want = set(cols) | ({p[0] for p in prune} if prune else set())
         for b in batches:
             for path, content in zip(b.column("path"), b.column("content")):
-                blobs = parse_partition_file(content.as_py(), want)
                 import os as _os
 
                 bpid = int(_os.path.basename(path.as_py())[len("part-") : -len(".bin")])
+                eq_specs = eq_by_pid.get(bpid)
+                want_here = (
+                    want | {c for c, _ in eq_specs if c in by_name} if eq_specs else want
+                )
+                blobs = parse_partition_file(content.as_py(), want_here)
                 dpos = (
                     mf.delete_positions(enc_dir, bpid, files=del_by_pid[bpid])
                     if bpid in del_by_pid
@@ -478,6 +523,7 @@ def decode_table(
                     arrow_types=arrow_types,
                     fallback_rows=fallback,
                     delete_pos=dpos,
+                    eq_deletes=eq_specs,
                 )
                 if batch is not None:
                     yield batch

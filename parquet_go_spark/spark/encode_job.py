@@ -316,7 +316,7 @@ def encode_table(
         # semantics at the datasource layer; resume relies on them)
         import glob as _glob
 
-        for p in _glob.glob(os.path.join(mf.deletes_dir(out_dir), "del-*.parquet")) + _glob.glob(
+        for p in _glob.glob(os.path.join(mf.deletes_dir(out_dir), "*.parquet")) + _glob.glob(
             os.path.join(mf.claims_dir(out_dir), "claim-*.json")
         ):
             os.remove(p)

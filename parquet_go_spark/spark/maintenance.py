@@ -34,8 +34,66 @@ __all__ = [
     "table_bytes",
     "rollback_table",
     "delete_where",
+    "delete_keys",
     "merge_into",
 ]
+
+
+def delete_keys(
+    enc_dir: str,
+    column: str,
+    values,
+    within: "set[int] | None" = None,
+    extra_config: dict | None = None,
+) -> dict:
+    """Equality delete (Iceberg v2 equality delete file): drop every row
+    whose ``column`` value is in ``values`` — O(metadata), NO data scan
+    and no Spark job at all. The write is one sidecar whose apply set is
+    scoped two ways: (1) by the manifest stats/bloom tiers to partitions
+    that MAY hold a match, and (2) to partitions committed SO FAR, so a
+    key re-inserted by a later append survives (Iceberg sequence-number
+    semantics). Value-based filters are idempotent under in-place
+    rewrites — equality sidecars never go stale, unlike positional ones.
+
+    The read-side trade: every decode of an applies-to partition also
+    decodes the key column and filters by value until compaction (or a
+    COW delete) materializes the sidecar away. Row counts are unknowable
+    without a scan (``rows_deleted`` is not returned; snapshot num_rows
+    ignores equality deletes, as Iceberg's summaries do) — use
+    ``delete_where(mode="mor"/"cow")`` when exact accounting matters.
+    This is the delete a streaming CDC upsert needs: the hot path writes
+    KBs and reads nothing.
+
+    ``within`` restricts the apply universe to those partition ids (the
+    streaming upsert passes the PRE-batch snapshot's set so the batch's
+    own appended rows survive their own delete); ``extra_config`` merges
+    into the committed snapshot's config (replay markers)."""
+    from .decode_job import surviving_partitions
+
+    vals = list(dict.fromkeys(values))
+    if not vals:
+        raise ValueError("delete_keys needs at least one value")
+    if len(vals) <= 1024:
+        predicate = [(column, "in", tuple(vals))]
+    else:
+        # large CDC batches: per-value bloom probing is O(values ×
+        # partitions) on the driver — fall back to one range check
+        predicate = [(column, ">=", min(vals)), (column, "<=", max(vals))]
+    applies = surviving_partitions(enc_dir, predicate, within=within)
+    name = mf.write_eq_delete_file(enc_dir, column, vals, applies) if applies else None
+    snap = mf.commit_snapshot(
+        enc_dir,
+        "delete",
+        {
+            "mode": "eq",
+            "column": column,
+            "n_values": len(vals),
+            "applies_to": len(applies),
+            "file": name,
+            **(extra_config or {}),
+        },
+    )
+    return {"candidates": len(applies), "file": name, "snapshot": snap["seq"]}
 
 
 def merge_into(
@@ -67,10 +125,21 @@ def merge_into(
     millions of keys). For source batches approaching the table's own
     size, rewrite wholesale instead (``compact_table`` over
     ``decode_table(...).join(src, ...)``)."""
+    if mode not in ("cow", "mor", "eq"):
+        raise ValueError(f"merge_into mode must be 'cow', 'mor', or 'eq', got {mode!r}")
     keys = [r[0] for r in src.select(key).where(F.col(key).isNotNull()).distinct().collect()]
     deleted = {"rows_deleted": 0, "candidates": 0}
     if keys:
-        deleted = delete_where(spark, enc_dir, [(key, "in", tuple(keys))], mode=mode)
+        if mode == "eq":
+            # zero-read upsert: the delete phase is one metadata-scoped
+            # equality sidecar — the table is never decoded at all, so
+            # merge cost = append cost (the streaming-CDC shape); the
+            # price is unknown rows_replaced and read-side filtering
+            # until compaction
+            eq = delete_keys(enc_dir, key, keys)
+            deleted = {"rows_deleted": None, "candidates": eq["candidates"]}
+        else:
+            deleted = delete_where(spark, enc_dir, [(key, "in", tuple(keys))], mode=mode)
     n_parts = partitions or max(1, min(len(keys) // 50_000 + 1, 64))
     encode_table(
         src,
@@ -324,6 +393,10 @@ def rollback_table(out_dir: str, seq: int) -> dict:
     pinned_dels = set(mf.snapshot_delete_files(out_dir, seq))
     for name in mf.list_delete_files(out_dir):
         if name not in pinned_dels:
+            os.remove(os.path.join(mf.deletes_dir(out_dir), name))
+    pinned_eq = set(mf.snapshot_eq_delete_files(out_dir, seq))
+    for name in mf.list_eq_delete_files(out_dir):
+        if name not in pinned_eq:
             os.remove(os.path.join(mf.deletes_dir(out_dir), name))
     import glob as _glob
     import json as _json

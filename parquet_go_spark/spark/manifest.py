@@ -184,6 +184,61 @@ def delete_positions(out_dir: str, pid: int, files: list[str] | None = None):
     return np.unique(np.concatenate(parts))
 
 
+def list_eq_delete_files(out_dir: str) -> list[str]:
+    """Basenames of every EQUALITY delete sidecar, sorted."""
+    return sorted(
+        os.path.basename(p) for p in glob.glob(os.path.join(deletes_dir(out_dir), "eq-*.parquet"))
+    )
+
+
+def write_eq_delete_file(out_dir: str, column: str, values, applies_to) -> str:
+    """Atomically write one equality-delete sidecar (Iceberg v2
+    equality delete file): rows of ``column`` whose value appears in
+    ``values`` are deleted from the partitions in ``applies_to`` — and
+    ONLY those, so a key re-inserted by a later append survives
+    (sequence-number semantics: the delete applies to data committed
+    before it). Unlike positional sidecars these are value-based, so an
+    in-place rewrite never makes them stale (re-filtering by value is
+    idempotent). Returns the basename."""
+    vals = list(values)
+    if not vals:
+        raise ValueError("refusing to write an empty equality delete")
+    os.makedirs(deletes_dir(out_dir), exist_ok=True)
+    existing = list_eq_delete_files(out_dir)
+    k = int(existing[-1][len("eq-") : -len(".parquet")]) + 1 if existing else 0
+    name = f"eq-{k:04d}.parquet"
+    path = os.path.join(deletes_dir(out_dir), name)
+    tmp = path + f".tmp.{os.getpid()}"
+    table = pa.table({"value": pa.array(vals)}).replace_schema_metadata(
+        {"column": column, "applies_to": json.dumps(sorted(int(p) for p in applies_to))}
+    )
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+    return name
+
+
+def read_eq_delete_file(out_dir: str, name: str) -> dict:
+    """{"column", "values", "applies_to"} for one equality sidecar."""
+    t = pq.read_table(os.path.join(deletes_dir(out_dir), name))
+    meta = t.schema.metadata or {}
+    return {
+        "column": meta[b"column"].decode(),
+        "values": t.column("value").to_pylist(),
+        "applies_to": set(json.loads(meta[b"applies_to"].decode())),
+    }
+
+
+def eq_deletes_by_pid(out_dir: str, names: list[str] | None = None) -> dict:
+    """pid -> [(column, values), ...] for the given equality sidecars
+    (None = all on disk), in commit order — the read-side apply plan."""
+    out: dict[int, list] = {}
+    for name in names if names is not None else list_eq_delete_files(out_dir):
+        spec = read_eq_delete_file(out_dir, name)
+        for pid in spec["applies_to"]:
+            out.setdefault(pid, []).append((spec["column"], spec["values"]))
+    return out
+
+
 def remove_stale_delete_files(out_dir: str, pid: int) -> list[str]:
     """Remove sidecars whose ``base_rows`` no longer matches partition
     ``pid``'s manifest row count. Safe by construction: a mismatch
@@ -285,6 +340,11 @@ def commit_snapshot(out_dir: str, operation: str, config: dict | None = None) ->
         # rather than descriptive — the Iceberg manifest-list analogue
         "partition_ids": sorted(pids),
         "delete_files": delete_files,
+        # equality deletes are pinned too (time travel), but their row
+        # effect is unknowable without a scan — num_rows subtracts only
+        # positional deletes (same limitation as Iceberg's snapshot
+        # summaries with equality deletes present)
+        "eq_delete_files": list_eq_delete_files(out_dir),
         "num_rows": n_rows - n_deleted,
         "raw_bytes": total_raw,
         "encoded_bytes": total_enc,
@@ -348,6 +408,16 @@ def snapshot_delete_files(out_dir: str, seq: int) -> list[str]:
         snapshot_partitions(out_dir, seq)
     with open(path) as f:
         return list(json.load(f).get("delete_files") or [])
+
+
+def snapshot_eq_delete_files(out_dir: str, seq: int) -> list[str]:
+    """The equality-delete apply set pinned by snapshot ``seq`` (same
+    contract as ``snapshot_delete_files``)."""
+    path = os.path.join(snapshot_dir(out_dir), f"snap-{seq:06d}.json")
+    if not os.path.exists(path):
+        snapshot_partitions(out_dir, seq)
+    with open(path) as f:
+        return list(json.load(f).get("eq_delete_files") or [])
 
 
 def next_partition_base(out_dir: str) -> int:
