@@ -554,6 +554,38 @@ def _q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_incremental_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental append scan (decode_job.read_changes, the Iceberg
+    snapshot-diff read): build the events table as two appended snapshots
+    (event_id % 3 == 0 first, the rest appended), then MOR-delete
+    event_id <= 9 (a third snapshot, sidecars only). read_changes(from=0)
+    plans exactly the partitions committed after snapshot 0 — one driver
+    metadata op, one task per fresh partition, nothing outside the diff
+    read — and applies the latest snapshot's delete sidecars. Oracle: the
+    appended batch minus the deleted rows."""
+    import tempfile
+
+    from parquet_go_spark.spark import manifest as mf
+    from parquet_go_spark.spark.decode_job import read_changes
+    from parquet_go_spark.spark.encode_job import encode_table
+    from parquet_go_spark.spark.maintenance import delete_where
+
+    ev = _load(spark, sf_dir, "events")
+    out = tempfile.mkdtemp(prefix="pgs_inc_q_") + "/enc"
+    encode_table(
+        ev.filter(F.col("event_id") % 3 == 0), out, key_col="event_id", partitions=4
+    ).collect()
+    mf.commit_snapshot(out, "encode")
+    encode_table(
+        ev.filter(F.col("event_id") % 3 != 0), out, key_col="event_id", partitions=4, append=True
+    ).collect()
+    mf.commit_snapshot(out, "append")
+    delete_where(spark, out, [("event_id", "<=", 9)], mode="mor")
+    return read_changes(spark, out, from_seq=0).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
+
 def _q_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Predicate-scoped delete (spark/maintenance.py delete_where): the
     take-down operation — manifest stats/blooms first prove which
@@ -894,6 +926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "datasource_read_write": _q_datasource_rw,
         "compact_rewrite": _q_compact,
         "time_travel_as_of": _q_time_travel,
+        "incremental_changes": _q_incremental_changes,
         "schema_evolution": _q_schema_evolution,
         "delete_where": _q_delete_where,
         "delete_where_mor": _q_delete_where_mor,
@@ -1180,6 +1213,10 @@ WHERE round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) >= 0.35
         "compact_rewrite": "SELECT doc_id, lang, source, n_chars FROM documents",
         "time_travel_as_of": (
             "SELECT event_id, user_id, event_type, value FROM events WHERE event_id % 3 = 0"
+        ),
+        "incremental_changes": (
+            "SELECT event_id, user_id, event_type, value FROM events"
+            " WHERE event_id % 3 != 0 AND event_id >= 10"
         ),
         "schema_evolution": (
             "SELECT doc_id, lang, source,"

@@ -187,6 +187,17 @@ def _load_table(spark, args):
         from .spark.parquet_source import read_parquet_table
 
         df = read_parquet_table(spark, args.enc, columns=cols, prune=prune)
+    elif getattr(args, "changes_from", None) is not None:
+        from .spark.decode_job import read_changes
+
+        df = read_changes(
+            spark,
+            args.enc,
+            from_seq=args.changes_from,
+            to_seq=getattr(args, "as_of", None),
+            columns=cols,
+            prune=prune,
+        )
     else:
         from .spark.decode_job import decode_table
 
@@ -555,6 +566,13 @@ def main(argv=None) -> int:
     d.add_argument("--validate-crc", action="store_true")
     d.add_argument(
         "--as-of", type=int, default=None, help="time travel: read the table as of snapshot seq"
+    )
+    d.add_argument(
+        "--changes-from",
+        type=int,
+        default=None,
+        help="incremental read: only rows appended after this snapshot seq "
+        "(up to --as-of, default latest) — the Iceberg incremental append scan",
     )
     d.add_argument(
         "--input-format",

@@ -372,12 +372,18 @@ def decode_table(
     validate_crc: bool = False,
     prune: list[tuple] | None = None,
     as_of: int | None = None,
+    pids: set[int] | None = None,
 ) -> DataFrame:
     """Decode an encoded table directory back into a DataFrame.
 
     ``as_of`` time-travels: read only the partitions pinned by snapshot
     ``seq`` (``manifest.snapshot_partitions``) — the table exactly as it
     stood when that snapshot was committed, regardless of appends since.
+
+    ``pids`` restricts the read to an explicit partition-id subset
+    (intersected with the ``as_of`` pin when both are given) — the
+    planner hook ``read_changes`` uses for incremental snapshot-diff
+    scans. Delete sidecars still apply per the ``as_of`` version.
 
     ``validate_crc=True`` checks each selected chunk's CRC32 against the
     partition manifest before decoding (reference ``WithCRC32Validation``,
@@ -408,6 +414,8 @@ def decode_table(
 
     paths = sorted(_glob.glob(f"{enc_dir}/part-*.bin"))
     pinned = mf.snapshot_partitions(enc_dir, as_of) if as_of is not None else None
+    if pids is not None:
+        pinned = set(pids) if pinned is None else (pinned & set(pids))
     if prune:
         keep = {
             f"part-{pid:05d}.bin"
@@ -529,3 +537,45 @@ def decode_table(
                     yield batch
 
     return files.mapInArrow(decode_partition, schema=out_ddl)
+
+
+def read_changes(
+    spark: SparkSession,
+    enc_dir: str,
+    from_seq: int,
+    to_seq: int | None = None,
+    columns: list[str] | None = None,
+    prune: list[tuple] | None = None,
+) -> DataFrame:
+    """Incremental snapshot-diff read (Iceberg incremental append scan):
+    the rows in partitions committed AFTER snapshot ``from_seq`` and AT
+    OR BEFORE ``to_seq`` (default: the latest snapshot), as visible at
+    ``to_seq`` — i.e. ``to_seq``'s positional/equality delete sidecars
+    apply, so a row appended and then MOR-deleted inside the window is
+    not reported. This is the batch complement of the ``pgs`` streaming
+    source (which tails committed partitions): a downstream consumer
+    polls ``read_changes(last_seen, latest)`` instead of rescanning.
+
+    Append-only semantics: only ADDED rows are reported. Rows removed
+    between the versions by in-place rewrites (COW delete / merge /
+    rollback) tombstone the snapshots whose partitions they rewrote, so
+    ``from_seq``/``to_seq`` raise 'invalidated' instead of silently
+    misrepresenting the diff — the same contract as ``as_of``. One
+    driver-side metadata op plans the scan; each fresh partition is one
+    task (no data read outside the diff)."""
+    snaps = mf.read_snapshots(enc_dir)
+    if to_seq is None:
+        if not snaps:
+            raise ValueError(f"no snapshots at {enc_dir}: nothing to diff")
+        to_seq = snaps[-1]["seq"]
+    if from_seq == to_seq:
+        new_pids: set[int] = set()
+    else:
+        if from_seq > to_seq:
+            raise ValueError(f"from_seq={from_seq} is after to_seq={to_seq}")
+        new_pids = mf.snapshot_partitions(enc_dir, to_seq) - mf.snapshot_partitions(
+            enc_dir, from_seq
+        )
+    return decode_table(
+        spark, enc_dir, columns=columns, prune=prune, as_of=to_seq, pids=new_pids
+    )
