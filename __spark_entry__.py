@@ -389,6 +389,93 @@ LEFT JOIN cnt c ON c.media_id = dense.media_id AND c.ch = pos // 16 AND c.bin = 
 """
 
 
+def _q_multimodal_audio_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio featurizer plumbing under the oracle gate: documents become
+    a deterministic audio table (text bytes as the payload; sample_rate/
+    duration derived from doc_id), audio_features(stat="peak") windows
+    the stub-decoded float32 PCM into 32 max-|amplitude| envelope values.
+    The DuckDB oracle reproduces the byte tiling, the (b-127.5)/127.5
+    float32 quantization, and the windowed max exactly (max has no
+    summation-order rounding; RMS stays pytest-gated for that reason)."""
+    from parquet_go_spark.ops.multimodal import audio_features
+
+    d = _load(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio").alias("kind"),
+        F.encode("text", "UTF-8").alias("content"),
+        F.struct(
+            F.lit(0).alias("width"),
+            F.lit(0).alias("height"),
+            F.lit(0).alias("channels"),
+            F.lit(8000).alias("sample_rate"),
+            (F.lit(100) + (F.col("doc_id") % 4) * 50).cast("int").alias("duration_ms"),
+            F.lit("fake").alias("codec"),
+        ).alias("meta"),
+    )
+    feats = audio_features(media, stat="peak")
+    return feats.select(
+        "media_id", F.posexplode("feature").alias("pos", "val")
+    ).withColumn("val", F.col("val").cast("double"))
+
+
+_AUDIO_PEAKS_DUCK = """
+WITH d AS (
+  SELECT doc_id AS media_id, text,
+         (8 * (100 + (doc_id % 4) * 50)) // 32 AS wlen
+  FROM documents WHERE length(text) > 0
+),
+samp AS (
+  SELECT media_id, CAST(j // wlen AS INT) AS pos,
+         ABS(CAST((ascii(text[CAST(j % length(text) AS INT) + 1]) - 127.5) / 127.5 AS REAL)) AS a
+  FROM d, UNNEST(range(wlen * 32)) AS t(j)
+)
+SELECT media_id, pos, CAST(MAX(a) AS DOUBLE) AS val FROM samp GROUP BY 1, 2
+"""
+
+
+def _q_multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing under the oracle gate: documents
+    become a deterministic video table (text bytes as the payload,
+    duration from doc_id), video_frame_sample explodes each payload into
+    one row per sampled keyframe (the step before a per-frame image
+    pipeline). The stub codec's frames are contiguous byte slices, so
+    the DuckDB oracle is exact substring arithmetic; frames are cast to
+    string for the canonical compare (the corpus is ASCII)."""
+    from parquet_go_spark.ops.multimodal import video_frame_sample
+
+    d = _load(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.encode("text", "UTF-8").alias("content"),
+        F.struct(
+            F.lit(0).alias("width"),
+            F.lit(0).alias("height"),
+            F.lit(0).alias("channels"),
+            F.lit(0).alias("sample_rate"),
+            (F.lit(3000) + (F.col("doc_id") % 5) * 1000).cast("int").alias("duration_ms"),
+            F.lit("fake").alias("codec"),
+        ).alias("meta"),
+    )
+    fr = video_frame_sample(media, every_ms=1000)
+    return fr.select(
+        "media_id", "frame_idx", F.col("frame").cast("string").alias("frame_s")
+    )
+
+
+_VIDEO_FRAMES_DUCK = """
+WITH d AS (
+  SELECT doc_id AS media_id, text, 3 + (doc_id % 5) AS k
+  FROM documents WHERE length(text) > 0
+),
+s AS (SELECT media_id, text, k, GREATEST(length(text) // k, 1) AS step FROM d)
+SELECT media_id, CAST(i AS INT) AS frame_idx,
+       substr(text, CAST(i * step + 1 AS INT), CAST(step AS INT)) AS frame_s
+FROM s, UNNEST(range(k)) AS t(i)
+"""
+
+
 def _q_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Manifest bloom-filter point lookup (kernels/bloom.py): encode the
     documents table salted on doc_id with per-chunk split-block blooms,
@@ -953,6 +1040,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # multimodal
         "multimodal_image_hist": _q_multimodal_image_hist,
+        "multimodal_audio_peaks": _q_multimodal_audio_peaks,
+        "multimodal_video_frames": _q_multimodal_video_frames,
         # similarity search
         "embedding_cosine_topk": _q_cosine_topk,
         "embedding_lsh_topk": _q_lsh_topk,
@@ -1282,6 +1371,8 @@ WHERE round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) >= 0.35
         "dedup_canonical": canonical_sql,
         "ngram_jaccard_pairs": jacc_sql,
         "multimodal_image_hist": _MULTIMODAL_DUCK,
+        "multimodal_audio_peaks": _AUDIO_PEAKS_DUCK,
+        "multimodal_video_frames": _VIDEO_FRAMES_DUCK,
         "embedding_cosine_topk": topk_sql,
         "embedding_lsh_topk": lsh_topk_sql,
         "embedding_ivf_topk": ivf_topk_sql,

@@ -311,6 +311,46 @@ def cmd_head(args) -> int:
     return 0
 
 
+def cmd_cat(args) -> int:
+    """Every row of the table as JSON lines (parquet-tool cat analogue,
+    ``cmd/parquet-tool/cmds/cat.go``). Streams partitions through
+    ``toLocalIterator`` so the driver never materializes the table."""
+    spark = _spark(args)
+
+    df = _load_table(spark, args)
+    for row in df.toLocalIterator():
+        print(json.dumps(row.asDict(), default=str))
+    return 0
+
+
+def cmd_split(args) -> int:
+    """Split one (or many) real .parquet files into multiple files of a
+    target size (parquet-tool split analogue,
+    ``cmd/parquet-tool/cmds/split.go``): plan output file count from the
+    footers' uncompressed row-group totals alone, scan one task per row
+    group through the kernels, rewrite via the parquet sink. Like the
+    reference's ``--file-size``, the target is approximate, not the
+    exact on-disk size. Splitting is also the moment to add prune
+    structures (``--page-index`` / ``--bloom-columns``). For engine
+    (pgs) tables, use ``compact --target-mb`` instead."""
+    spark = _spark(args)
+    from .spark.maintenance import compact_parquet_dir
+
+    man = compact_parquet_dir(
+        spark,
+        args.input,
+        args.out,
+        target_partition_bytes=args.file_size_mb << 20,
+        compression=args.compression,
+        page_index=args.page_index,
+        bloom_columns=args.bloom_columns.split(",") if args.bloom_columns else None,
+    )
+    rows = man.collect()
+    pids = sorted({r["partition"] for r in rows})
+    print(json.dumps({"out": args.out, "files": len(pids)}))
+    return 0
+
+
 def cmd_schema(args) -> int:
     """Table schema (parquet-tool schema analogue).
 
@@ -630,6 +670,43 @@ def main(argv=None) -> int:
         "pages/blooms, then re-applies exactly; repeat for a conjunction",
     )
     h.set_defaults(fn=cmd_head)
+
+    ct = sub.add_parser("cat", help="print every row as JSON lines (parquet-tool cat)")
+    ct.add_argument("--enc", required=True)
+    ct.add_argument("--columns", default=None, help="comma-separated projection")
+    ct.add_argument(
+        "--input-format",
+        choices=["pgs", "parquet"],
+        default="pgs",
+        help="'parquet' reads real .parquet files through the kernel scan",
+    )
+    ct.add_argument(
+        "--where",
+        action="append",
+        default=None,
+        help="col:op:value (op: ==, <=, >=); prunes partitions/row groups/"
+        "pages/blooms, then re-applies exactly; repeat for a conjunction",
+    )
+    ct.set_defaults(fn=cmd_cat)
+
+    sp = sub.add_parser(
+        "split", help="split real .parquet files into multiple target-sized files"
+    )
+    sp.add_argument("--input", required=True, help=".parquet file, glob, or directory")
+    sp.add_argument("--out", required=True, help="target directory for the split files")
+    sp.add_argument(
+        "--file-size-mb",
+        type=int,
+        default=100,
+        help="approximate raw (uncompressed) MB per output file — like the "
+        "reference's --file-size, not the exact on-disk size",
+    )
+    sp.add_argument(
+        "--compression", default="snappy", choices=["none", "zlib", "snappy", "zstd", "lz4"]
+    )
+    sp.add_argument("--page-index", action="store_true", help="write the PageIndex into the split files")
+    sp.add_argument("--bloom-columns", default=None, help="comma-separated bloom filter columns")
+    sp.set_defaults(fn=cmd_split)
 
     s = sub.add_parser("schema")
     s.add_argument("--enc", default=None)

@@ -108,8 +108,17 @@ def image_features(df: DataFrame, bins: int = 16) -> DataFrame:
     return sel.mapInPandas(feats, schema="media_id long, feature array<float>")
 
 
-def audio_features(df: DataFrame, n_windows: int = 32) -> DataFrame:
-    """(media_id, feature array<float>): windowed RMS energy profile."""
+def audio_features(df: DataFrame, n_windows: int = 32, stat: str = "rms") -> DataFrame:
+    """(media_id, feature array<float>): windowed energy profile.
+
+    ``stat="rms"`` (default) is the classic RMS energy envelope;
+    ``stat="peak"`` is the max-|amplitude| waveform envelope. Both share
+    the identical decode -> window -> reduce plumbing; peak is also
+    exactly reproducible cross-engine (max of exactly-representable
+    float32 values involves no summation-order rounding), which is what
+    the driver's value-hash oracle gates."""
+    if stat not in ("rms", "peak"):
+        raise ValueError(f"audio_features stat {stat!r} not supported")
 
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
@@ -121,7 +130,10 @@ def audio_features(df: DataFrame, n_windows: int = 32) -> DataFrame:
                     pcm = np.pad(pcm, (0, n_windows - len(pcm)))
                     w = 1
                 trimmed = pcm[: w * n_windows].reshape(n_windows, w)
-                out.append(np.sqrt((trimmed**2).mean(axis=1)).astype(np.float32))
+                if stat == "peak":
+                    out.append(np.abs(trimmed).max(axis=1).astype(np.float32))
+                else:
+                    out.append(np.sqrt((trimmed**2).mean(axis=1)).astype(np.float32))
             yield pd.DataFrame({"media_id": b["media_id"].to_numpy(), "feature": out})
 
     sel = df.filter(F.col("kind") == "audio").select("media_id", "content", "meta")

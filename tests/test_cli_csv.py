@@ -107,6 +107,48 @@ def test_encode_csv_bad_typehint(tmp_path):
         )
 
 
+def test_split_real_parquet_into_target_sized_files(spark, tmp_path, capsys):
+    """parquet-tool split analogue: one .parquet file fans out into
+    multiple files near the raw-size target, content-invariant."""
+    from parquet_go_spark.spark.pages_table import pages_df
+
+    src_dir = str(tmp_path / "one")
+    pages_df(spark, 4000, partitions=1).coalesce(1).write.parquet(src_dir)
+    import glob
+
+    src = glob.glob(f"{src_dir}/*.parquet")[0]
+    rc = main(
+        ["split", "--input", src, "--out", str(tmp_path / "split"), "--file-size-mb", "2"]
+    )
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["files"] > 1
+    import duckdb
+
+    n, u = duckdb.sql(
+        f"select count(*), count(distinct url) from read_parquet('{tmp_path}/split/*.parquet')"
+    ).fetchone()
+    assert n == 4000 and u == 4000
+
+
+def test_cat_streams_every_row(spark, tmp_path, capsys):
+    rc = main(
+        [
+            "cat",
+            "--enc",
+            "/root/testdata/sf0.001/documents.parquet",
+            "--input-format",
+            "parquet",
+            "--columns",
+            "doc_id,lang",
+        ]
+    )
+    assert rc == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert len(lines) == 500
+    assert {tuple(l) for l in lines} == {("doc_id", "lang")}
+
+
 def test_head_and_decode_real_parquet(spark, tmp_path, capsys):
     rc = main(
         [

@@ -48,6 +48,20 @@ def test_audio_features_shape(media):
     assert all(all(0.0 <= x <= 1.0 for x in r["feature"]) for r in out)
 
 
+def test_audio_features_peak_stat(media):
+    """stat="peak" shares the decode/window plumbing but reduces by max:
+    every peak bounds its window's RMS from above, and an unknown stat
+    is rejected up front."""
+    peaks = {r["media_id"]: r["feature"] for r in audio_features(media, stat="peak").collect()}
+    rms = {r["media_id"]: r["feature"] for r in audio_features(media).collect()}
+    assert set(peaks) == set(rms) and len(peaks) == 30
+    for mid, pv in peaks.items():
+        assert len(pv) == 32
+        assert all(p >= r - 1e-6 for p, r in zip(pv, rms[mid]))
+    with pytest.raises(ValueError, match="stat"):
+        audio_features(media, stat="median")
+
+
 def test_video_frame_sample(media):
     out = video_frame_sample(media, every_ms=500)
     rows = out.collect()
