@@ -500,6 +500,35 @@ def _q_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dict_membership_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary-membership pruning (chunk_dict_values): encode the
+    documents table keyed on the low-cardinality lang column so each
+    partition owns a value subset, pin lang to rle_dict, then decode
+    under an equality prune plus an IN prune. The chunk's dictionary
+    page is its exact distinct set — a probe value inside a partition's
+    [min, max] but absent from the dictionary excludes it with zero
+    false positives, no blooms needed (parquet-mr DictionaryFilter on
+    the native container). The oracle is the plain point SELECT;
+    correctness = dict skips never drop a matching row."""
+    import tempfile
+
+    from parquet_go_spark.spark.decode_job import decode_table
+    from parquet_go_spark.spark.encode_job import encode_table
+
+    d = _load(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="pgs_dictq_") + "/enc"
+    encode_table(
+        d, out, key_col="lang", partitions=4, encodings={"lang": "rle_dict"}
+    ).collect()
+    one = decode_table(spark, out, prune=[("lang", "==", "de")]).filter(
+        F.col("lang") == "de"
+    )
+    some = decode_table(spark, out, prune=[("lang", "in", ["fr", "zz"])]).filter(
+        F.col("lang").isin("fr", "zz")
+    )
+    return one.unionAll(some).select("doc_id", "text", "lang", "source", "n_chars")
+
+
 def _q_page_prune_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Page-level stats pruning (chunk flags bit3, chunk_page_index):
     encode lineitem sorted-within-partition on l_orderkey with per-page
@@ -1008,6 +1037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "dict_decision_documents": _q_dict_decision,
         "prune_bloom_lookup": _q_bloom_lookup,
+        "prune_dict_membership": _q_dict_membership_prune,
         "prune_page_range": _q_page_prune_range,
         "prune_zorder": _q_zorder_prune,
         "datasource_read_write": _q_datasource_rw,
@@ -1286,6 +1316,12 @@ WHERE round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) >= 0.35
         ),
         "prune_bloom_lookup": (
             "SELECT doc_id, text, lang, source, n_chars FROM documents WHERE doc_id = 123"
+        ),
+        "prune_dict_membership": (
+            "SELECT doc_id, text, lang, source, n_chars FROM documents WHERE lang = 'de'"
+            " UNION ALL"
+            " SELECT doc_id, text, lang, source, n_chars FROM documents"
+            " WHERE lang IN ('fr', 'zz')"
         ),
         "prune_page_range": (
             "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice"

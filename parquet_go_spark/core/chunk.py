@@ -49,6 +49,7 @@ __all__ = [
     "encode_chunk",
     "decode_chunk",
     "chunk_page_index",
+    "chunk_dict_values",
     "ENCODINGS",
     "DICT_MAX",
     "ChunkMeta",
@@ -833,6 +834,58 @@ def encode_chunk(
 
 
 # ------------------------------------------------------------------ decode
+def chunk_dict_values(blob) -> set | None:
+    """The chunk's complete dictionary as a set of Python values, read
+    from the header region alone (no data page is touched or
+    decompressed). A ``rle_dict`` chunk routes EVERY non-null value
+    through the dictionary, so this is the chunk's exact distinct set —
+    the parquet-mr DictionaryFilter proof (``compat/dict_filter.py``)
+    applied to the native container: an ``==``/``IN`` probe that misses
+    the set excludes the chunk with zero false positives, where min/max
+    cannot and blooms are only probabilistic. ``None`` for non-dict or
+    nested chunks (conservative: no proof, no prune). Values normalize
+    to bytes (bytes/flba), int (int32/int64), float (float/double)."""
+    mv = memoryview(blob)
+    if len(mv) < 9 or bytes(mv[:4]) != MAGIC:
+        return None
+    en, cp, flags = mv[6], mv[7], mv[8]
+    if ENCODINGS_R.get(en) != "rle_dict" or not flags & 1:
+        return None
+    ptype = PTYPES_R[mv[5]]
+    compression = COMPRESSIONS_R[cp]
+    pos = 9
+    num_rows, pos = read_uvarint(mv, pos)
+    null_count, pos = read_uvarint(mv, pos)
+    if num_rows > MAX_DECODE_ROWS or null_count > num_rows:
+        raise ValueError("implausible chunk header")
+    type_length = 0
+    if ptype == "flba":
+        type_length, pos = read_uvarint(mv, pos)
+        if type_length == 0 or type_length > 1 << 16:
+            raise ValueError(f"implausible flba type_length {type_length}")
+    dict_size, pos = read_uvarint(mv, pos)
+    raw_len, pos = read_uvarint(mv, pos)
+    comp_len, pos = read_uvarint(mv, pos)
+    if dict_size > DICT_MAX + 1 or pos + comp_len > len(mv) or raw_len > comp_len * 1024 + (1 << 20):
+        raise ValueError("implausible dict header")
+    if dict_size == 0:
+        return set()
+    payload = _decompress(bytes(mv[pos : pos + comp_len]), compression, raw_len)
+    if ptype == "bytes":
+        lens, data, _ = plain.decode_byte_array(payload, dict_size)
+        offs = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+        raw = bytes(np.ascontiguousarray(data))
+        return {raw[offs[i] : offs[i + 1]] for i in range(dict_size)}
+    if ptype == "flba":
+        _l, data, _ = plain.decode_fixed_byte_array(payload, dict_size, type_length)
+        raw = bytes(np.ascontiguousarray(data))
+        return {raw[i * type_length : (i + 1) * type_length] for i in range(dict_size)}
+    if ptype not in _FIXED_KIND:  # forged: dict on a type that never has one
+        return None
+    vals, _ = plain.decode_fixed(payload, dict_size, _FIXED_KIND[ptype])
+    return set(vals.tolist())
+
+
 def chunk_page_index(blob) -> list[dict] | None:
     """Per-page ``{"row_lo", "row_hi", "min_str", "max_str", "nulls"}`` from the
     header walk alone — no page is decompressed (the Parquet PageIndex /

@@ -71,17 +71,65 @@ def _intersect_ranges(a: list[tuple], b: list[tuple]) -> list[tuple]:
     return out
 
 
+def _dict_key(v, ptype: str):
+    """Normalize a predicate value to the form ``chunk_dict_values``
+    emits; None = not comparable (never excludes)."""
+    try:
+        if ptype in ("bytes", "flba"):
+            return v.encode() if isinstance(v, str) else bytes(v)
+        if ptype in ("int32", "int64"):
+            return int(v)
+        if ptype == "float":
+            return float(np.float32(v))
+        if ptype == "double":
+            return float(v)
+    except (TypeError, ValueError, UnicodeEncodeError):
+        return None
+    return None
+
+
+def _read_chunk_dict(enc_dir: str, pid: int, col: str) -> set | None:
+    """The chunk's complete dictionary, via one bounded read: the
+    partition file is mmapped so the header walk and the dict payload
+    fault in a few pages while every data page stays untouched (the
+    parquet side's bounded-pread bloom/dict probes, same idea)."""
+    import mmap
+    import os as _os
+
+    from ..core.chunk import chunk_dict_values
+
+    path = _os.path.join(enc_dir, f"part-{pid:05d}.bin")
+    try:
+        with open(path, "rb") as f, mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ) as mm:
+            blob = parse_partition_file(mm, {col}).pop(col, None)
+            try:
+                return chunk_dict_values(blob) if blob is not None else None
+            finally:
+                # the view points into the mmap; release it before the
+                # mmap context closes (else BufferError)
+                if blob is not None:
+                    blob.release()
+    except (OSError, ValueError):
+        return None  # unreadable/forged: no proof, no prune
+
+
 def surviving_partitions(
     enc_dir: str, prune: list[tuple], within: "set[int] | None" = None
 ) -> list[int]:
-    """Committed partition ids the predicates cannot exclude, from the
-    manifest min/max bounds plus (for equality probes) the per-chunk
-    bloom filter. Conservative: a partition is dropped only on proof of
-    absence. ``within`` restricts the candidate set (time travel)."""
+    """Committed partition ids the predicates cannot exclude, from three
+    proofs per equality probe: manifest min/max bounds, the per-chunk
+    bloom filter (probabilistic), and — when the manifest shows the
+    column ``rle_dict``-encoded — the chunk's dictionary page itself
+    (EXACT: every non-null value is a dict member, so a missed probe
+    excludes with zero false positives; parquet-mr DictionaryFilter
+    semantics on the native container). Conservative: a partition is
+    dropped only on proof of absence. ``within`` restricts the candidate
+    set (time travel)."""
     _le = _le_bound
+    dict_cache: dict[tuple[int, str], set | None] = {}
 
-    def _excludes_point(r: dict, v) -> bool:
-        """min/max + bloom proof that value ``v`` is absent from chunk ``r``."""
+    def _excludes_point(r: dict, v, pid: int, col: str) -> bool:
+        """min/max + bloom + dict proof that ``v`` is absent from chunk ``r``."""
         if _bounds_exclude_eq(v, r["min_str"], r["max_str"]):
             return True
         # bloom probe: min/max rarely excludes a point lookup on
@@ -93,6 +141,18 @@ def surviving_partitions(
             h = hash_scalar(v, r["ptype"])
             if h is not None and not bloom_might_contain(r["bloom"], h):
                 return True
+        # dictionary probe (exact, one bounded read per partition+column,
+        # dict <= 32767 values by construction): only for chunks the
+        # manifest proves fully dictionary-encoded
+        if r.get("encoding") == "rle_dict":
+            key = (pid, col)
+            if key not in dict_cache:
+                dict_cache[key] = _read_chunk_dict(enc_dir, pid, col)
+            d = dict_cache[key]
+            if d is not None:
+                k = _dict_key(v, r["ptype"])
+                if k is not None and k not in d:
+                    return True
         return False
 
     pids = mf.committed_partitions(enc_dir)
@@ -108,10 +168,10 @@ def surviving_partitions(
                 continue  # no stats -> cannot prune
             mn, mx = r["min_str"], r["max_str"]  # each may be None (inexact)
             if op == "==":
-                if _excludes_point(r, value):
+                if _excludes_point(r, value, pid, col_name):
                     ok = False
             elif op == "in":
-                if all(_excludes_point(r, v) for v in value):
+                if all(_excludes_point(r, v, pid, col_name) for v in value):
                     ok = False
             elif op == "<=" and mn is not None and not _le(mn, value):
                 ok = False
