@@ -158,10 +158,9 @@ def surviving_partitions(
     pids = mf.committed_partitions(enc_dir)
     if within is not None:
         pids &= within
-    keep = []
-    for pid in sorted(pids):
+
+    def _pid_survives(pid: int) -> bool:
         rows = {r["column"]: r for r in mf.read_partition_manifest(enc_dir, pid)}
-        ok = True
         for col_name, op, value in prune:
             r = rows.get(col_name)
             if r is None:
@@ -169,19 +168,30 @@ def surviving_partitions(
             mn, mx = r["min_str"], r["max_str"]  # each may be None (inexact)
             if op == "==":
                 if _excludes_point(r, value, pid, col_name):
-                    ok = False
+                    return False
             elif op == "in":
                 if all(_excludes_point(r, v, pid, col_name) for v in value):
-                    ok = False
+                    return False
             elif op == "<=" and mn is not None and not _le(mn, value):
-                ok = False
+                return False
             elif op == ">=" and mx is not None and not _le(value, mx):
-                ok = False
+                return False
             elif op == "notnull" and r["null_count"] >= r["num_rows"]:
-                ok = False  # all-null chunk: no non-null value to match
-        if ok:
-            keep.append(pid)
-    return keep
+                return False  # all-null chunk: no non-null value to match
+        return True
+
+    ordered = sorted(pids)
+    # plan IO (per-partition manifest reads + bounded dict probes) is
+    # IO-bound and independent per partition — thread it like the parquet
+    # planner; each pid touches only its own dict_cache keys
+    if len(ordered) <= 1:
+        flags = [_pid_survives(p) for p in ordered]
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(32, len(ordered))) as ex:
+            flags = list(ex.map(_pid_survives, ordered))
+    return [p for p, ok in zip(ordered, flags) if ok]
 
 
 def _surviving_ranges(prune: list[tuple], blobs: dict) -> tuple[list[tuple] | None, int]:
