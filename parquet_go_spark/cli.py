@@ -183,6 +183,12 @@ def _load_table(spark, args):
 
     cols = args.columns.split(",") if args.columns else None
     prune = _parse_where(args.where) if getattr(args, "where", None) else None
+    as_of = getattr(args, "as_of", None)
+    if as_of is None and getattr(args, "as_of_ts", None) is not None:
+        from .spark import manifest as mf
+
+        # Iceberg TIMESTAMP AS OF: resolve the instant to its snapshot
+        as_of = mf.seq_as_of_timestamp(args.enc, args.as_of_ts)
     if getattr(args, "input_format", "pgs") == "parquet":
         from .spark.parquet_source import read_parquet_table
 
@@ -194,7 +200,7 @@ def _load_table(spark, args):
             spark,
             args.enc,
             from_seq=args.changes_from,
-            to_seq=getattr(args, "as_of", None),
+            to_seq=as_of,
             columns=cols,
             prune=prune,
         )
@@ -206,7 +212,7 @@ def _load_table(spark, args):
             args.enc,
             columns=cols,
             validate_crc=getattr(args, "validate_crc", False),
-            as_of=getattr(args, "as_of", None),
+            as_of=as_of,
             prune=prune,
         )
     for col, op, val in prune or []:
@@ -348,6 +354,19 @@ def cmd_split(args) -> int:
     rows = man.collect()
     pids = sorted({r["partition"] for r in rows})
     print(json.dumps({"out": args.out, "files": len(pids)}))
+    return 0
+
+
+def cmd_orphans(args) -> int:
+    """Remove (or list with --dry-run) files no table metadata references
+    (Iceberg remove_orphan_files): uncommitted data files from crashed
+    jobs and leftover staging files."""
+    from .spark.maintenance import remove_orphan_files
+
+    removed = remove_orphan_files(
+        args.enc, older_than_s=args.older_than_s, dry_run=args.dry_run
+    )
+    print(json.dumps({"orphans": removed, "deleted": not args.dry_run}))
     return 0
 
 
@@ -608,6 +627,12 @@ def main(argv=None) -> int:
         "--as-of", type=int, default=None, help="time travel: read the table as of snapshot seq"
     )
     d.add_argument(
+        "--as-of-ts",
+        default=None,
+        help="time travel by wall clock (Iceberg TIMESTAMP AS OF): read "
+        "the snapshot current at this ISO-8601 UTC instant",
+    )
+    d.add_argument(
         "--changes-from",
         type=int,
         default=None,
@@ -773,6 +798,18 @@ def main(argv=None) -> int:
         "no Spark job; --where must be col:==:value on one column)",
     )
     dl.set_defaults(fn=cmd_delete)
+
+    orp = sub.add_parser("orphans", help="remove files no table metadata references")
+    orp.add_argument("--enc", required=True)
+    orp.add_argument(
+        "--older-than-s",
+        type=float,
+        default=3600.0,
+        help="only files at least this old qualify (guards a concurrent "
+        "append's not-yet-committed data file)",
+    )
+    orp.add_argument("--dry-run", action="store_true", help="list without deleting")
+    orp.set_defaults(fn=cmd_orphans)
 
     ex = sub.add_parser("expire", help="expire old snapshot records (metadata only)")
     ex.add_argument("--enc", required=True)

@@ -360,10 +360,14 @@ class PGSDataSource(DataSource):
         from . import manifest as mf
 
         as_of = self.options.get("as_of")
+        seq = int(as_of) if as_of is not None else None
+        if seq is None and self.options.get("as_of_ts") is not None:
+            # Iceberg TIMESTAMP AS OF: .option("as_of_ts", "<ISO-8601>")
+            seq = mf.seq_as_of_timestamp(self._dir(), self.options["as_of_ts"])
         return _PGSReader(
             self._dir(),
             mf.read_table_schema(self._dir()),
-            as_of=int(as_of) if as_of is not None else None,
+            as_of=seq,
         )
 
     def streamReader(self, schema) -> _PGSStreamReader:

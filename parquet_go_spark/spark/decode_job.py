@@ -441,7 +441,7 @@ def decode_table(
     columns: list[str] | None = None,
     validate_crc: bool = False,
     prune: list[tuple] | None = None,
-    as_of: int | None = None,
+    as_of: "int | str | None" = None,
     pids: set[int] | None = None,
 ) -> DataFrame:
     """Decode an encoded table directory back into a DataFrame.
@@ -449,6 +449,9 @@ def decode_table(
     ``as_of`` time-travels: read only the partitions pinned by snapshot
     ``seq`` (``manifest.snapshot_partitions``) — the table exactly as it
     stood when that snapshot was committed, regardless of appends since.
+    A non-int ``as_of`` (ISO-8601 string, datetime, or epoch seconds as
+    float) resolves to the snapshot current at that instant first —
+    Iceberg ``TIMESTAMP AS OF`` (``manifest.seq_as_of_timestamp``).
 
     ``pids`` restricts the read to an explicit partition-id subset
     (intersected with the ``as_of`` pin when both are given) — the
@@ -476,6 +479,8 @@ def decode_table(
     ranges so columns stay row-aligned. Pruning is conservative (min/max
     bounds + no-false-negative blooms); the caller still applies the
     exact filter."""
+    if as_of is not None and not isinstance(as_of, int):
+        as_of = mf.seq_as_of_timestamp(enc_dir, as_of)
     fields = mf.read_table_schema(enc_dir)
     by_name = {f["name"]: f for f in fields}
     cols = columns or [f["name"] for f in fields]

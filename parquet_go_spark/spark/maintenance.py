@@ -33,6 +33,7 @@ __all__ = [
     "compact_stream_output",
     "table_bytes",
     "rollback_table",
+    "remove_orphan_files",
     "delete_where",
     "delete_keys",
     "merge_into",
@@ -408,6 +409,49 @@ def rollback_table(out_dir: str, seq: int) -> dict:
                 # snapshot can never reuse it under different data
                 os.replace(p, p + ".invalid")
     return mf.commit_snapshot(out_dir, "rollback", {"to_seq": seq})
+
+
+def remove_orphan_files(
+    out_dir: str, older_than_s: float = 3600.0, dry_run: bool = False
+) -> list[str]:
+    """Remove files no table metadata references (Iceberg
+    remove_orphan_files): data files whose partition id has no manifest
+    commit (a job that crashed between writing ``part-NNNNN.bin`` and
+    its atomic manifest rename) and leftover ``*.tmp*`` staging files
+    anywhere in the table tree. Committed data, manifests, snapshots,
+    tombstones, and delete sidecars are never touched — sidecar staleness
+    has its own repair (``manifest.remove_stale_delete_files``).
+
+    ``older_than_s`` is the same race guard Iceberg's procedure takes: a
+    CONCURRENT append legitimately holds an uncommitted ``.bin`` for the
+    gap between data write and manifest commit, so only files older than
+    the threshold qualify. ``dry_run=True`` reports without deleting."""
+    import glob as _glob
+    import time as _time
+
+    now = _time.time()
+    committed = mf.committed_partitions(out_dir)
+    orphans: list[str] = []
+    for p in sorted(_glob.glob(os.path.join(out_dir, "part-*.bin"))):
+        name = os.path.basename(p)
+        try:
+            pid = int(name[len("part-") : -len(".bin")])
+        except ValueError:
+            continue
+        if pid not in committed and now - os.path.getmtime(p) >= older_than_s:
+            orphans.append(p)
+    for sub in ("", "manifest", "snapshots", "deletes"):
+        d = os.path.join(out_dir, sub) if sub else out_dir
+        for p in sorted(_glob.glob(os.path.join(d, "*.tmp*"))):
+            if now - os.path.getmtime(p) >= older_than_s:
+                orphans.append(p)
+    if not dry_run:
+        for p in orphans:
+            try:
+                os.remove(p)
+            except OSError:
+                pass  # already gone (concurrent cleanup)
+    return orphans
 
 
 def table_bytes(enc_dir: str) -> tuple[int, int, int]:

@@ -375,6 +375,58 @@ def read_snapshots(out_dir: str) -> list[dict]:
     return out
 
 
+def seq_as_of_timestamp(out_dir: str, ts) -> int:
+    """Resolve a wall-clock instant to the snapshot seq that was current
+    then (Iceberg ``TIMESTAMP AS OF``): the highest-seq snapshot whose
+    commit ``ts`` is <= the given instant. ``ts`` accepts an ISO-8601
+    string (``2026-08-18T12:00:00Z`` or without the Z, UTC either way),
+    a ``datetime``, or epoch seconds. Raises when no snapshot existed
+    yet at that instant, and raises 'invalidated' (never silently
+    resolves to an older version) when the snapshot current at that
+    instant was tombstoned by an in-place rewrite."""
+    import datetime as _dt
+
+    if isinstance(ts, (int, float)):
+        want = _dt.datetime.fromtimestamp(ts, _dt.timezone.utc)
+    elif isinstance(ts, _dt.datetime):
+        want = ts if ts.tzinfo else ts.replace(tzinfo=_dt.timezone.utc)
+    else:
+        s = str(ts).strip().replace("Z", "+00:00")
+        want = _dt.datetime.fromisoformat(s)
+        if want.tzinfo is None:
+            want = want.replace(tzinfo=_dt.timezone.utc)
+
+    def _snap_ts(snap: dict) -> _dt.datetime:
+        return _dt.datetime.fromisoformat(snap["ts"].replace("Z", "+00:00"))
+
+    candidates: list[tuple[int, bool]] = []  # (seq, valid)
+    for p in glob.glob(os.path.join(snapshot_dir(out_dir), "snap-*.json")):
+        with open(p) as f:
+            snap = json.load(f)
+        if _snap_ts(snap) <= want:
+            candidates.append((snap["seq"], True))
+    for p in glob.glob(os.path.join(snapshot_dir(out_dir), "snap-*.json.invalid")):
+        try:
+            with open(p) as f:
+                snap = json.load(f)
+            if _snap_ts(snap) <= want:
+                candidates.append((snap["seq"], False))
+        except (ValueError, KeyError):
+            # tombstone without a readable record: its seq is in the name
+            name = os.path.basename(p)
+            seq = int(name[len("snap-") : -len(".json.invalid")])
+            candidates.append((seq, False))
+    if not candidates:
+        raise ValueError(f"no snapshot at or before {ts!r} in {snapshot_dir(out_dir)}")
+    seq, valid = max(candidates)
+    if not valid:
+        raise ValueError(
+            f"snapshot current at {ts!r} (seq={seq}) was invalidated by an "
+            "in-place rewrite (delete/merge/rollback touched its partitions)"
+        )
+    return seq
+
+
 def snapshot_partitions(out_dir: str, seq: int) -> set[int]:
     """The partition-id set pinned by snapshot ``seq`` — the read set for
     time travel (``decode_table(as_of=seq)``) and the keep set for

@@ -117,3 +117,42 @@ def test_compact_parquet_dir_merges_foreign_files(spark, tmp_path):
     snaps = mf.read_snapshots(dst)
     assert snaps[-1]["operation"] == "compact"
     assert snaps[-1]["config"]["source_row_groups"] == 6
+
+
+def test_remove_orphan_files(spark, tmp_path):
+    """Iceberg remove_orphan_files: uncommitted data files (crash between
+    data write and manifest commit) and leftover staging files go;
+    committed data, manifests, snapshots, and young files stay."""
+    import os
+
+    from parquet_go_spark.spark import manifest as mf
+    from parquet_go_spark.spark.decode_job import decode_table
+    from parquet_go_spark.spark.encode_job import encode_table
+    from parquet_go_spark.spark.maintenance import remove_orphan_files
+    from parquet_go_spark.spark.pages_table import pages_df
+
+    d = str(tmp_path / "enc")
+    df = pages_df(spark, 400, partitions=1)
+    encode_table(df, d, key_col="url", partitions=2).collect()
+    mf.commit_snapshot(d, "encode")
+
+    orphan_bin = os.path.join(d, "part-00099.bin")
+    with open(orphan_bin, "wb") as f:
+        f.write(b"PGSPcrashed-append-no-manifest")
+    stale_tmp = os.path.join(d, "manifest", "part-00001.parquet.tmp.12345")
+    with open(stale_tmp, "wb") as f:
+        f.write(b"half-written")
+
+    # age guard: young files survive (a concurrent append may own them)
+    assert remove_orphan_files(d, older_than_s=3600) == []
+    assert os.path.exists(orphan_bin)
+
+    listed = remove_orphan_files(d, older_than_s=0, dry_run=True)
+    assert set(listed) == {orphan_bin, stale_tmp}
+    assert os.path.exists(orphan_bin)  # dry run deletes nothing
+
+    removed = remove_orphan_files(d, older_than_s=0)
+    assert set(removed) == {orphan_bin, stale_tmp}
+    assert not os.path.exists(orphan_bin) and not os.path.exists(stale_tmp)
+    # the table is intact
+    assert decode_table(spark, d).count() == 400

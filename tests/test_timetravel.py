@@ -37,6 +37,61 @@ def versioned_table(spark, tmp_path_factory):
     return d, df, counts
 
 
+def test_decode_as_of_timestamp(spark, tmp_path):
+    """Iceberg TIMESTAMP AS OF: a wall-clock instant resolves to the
+    snapshot current then; instants before the first snapshot raise, and
+    an instant whose then-current snapshot was tombstoned by an in-place
+    rewrite raises 'invalidated' instead of silently reading an older
+    version."""
+    import datetime as dt
+    import glob
+    import json
+    import os
+
+    from parquet_go_spark.spark import manifest as mf
+    from parquet_go_spark.spark.decode_job import decode_table
+    from parquet_go_spark.spark.encode_job import encode_table
+
+    d = str(tmp_path / "enc")
+    df, thirds = _thirds(spark, rows=300)
+    encode_table(thirds[0], d, key_col="url", partitions=2).collect()
+    mf.commit_snapshot(d, "encode")
+    encode_table(thirds[1], d, key_col="url", partitions=2, append=True).collect()
+    mf.commit_snapshot(d, "append")
+    # spread the (second-resolution) commit timestamps a day apart so
+    # resolution is deterministic
+    stamps = {0: "2026-01-01T00:00:00Z", 1: "2026-01-03T00:00:00Z"}
+    for p in glob.glob(os.path.join(mf.snapshot_dir(d), "snap-*.json")):
+        with open(p) as f:
+            snap = json.load(f)
+        snap["ts"] = stamps[snap["seq"]]
+        with open(p, "w") as f:
+            json.dump(snap, f)
+
+    assert mf.seq_as_of_timestamp(d, "2026-01-02T00:00:00Z") == 0
+    assert mf.seq_as_of_timestamp(d, "2026-01-03T00:00:00Z") == 1
+    assert mf.seq_as_of_timestamp(d, dt.datetime(2026, 1, 2, tzinfo=dt.timezone.utc)) == 0
+    epoch = dt.datetime(2026, 1, 4, tzinfo=dt.timezone.utc).timestamp()
+    assert mf.seq_as_of_timestamp(d, epoch) == 1
+    with pytest.raises(ValueError, match="no snapshot at or before"):
+        mf.seq_as_of_timestamp(d, "2025-12-31T00:00:00Z")
+
+    assert decode_table(spark, d, as_of="2026-01-02T00:00:00Z").count() == thirds[0].count()
+    assert decode_table(spark, d, as_of="2026-01-04").count() == (
+        thirds[0].count() + thirds[1].count()
+    )
+
+    # a COW delete rewrites partitions in place and tombstones the
+    # snapshots that pinned them — the instant now resolves to a burned
+    # version and must raise, not lie
+    from parquet_go_spark.spark.maintenance import delete_where
+
+    victim = thirds[0].select("url").limit(1).collect()[0].url
+    delete_where(spark, d, [("url", "==", victim)])
+    with pytest.raises(ValueError, match="invalidated"):
+        decode_table(spark, d, as_of="2026-01-02T00:00:00Z").count()
+
+
 def test_append_assigns_disjoint_partition_ids(versioned_table):
     from parquet_go_spark.spark import manifest as mf
 
