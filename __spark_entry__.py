@@ -879,6 +879,32 @@ def _q_parquet_scan_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.where(F.col("n_chars") >= 100)
 
 
+def _q_parquet_interop_int96(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INT96 decode compatibility (E10, ``type_int96.go:11-66`` /
+    ``int96_time.go:17-50``): Spark writes the events timestamps as
+    deprecated INT96 (``spark.sql.parquet.outputTimestampType=INT96``,
+    the layout legacy Impala/Hive files use), and the distributed kernel
+    scan decodes the 12-byte Julian-day+nanos values back. The oracle is
+    the original table: correctness = the Julian conversion round-trips
+    the instants exactly (micros embed exactly in nanos)."""
+    import tempfile
+
+    from parquet_go_spark.spark.parquet_source import read_parquet_table
+
+    ev = _load(spark, sf_dir, "events").select("event_id", "ts")
+    out = tempfile.mkdtemp(prefix="pgs_i96_") + "/t"
+    prev = spark.conf.get("spark.sql.parquet.outputTimestampType", None)
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
+    try:
+        ev.write.mode("overwrite").parquet(out)
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+        else:
+            spark.conf.unset("spark.sql.parquet.outputTimestampType")
+    return read_parquet_table(spark, out).select("event_id", "ts")
+
+
 def _q_parquet_scan_page_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parquet PageIndex end-to-end: OUR writer emits ColumnIndex +
     OffsetIndex (parquet-format PageIndex.md; the reference computes page
@@ -1003,6 +1029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_message_schema": _rt_message_schema,
         "parquet_interop_nested": _q_parquet_interop_nested,
         "parquet_scan_distributed": _q_parquet_scan_distributed,
+        "parquet_interop_int96": _q_parquet_interop_int96,
         "parquet_scan_page_prune": _q_parquet_scan_page_prune,
         "parquet_scan_bloom_prune": _q_parquet_scan_bloom_prune,
         "html_extract_text": _q_html_extract,
@@ -1276,6 +1303,7 @@ WHERE round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) >= 0.35
             "SELECT doc_id, text, lang, source, n_chars FROM documents"
             " WHERE n_chars >= 100"
         ),
+        "parquet_interop_int96": "SELECT event_id, ts FROM events",
         "parquet_scan_page_prune": (
             "SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice,"
             " l_returnflag FROM lineitem WHERE l_orderkey <= 600"

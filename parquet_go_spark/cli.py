@@ -317,6 +317,28 @@ def cmd_head(args) -> int:
     return 0
 
 
+def _add_version_flags(p) -> None:
+    """Table-version selectors shared by the row-reading subcommands
+    (decode/head/cat): snapshot time travel by seq or wall clock, and
+    the incremental snapshot-diff window."""
+    p.add_argument(
+        "--as-of", type=int, default=None, help="time travel: read the table as of snapshot seq"
+    )
+    p.add_argument(
+        "--as-of-ts",
+        default=None,
+        help="time travel by wall clock (Iceberg TIMESTAMP AS OF): read "
+        "the snapshot current at this ISO-8601 UTC instant",
+    )
+    p.add_argument(
+        "--changes-from",
+        type=int,
+        default=None,
+        help="incremental read: only rows appended after this snapshot seq "
+        "(up to --as-of, default latest) — the Iceberg incremental append scan",
+    )
+
+
 def cmd_cat(args) -> int:
     """Every row of the table as JSON lines (parquet-tool cat analogue,
     ``cmd/parquet-tool/cmds/cat.go``). Streams partitions through
@@ -623,22 +645,7 @@ def main(argv=None) -> int:
     d.add_argument("--out", required=True)
     d.add_argument("--columns", default=None, help="comma-separated projection")
     d.add_argument("--validate-crc", action="store_true")
-    d.add_argument(
-        "--as-of", type=int, default=None, help="time travel: read the table as of snapshot seq"
-    )
-    d.add_argument(
-        "--as-of-ts",
-        default=None,
-        help="time travel by wall clock (Iceberg TIMESTAMP AS OF): read "
-        "the snapshot current at this ISO-8601 UTC instant",
-    )
-    d.add_argument(
-        "--changes-from",
-        type=int,
-        default=None,
-        help="incremental read: only rows appended after this snapshot seq "
-        "(up to --as-of, default latest) — the Iceberg incremental append scan",
-    )
+    _add_version_flags(d)
     d.add_argument(
         "--input-format",
         choices=["pgs", "parquet"],
@@ -694,6 +701,7 @@ def main(argv=None) -> int:
         help="col:op:value (op: ==, <=, >=); prunes partitions/row groups/"
         "pages/blooms, then re-applies exactly; repeat for a conjunction",
     )
+    _add_version_flags(h)
     h.set_defaults(fn=cmd_head)
 
     ct = sub.add_parser("cat", help="print every row as JSON lines (parquet-tool cat)")
@@ -712,6 +720,7 @@ def main(argv=None) -> int:
         help="col:op:value (op: ==, <=, >=); prunes partitions/row groups/"
         "pages/blooms, then re-applies exactly; repeat for a conjunction",
     )
+    _add_version_flags(ct)
     ct.set_defaults(fn=cmd_cat)
 
     sp = sub.add_parser(
