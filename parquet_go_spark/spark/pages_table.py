@@ -10,6 +10,7 @@ the same rows at any parallelism.
 
 from __future__ import annotations
 
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -24,6 +25,13 @@ _LANGS = np.array(
 )
 _VOCAB = None
 
+# English function words — kept identical to ops.text.STOPWORDS so the
+# quality-scoring stop_ratio measures something real on this corpus.
+_STOP_EN = np.array(
+    ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"], dtype=object
+)
+_LANG_VOCABS: dict[str, tuple[np.ndarray, np.ndarray]] | None = None
+
 
 def _vocab() -> np.ndarray:
     global _VOCAB
@@ -33,6 +41,36 @@ def _vocab() -> np.ndarray:
         letters = np.array(list("abcdefghijklmnopqrstuvwxyz"))
         _VOCAB = np.array(["".join(rng.choice(letters, s)) for s in sizes], dtype=object)
     return _VOCAB
+
+
+def _lang_vocabs() -> dict[str, tuple[np.ndarray, np.ndarray]]:
+    """Per-language (stopwords, content words), each language drawing its
+    letters from its own sharply-skewed distribution — so character-bigram
+    statistics discriminate languages (like real web text; the round-1
+    corpus was language-independent, making langid accuracy chance and
+    stop_ratio identically 0). Seeded by crc32(lang): process- and
+    parallelism-invariant (never Python ``hash``, which is salted)."""
+    global _LANG_VOCABS
+    if _LANG_VOCABS is None:
+        letters = np.array(list("abcdefghijklmnopqrstuvwxyz"))
+        vocabs: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        for lang in sorted(set(_LANGS.tolist())):
+            rng = np.random.default_rng(zlib.crc32(lang.encode()))
+            p = rng.dirichlet(np.full(26, 0.25))  # sharp per-lang letter skew
+            sizes = rng.integers(2, 12, size=244)
+            words = np.array(
+                ["".join(rng.choice(letters, s, p=p)) for s in sizes], dtype=object
+            )
+            if lang == "en":
+                stops = _STOP_EN
+            else:
+                stops = np.array(
+                    ["".join(rng.choice(letters, rng.integers(2, 5), p=p)) for _ in range(10)],
+                    dtype=object,
+                )
+            vocabs[lang] = (stops, words)
+        _LANG_VOCABS = vocabs
+    return _LANG_VOCABS
 
 
 def _gen_block(ids: np.ndarray) -> pd.DataFrame:
@@ -61,17 +99,29 @@ def _gen_block(ids: np.ndarray) -> pd.DataFrame:
     back = np.where(ids % 97 == 0, -7_200_000_000, 0)
     ts = base + ids * 1_000_000 + jitter + back
     out["warc_ts"] = pd.Series(pd.to_datetime(ts, unit="us"))
-    # text: words from the vocab; 5% null; length varies 50-2000 chars
-    vocab = _vocab()
+    # text: per-language words (lang-specific letter skew), every 3rd
+    # token a function word (~33%, web-text-like), light punctuation;
+    # 5% null; same length/null pattern as round 1
+    lang_arr = _LANGS[(ids // 64) % len(_LANGS)]
+    vocabs = _lang_vocabs()
     tlen = 8 + (ids * 69069 % 192)
     texts = []
-    word_idx = (ids[:, None] * 2246822519 + np.arange(200)[None, :] * 2654435761) % len(vocab)
+    word_idx = (ids[:, None] * 2246822519 + np.arange(200)[None, :] * 2654435761) % (1 << 31)
     for i in range(n):
-        texts.append(" ".join(vocab[word_idx[i, : tlen[i]]]))
+        stops, words = vocabs[lang_arr[i]]
+        idx = word_idx[i, : tlen[i]]
+        toks = words[idx % len(words)].astype("U16")
+        spos = np.arange(len(idx)) % 3 == 2
+        toks[spos] = stops[idx[spos] % len(stops)]
+        pm = idx % 9 == 0
+        if pm.any():
+            toks[pm] = np.char.add(toks[pm], np.where(idx[pm] % 2 == 0, ".", ","))
+        texts.append(" ".join(toks.tolist()))
     text = pd.Series(texts, dtype=object)
     text[ids % 20 == 7] = None
     out["text"] = text
     # html: pseudo-markup bytes, 2% null, 0.5-8KiB
+    vocab = _vocab()
     hlen = 512 + (ids * 40503 % 7680)
     htmls = []
     tag = b"<div class='c%d'>"
@@ -83,7 +133,7 @@ def _gen_block(ids: np.ndarray) -> pd.DataFrame:
     html[ids % 50 == 3] = None
     out["html"] = html
     # lang: clustered runs of ~64 rows (sorted-ish within partitions)
-    out["lang"] = pd.Series(_LANGS[(ids // 64) % len(_LANGS)])
+    out["lang"] = pd.Series(lang_arr)
     return pd.DataFrame(out)[["url", "warc_ts", "html", "text", "lang"]]
 
 
