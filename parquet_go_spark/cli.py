@@ -502,6 +502,29 @@ def cmd_snapshots(args) -> int:
     return 0
 
 
+def cmd_properties(args) -> int:
+    """Table properties (Iceberg TBLPROPERTIES analogue): print the
+    effective map at a version, or set/unset keys via a metadata-only
+    ``set-properties`` snapshot."""
+    from .spark import manifest as mf
+
+    if args.set or args.unset:
+        updates: dict[str, str | None] = {}
+        for kv in args.set or []:
+            k, eq, v = kv.partition("=")
+            if not eq:
+                print(f"--set expects key=value, got {kv!r}", file=sys.stderr)
+                return 2
+            updates[k] = v
+        for k in args.unset or []:
+            updates[k] = None
+        snap = mf.set_table_properties(args.enc, updates)
+        print(json.dumps({"seq": snap["seq"], "properties": snap["properties"]}))
+        return 0
+    print(json.dumps(mf.table_properties(args.enc, as_of=args.as_of)))
+    return 0
+
+
 def cmd_rollback(args) -> int:
     """Roll the table back to a snapshot (Iceberg rollback analogue):
     partitions appended after it are deleted, a fresh snapshot re-pins
@@ -756,6 +779,15 @@ def main(argv=None) -> int:
     sn = sub.add_parser("snapshots")
     sn.add_argument("--enc", required=True)
     sn.set_defaults(fn=cmd_snapshots)
+
+    pr = sub.add_parser(
+        "properties", help="show or set table properties (metadata-only snapshots)"
+    )
+    pr.add_argument("--enc", required=True)
+    pr.add_argument("--set", action="append", metavar="K=V", dest="set")
+    pr.add_argument("--unset", action="append", metavar="K", dest="unset")
+    pr.add_argument("--as-of", dest="as_of", type=int, default=None)
+    pr.set_defaults(fn=cmd_properties)
 
     cp = sub.add_parser("compact", help="rewrite small encoded tables into right-sized partitions")
     cp.add_argument("--src", required=True, help="comma-separated source encoded dirs")

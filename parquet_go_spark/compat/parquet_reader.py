@@ -70,6 +70,35 @@ def file_meta(buf: bytes) -> dict:
     return meta
 
 
+def file_kv_metadata(meta: dict) -> dict[str, str]:
+    """File-level key-value metadata (FileMetaData field 5; the
+    reference's ``WithMetaData``, ``file_writer.go:99-103``). Works on
+    any writer's footer — pyarrow, Spark, ours."""
+    return {
+        kv[1].decode(): (kv.get(2) or b"").decode(errors="replace")
+        for kv in meta.get(5, [])
+        if 1 in kv
+    }
+
+
+def column_kv_metadata(meta: dict, column: str, row_group: int = 0) -> dict[str, str]:
+    """Per-column-chunk key-value metadata (ColumnMetaData field 8; the
+    reference's ``WithRowGroupMetaDataForColumnPath``,
+    ``file_writer.go:196-226``). ``column`` matches the full dotted
+    path_in_schema or its root component (nested leaves inherit the
+    column's map in our writer). Raises KeyError on an unknown column."""
+    for cc in meta[4][row_group][1]:
+        cm = cc[3]
+        path = ".".join(p.decode() for p in cm[3])
+        if path == column or path.split(".", 1)[0] == column:
+            return {
+                kv[1].decode(): (kv.get(2) or b"").decode(errors="replace")
+                for kv in cm.get(8, [])
+                if 1 in kv
+            }
+    raise KeyError(column)
+
+
 def _schema_leaves(meta: dict) -> dict[str, dict]:
     """name -> {type, type_length} for flat leaf columns."""
     out = {}

@@ -42,6 +42,12 @@ E_DELTA_BA = 7
 E_RLE_DICT = 8
 
 
+def _kv_structs(kv: dict[str, str]) -> list[dict]:
+    """KeyValue thrift structs, key-sorted like the reference
+    (``chunk_writer.go:279-281``)."""
+    return [{1: ("binary", str(k)), 2: ("binary", str(v))} for k, v in sorted(kv.items())]
+
+
 def _compress(payload: bytes, codec: str) -> bytes:
     if codec == "none":
         return payload
@@ -537,6 +543,8 @@ def write_parquet(
     page_index: bool = False,
     bloom_columns: list[str] | None = None,
     bloom_fpp: float = 0.01,
+    kv_metadata: dict[str, str] | None = None,
+    column_kv: dict[str, dict[str, str]] | None = None,
     return_meta: bool = False,
 ):
     """pa.Table -> Parquet file bytes (flat or nested schema: lists at
@@ -561,6 +569,14 @@ def write_parquet(
     named FLAT columns, sized from each chunk's distinct count at
     ``bloom_fpp`` — the equality-prune tier min/max can't provide on
     hash-scattered keys.
+    ``kv_metadata`` writes file-level key-value metadata into
+    FileMetaData (reference ``WithMetaData``, ``file_writer.go:99-103``);
+    ``column_kv`` = {column: {k: v}} writes per-column-chunk key-value
+    metadata into every row group's ColumnMetaData for that column
+    (reference ``WithRowGroupMetaDataForColumnPath``,
+    ``file_writer.go:196-226``; for a nested column each leaf chunk
+    carries the map). Both are emitted key-sorted like the reference
+    (``chunk_writer.go:279-281``).
     ``return_meta=True`` -> (bytes, [{column, encoding, raw/comp bytes}]).
     """
     from .bloom_filter import bloom_bytes_for_column, bloom_header_bytes
@@ -591,6 +607,10 @@ def write_parquet(
                 f"bloom_columns must name flat columns; unknown={sorted(unknown)}"
                 f" nested={sorted(nested)}"
             )
+    if column_kv:
+        unknown = set(column_kv) - set(table.column_names)
+        if unknown:
+            raise ValueError(f"column_kv names unknown columns: {sorted(unknown)}")
     n_rows = table.num_rows
     group_rows = max_row_group or max(n_rows, 1)
     row_groups = []
@@ -611,6 +631,8 @@ def write_parquet(
                     )
                     if page_index:
                         chunk_pages.append((cc, pidx))
+                    if column_kv and name in column_kv:
+                        cc[3][1][8] = ("list", ("struct", _kv_structs(column_kv[name])))
                     col_chunks.append(cc)
                     mrow["row_group"] = len(row_groups)
                     metas.append(mrow)
@@ -627,6 +649,8 @@ def write_parquet(
                 bits = bloom_bytes_for_column(col, fpp=bloom_fpp)
                 if bits is not None:
                     bloom_jobs.append((cc[3][1], bits))
+            if column_kv and name in column_kv:
+                cc[3][1][8] = ("list", ("struct", _kv_structs(column_kv[name])))
             col_chunks.append(cc)
             mrow["row_group"] = len(row_groups)
             metas.append(mrow)
@@ -671,6 +695,7 @@ def write_parquet(
         3: ("i64", table.num_rows),
         4: ("list", ("struct", row_groups)),
         6: ("binary", "parquet_go_spark"),
+        **({5: ("list", ("struct", _kv_structs(kv_metadata)))} if kv_metadata else {}),
         # ColumnOrder TYPE_ORDER per column: readers only trust
         # min_value/max_value when the footer declares the sort order
         7: ("list", ("struct", [{1: ("struct", {})} for _ in range(n_leaves)])),

@@ -289,7 +289,12 @@ def _next_seq(out_dir: str) -> tuple[int, int | None]:
     return seq, parent
 
 
-def commit_snapshot(out_dir: str, operation: str, config: dict | None = None) -> dict:
+def commit_snapshot(
+    out_dir: str,
+    operation: str,
+    config: dict | None = None,
+    properties: dict[str, str] | None = None,
+) -> dict:
     """Append one job-level snapshot (Iceberg-snapshot analogue): a
     sequenced, immutable JSON record of what is committed right now —
     partition count, byte totals, per-encoding mix, live delete-file set,
@@ -351,6 +356,10 @@ def commit_snapshot(out_dir: str, operation: str, config: dict | None = None) ->
         "encodings": encodings,
         "config": config or {},
     }
+    if properties is not None:
+        # full effective map, not a diff: any as_of read resolves
+        # properties from the nearest carrying snapshot alone
+        snap["properties"] = {str(k): str(v) for k, v in properties.items()}
     while True:
         seq, parent = _next_seq(out_dir)
         snap["seq"], snap["parent"] = seq, parent
@@ -373,6 +382,44 @@ def read_snapshots(out_dir: str) -> list[dict]:
         with open(p) as f:
             out.append(json.load(f))
     return out
+
+
+def table_properties(out_dir: str, as_of: int | str | None = None) -> dict[str, str]:
+    """Effective table properties at a version (Iceberg table-properties
+    analogue): the ``properties`` map of the nearest at-or-before
+    snapshot that carries one (``set_table_properties`` stores the full
+    effective map, so no ancestor merge is needed). ``as_of`` = seq,
+    ISO-8601 instant, or None for current. O(metadata)."""
+    if isinstance(as_of, str):
+        as_of = seq_as_of_timestamp(out_dir, as_of)
+    best: dict[str, str] = {}
+    best_seq = -1
+    for snap in read_snapshots(out_dir):
+        if "properties" not in snap:
+            continue
+        if as_of is not None and snap["seq"] > as_of:
+            continue
+        if snap["seq"] > best_seq:
+            best, best_seq = snap["properties"], snap["seq"]
+    return dict(best)
+
+
+def set_table_properties(out_dir: str, updates: dict[str, str | None]) -> dict:
+    """Set/unset table properties (Iceberg ``ALTER TABLE SET
+    TBLPROPERTIES`` / ``UNSET``): value None deletes a key. Commits a
+    ``set-properties`` snapshot carrying the full effective map — pure
+    metadata, no data files touched, time travel reads the map current
+    at any version."""
+    cur = table_properties(out_dir)
+    diff: dict[str, str | None] = {}
+    for k, v in updates.items():
+        if v is None:
+            cur.pop(str(k), None)
+            diff[str(k)] = None
+        else:
+            cur[str(k)] = str(v)
+            diff[str(k)] = str(v)
+    return commit_snapshot(out_dir, "set-properties", {"updates": diff}, properties=cur)
 
 
 def seq_as_of_timestamp(out_dir: str, ts) -> int:
