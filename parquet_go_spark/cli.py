@@ -94,6 +94,7 @@ def cmd_encode(args) -> int:
             resume=not args.no_resume,
             page_index=args.page_index,
             bloom_columns=args.bloom_columns.split(",") if args.bloom_columns else None,
+            kv_metadata=dict(kv.split("=", 1) for kv in args.kv) if args.kv else None,
         ).collect()
     else:
         from .spark.encode_job import encode_table
@@ -636,6 +637,13 @@ def main(argv=None) -> int:
         action="store_true",
         help="with --format parquet: write the parquet-format PageIndex "
         "(ColumnIndex + OffsetIndex) so any engine can prune pages",
+    )
+    e.add_argument(
+        "--kv",
+        action="append",
+        metavar="K=V",
+        help="with --format parquet: file-level key-value metadata "
+        "(reference WithMetaData), repeatable",
     )
     e.add_argument(
         "--encodings",

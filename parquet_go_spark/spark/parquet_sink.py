@@ -36,13 +36,16 @@ def encode_table_parquet(
     bloom_columns: list[str] | None = None,
     bloom_fpp: float = 0.01,
     max_row_group: int | None = None,
+    kv_metadata: dict[str, str] | None = None,
+    column_kv: dict[str, dict[str, str]] | None = None,
 ) -> DataFrame:
     """``page_index`` / ``bloom_columns`` / ``bloom_fpp`` /
-    ``max_row_group`` pass straight through to
-    :func:`compat.parquet_writer.write_parquet` per partition file, so
-    the emitted table carries the spec pruning structures (PageIndex,
-    BloomFilter, PageEncodingStats) any engine — including our own
-    ``read_parquet_table`` — can prune on."""
+    ``max_row_group`` / ``kv_metadata`` / ``column_kv`` pass straight
+    through to :func:`compat.parquet_writer.write_parquet` per partition
+    file, so the emitted table carries the spec pruning structures
+    (PageIndex, BloomFilter, PageEncodingStats) any engine — including
+    our own ``read_parquet_table`` — can prune on, plus the reference's
+    file- and column-level key-value metadata (``WithMetaData``)."""
     spark = df.sparkSession
     cols = df.columns
     os.makedirs(out_dir, exist_ok=True)
@@ -84,6 +87,8 @@ def encode_table_parquet(
                 bloom_columns=bloom_columns,
                 bloom_fpp=bloom_fpp,
                 max_row_group=max_row_group,
+                kv_metadata=kv_metadata,
+                column_kv=column_kv,
                 return_meta=True,
             )
             tmp = fpath + f".tmp.{os.getpid()}"

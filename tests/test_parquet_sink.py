@@ -86,3 +86,31 @@ def test_parquet_sink_emits_prune_structures(spark, tmp_path):
     one = df.select("url").limit(1).collect()[0][0]
     hit = read_parquet_table(spark, out, prune=[("url", "==", one)])
     assert hit.where(hit.url == one).count() == 1
+
+
+def test_parquet_sink_kv_metadata(spark, tmp_path):
+    """File- and column-level KV metadata ride every partition file
+    (reference WithMetaData / WithRowGroupMetaDataForColumnPath)."""
+    import pyarrow.parquet as pq
+
+    from parquet_go_spark.compat.parquet_reader import (
+        column_kv_metadata,
+        file_kv_metadata,
+        file_meta,
+    )
+
+    out = str(tmp_path / "pq_kv")
+    df = pages_df(spark, 600, partitions=2)
+    encode_table_parquet(
+        df, out, partitions=2,
+        kv_metadata={"job": "crawl-2026-08"}, column_kv={"url": {"canon": "rfc3986"}},
+    ).collect()
+    files = sorted(glob.glob(f"{out}/part-*.parquet"))
+    assert files
+    for f in files:
+        with open(f, "rb") as fh:
+            meta = file_meta(fh.read())
+        assert file_kv_metadata(meta) == {"job": "crawl-2026-08"}
+        assert column_kv_metadata(meta, "url") == {"canon": "rfc3986"}
+        got = pq.read_metadata(f).metadata
+        assert got[b"job"] == b"crawl-2026-08"
