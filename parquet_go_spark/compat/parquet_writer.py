@@ -545,6 +545,8 @@ def write_parquet(
     bloom_fpp: float = 0.01,
     kv_metadata: dict[str, str] | None = None,
     column_kv: dict[str, dict[str, str]] | None = None,
+    creator: str = "parquet_go_spark",
+    file_version: int = 1,
     return_meta: bool = False,
 ):
     """pa.Table -> Parquet file bytes (flat or nested schema: lists at
@@ -689,12 +691,14 @@ def write_parquet(
         cc[4] = ("i64", len(out))
         cc[5] = ("i32", len(oi))
         out += oi
+    # creator / file_version = the reference's WithCreator (file_writer.go
+    # CreatedBy) and FileVersion options
     fmeta = {
-        1: ("i32", 1),
+        1: ("i32", int(file_version)),
         2: ("list", ("struct", schema_elems)),
         3: ("i64", table.num_rows),
         4: ("list", ("struct", row_groups)),
-        6: ("binary", "parquet_go_spark"),
+        6: ("binary", creator),
         **({5: ("list", ("struct", _kv_structs(kv_metadata)))} if kv_metadata else {}),
         # ColumnOrder TYPE_ORDER per column: readers only trust
         # min_value/max_value when the footer declares the sort order

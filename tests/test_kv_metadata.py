@@ -129,3 +129,15 @@ def test_properties_cli(tmp_path, capsys):
     assert cli.main(["properties", "--enc", out]) == 0
     last = capsys.readouterr().out.strip().splitlines()[-1]
     assert json.loads(last) == {"a": "1"}
+
+
+def test_creator_and_file_version():
+    """WithCreator / FileVersion analogues land in the footer and a
+    foreign engine reports them."""
+    buf = write_parquet(_table(), creator="crawl-encoder 2.0", file_version=2)
+    meta = file_meta(buf)
+    assert meta[1] == 2
+    assert meta[6].decode() == "crawl-encoder 2.0"
+    pf = pq.ParquetFile(io.BytesIO(buf))
+    assert pf.metadata.created_by == "crawl-encoder 2.0"
+    assert read_table_arrow(buf).num_rows == 3
