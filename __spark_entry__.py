@@ -39,6 +39,7 @@ from parquet_go_spark.ops.similarity import (
     lsh_bucket_topk,
     signature_sql,
 )
+from parquet_go_spark.ops.curate import curate_corpus
 from parquet_go_spark.ops.multimodal import image_features
 from parquet_go_spark.ops.stats import table_column_stats, table_numeric_minmax
 from parquet_go_spark.ops.text import fingerprint, langid_ngram, text_quality, token_stats
@@ -1078,6 +1079,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_upsert": _q_merge_upsert,
         # training-data pipeline ops
         "dedup_exact": lambda spark, sf_dir: exact_dedup(_load(spark, sf_dir, "documents")),
+        "corpus_curation": lambda spark, sf_dir: curate_corpus(
+            _load(spark, sf_dir, "documents")
+        ),
         "token_stats": lambda spark, sf_dir: token_stats(_load(spark, sf_dir, "documents")),
         "text_quality": lambda spark, sf_dir: text_quality(_load(spark, sf_dir, "documents")),
         "fingerprint_md5": lambda spark, sf_dir: fingerprint(_load(spark, sf_dir, "documents")),
@@ -1402,6 +1406,21 @@ WHERE round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) >= 0.35
         "dedup_exact": (
             "SELECT md5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups"
             " FROM documents GROUP BY text"
+        ),
+        "corpus_curation": (
+            "WITH scored AS ("
+            "SELECT doc_id, lang, md5(text) AS fp,"
+            " len(string_split(text, ' ')) AS n_tokens,"
+            " CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)"
+            "   / len(string_split(text, ' ')) AS ttr,"
+            " CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)"
+            "   / greatest(length(text), 1) AS punct"
+            " FROM documents WHERE text IS NOT NULL"
+            "), kept AS ("
+            "SELECT min(doc_id) AS doc_id, count(*) AS n_dups FROM scored GROUP BY fp"
+            ") SELECT s.doc_id, s.lang, s.n_tokens, s.ttr, k.n_dups"
+            " FROM scored s JOIN kept k ON s.doc_id = k.doc_id"
+            " WHERE s.ttr >= 0.3 AND s.punct <= 0.1"
         ),
         "token_stats": (
             "SELECT doc_id, n_chars, n_tokens,"

@@ -28,6 +28,7 @@ OP_QUERIES = [
     "roundtrip_lineitem",
     "enc_fsst_documents",
     "dedup_exact",
+    "corpus_curation",
     "minhash_signatures",
     "lsh_dup_pairs",
     "token_stats",

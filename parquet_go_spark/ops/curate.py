@@ -1,0 +1,72 @@
+"""Corpus curation: the composed training-data pipeline over web text —
+null-drop -> per-row quality scoring -> exact dedup (one representative
+per duplicate group) -> quality gate. One declarative plan, ONE shuffle.
+
+This is the shape a 100 TB curation job takes: the per-row scoring is
+whole-stage codegen (zero Python), the only exchange groups by a 16-byte
+md5 fingerprint (never the document text), and the representative's
+fields ride through the aggregation via ``min_by`` structs so no second
+join/shuffle is needed to recover them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["curate_corpus"]
+
+
+def curate_corpus(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    min_ttr: float = 0.3,
+    max_punct: float = 0.1,
+) -> DataFrame:
+    """Returns the curated corpus: one row per kept document with
+    ``(id, lang, n_tokens, ttr, n_dups)``.
+
+    Kept = non-null text, the minimum-id representative of its exact
+    duplicate group, type-token ratio >= ``min_ttr`` and punctuation
+    ratio <= ``max_punct`` (boilerplate/markup-soup gates). ``n_dups``
+    is the group's size — the dedup "weight" training pipelines keep for
+    loss re-weighting.
+
+    Plan: projection (codegen) -> one groupBy on the md5 fingerprint
+    with map-side partial ``min_by`` -> filter. The quality gate runs
+    AFTER dedup on the representative only, matching the usual pipeline
+    order (dedup first, filters on survivors).
+    """
+    t = F.col(text_col)
+    words = F.split(t, " ")
+    n_tokens = F.size(words)
+    ttr = F.size(F.array_distinct(words)).cast("double") / n_tokens.cast("double")
+    punct = (
+        F.size(F.expr(f"regexp_extract_all({text_col}, '[.,;:!?]', 0)")).cast("double")
+        / F.greatest(F.length(t), F.lit(1)).cast("double")
+    )
+    scored = df.filter(t.isNotNull()).select(
+        F.md5(t).alias("__fp"),
+        F.struct(
+            F.col(id_col),
+            F.col(lang_col),
+            n_tokens.cast("long").alias("n_tokens"),
+            ttr.alias("ttr"),
+            punct.alias("__punct"),
+        ).alias("__s"),
+    )
+    kept = scored.groupBy("__fp").agg(
+        F.min_by("__s", F.col(f"__s.{id_col}")).alias("__s"),
+        F.count(F.lit(1)).alias("n_dups"),
+    )
+    return (
+        kept.filter((F.col("__s.ttr") >= min_ttr) & (F.col("__s.__punct") <= max_punct))
+        .select(
+            F.col(f"__s.{id_col}").alias(id_col),
+            F.col(f"__s.{lang_col}").alias(lang_col),
+            F.col("__s.n_tokens").alias("n_tokens"),
+            F.col("__s.ttr").alias("ttr"),
+            "n_dups",
+        )
+    )
