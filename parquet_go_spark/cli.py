@@ -503,6 +503,50 @@ def cmd_snapshots(args) -> int:
     return 0
 
 
+def cmd_curate(args) -> int:
+    """Curate a corpus end-to-end: load (either input format, any
+    --where/--as-of scoping), run the one-shuffle dedup + quality
+    pipeline (``ops.curate.curate_corpus_rows``), and encode the kept
+    rows as a new table whose ``curate`` snapshot records the gates and
+    source lineage."""
+    spark = _spark(args)
+    from .ops.curate import curate_corpus_rows
+    from .spark import manifest as mf
+    from .spark.encode_job import encode_table
+
+    df = _load_table(spark, args)
+    kept = curate_corpus_rows(
+        df,
+        text_col=args.text_col,
+        id_col=args.id_col,
+        min_ttr=args.min_ttr,
+        max_punct=args.max_punct,
+    )
+    man = encode_table(
+        kept,
+        args.out,
+        key_col=args.key_col,
+        partitions=args.partitions,
+        compression=args.compression,
+    ).collect()
+    first = man[0]["column"] if man else None
+    rows_out = sum(r["num_rows"] for r in man if r["column"] == first)
+    snap = mf.commit_snapshot(
+        args.out,
+        "curate",
+        {
+            "source": args.enc,
+            "input_format": args.input_format,
+            "min_ttr": args.min_ttr,
+            "max_punct": args.max_punct,
+            "text_col": args.text_col,
+            "id_col": args.id_col,
+        },
+    )
+    print(json.dumps({"rows_out": rows_out, "out": args.out, "snapshot": snap["seq"]}))
+    return 0
+
+
 def cmd_properties(args) -> int:
     """Table properties (Iceberg TBLPROPERTIES analogue): print the
     effective map at a version, or set/unset keys via a metadata-only
@@ -787,6 +831,26 @@ def main(argv=None) -> int:
     sn = sub.add_parser("snapshots")
     sn.add_argument("--enc", required=True)
     sn.set_defaults(fn=cmd_snapshots)
+
+    cu = sub.add_parser(
+        "curate", help="dedup + quality-gate a corpus into a new encoded table"
+    )
+    cu.add_argument("--enc", required=True, help="source table (pgs dir or parquet dir)")
+    cu.add_argument("--out", required=True)
+    cu.add_argument(
+        "--input-format", dest="input_format", choices=["pgs", "parquet"], default="pgs"
+    )
+    cu.add_argument("--columns", default=None)
+    cu.add_argument("--where", default=None, help="pre-filter, fed to the prune tiers")
+    cu.add_argument("--as-of", dest="as_of", type=int, default=None)
+    cu.add_argument("--text-col", default="text")
+    cu.add_argument("--id-col", default="doc_id")
+    cu.add_argument("--min-ttr", type=float, default=0.3)
+    cu.add_argument("--max-punct", type=float, default=0.1)
+    cu.add_argument("--key-col", default=None)
+    cu.add_argument("--partitions", type=int, default=None)
+    cu.add_argument("--compression", default="snappy")
+    cu.set_defaults(fn=cmd_curate)
 
     pr = sub.add_parser(
         "properties", help="show or set table properties (metadata-only snapshots)"

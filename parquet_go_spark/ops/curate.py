@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["curate_corpus"]
+__all__ = ["curate_corpus", "curate_corpus_rows"]
 
 
 def curate_corpus(
@@ -69,4 +69,42 @@ def curate_corpus(
             F.col("__s.ttr").alias("ttr"),
             "n_dups",
         )
+    )
+
+
+def curate_corpus_rows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_ttr: float = 0.3,
+    max_punct: float = 0.1,
+) -> DataFrame:
+    """:func:`curate_corpus` keeping FULL ROWS: the curated corpus with
+    every input column (the representative row of each duplicate group)
+    plus ``n_dups``. Same one-exchange plan — the whole row rides the
+    ``min_by`` struct, so the text crosses the wire exactly once (any
+    dedup that outputs text must move it once; this avoids the second
+    join-back shuffle).
+    """
+    t = F.col(text_col)
+    words = F.split(t, " ")
+    n_tokens = F.size(words)
+    ttr = F.size(F.array_distinct(words)).cast("double") / n_tokens.cast("double")
+    punct = (
+        F.size(F.expr(f"regexp_extract_all({text_col}, '[.,;:!?]', 0)")).cast("double")
+        / F.greatest(F.length(t), F.lit(1)).cast("double")
+    )
+    scored = df.filter(t.isNotNull()).select(
+        F.md5(t).alias("__fp"),
+        F.struct(*[F.col(c) for c in df.columns]).alias("__row"),
+        F.struct(ttr.alias("ttr"), punct.alias("punct"), F.col(id_col).alias("id")).alias("__q"),
+    )
+    kept = scored.groupBy("__fp").agg(
+        F.min_by("__row", F.col("__q.id")).alias("__row"),
+        F.min_by("__q", F.col("__q.id")).alias("__q"),
+        F.count(F.lit(1)).alias("n_dups"),
+    )
+    return (
+        kept.filter((F.col("__q.ttr") >= min_ttr) & (F.col("__q.punct") <= max_punct))
+        .select(*[F.col(f"__row.{c}").alias(c) for c in df.columns], "n_dups")
     )

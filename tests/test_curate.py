@@ -1,0 +1,73 @@
+"""Corpus curation pipeline: dedup + quality gates in one exchange,
+row-preserving variant, and the end-to-end CLI (decode -> curate ->
+encode with a lineage snapshot)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from parquet_go_spark.ops.curate import curate_corpus, curate_corpus_rows
+
+pytestmark = pytest.mark.spark
+
+GOOD_A = "the quick brown fox jumps over the lazy dog today."
+GOOD_B = "a different sentence with plenty of distinct words, nicely varied."
+LOW_TTR = "spam spam spam spam spam spam spam spam spam spam"
+
+
+def _df(spark):
+    rows = [
+        (1, GOOD_A, "en"),
+        (2, GOOD_A, "en"),     # exact dup of 1
+        (3, GOOD_B, "en"),
+        (4, None, "en"),       # null text: dropped
+        (5, LOW_TTR, "en"),    # fails ttr gate
+        (6, GOOD_A, "en"),     # another dup of 1
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_curate_corpus_keeps_representatives_and_gates(spark):
+    out = curate_corpus(_df(spark)).orderBy("doc_id").collect()
+    assert [(r.doc_id, r.n_dups) for r in out] == [(1, 3), (3, 1)]
+    assert all(r.ttr >= 0.3 for r in out)
+
+
+def test_curate_corpus_rows_preserves_full_rows(spark):
+    out = curate_corpus_rows(_df(spark)).orderBy("doc_id").collect()
+    assert [(r.doc_id, r.text, r.lang, r.n_dups) for r in out] == [
+        (1, GOOD_A, "en", 3),
+        (3, GOOD_B, "en", 1),
+    ]
+
+
+def test_curate_variants_agree(spark):
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = {(r.doc_id, r.n_dups) for r in curate_corpus(df).collect()}
+    b = {(r.doc_id, r.n_dups) for r in curate_corpus_rows(df).collect()}
+    assert a == b and a
+
+
+def test_curate_cli_end_to_end(spark, tmp_path, capsys):
+    from parquet_go_spark import cli
+    from parquet_go_spark.spark import manifest as mf
+    from parquet_go_spark.spark.decode_job import decode_table
+    from parquet_go_spark.spark.encode_job import encode_table
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "cur")
+    encode_table(_df(spark), src, partitions=2).collect()
+    rc = cli.main(
+        ["curate", "--enc", src, "--out", out, "--key-col", "doc_id", "--partitions", "2"]
+    )
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["rows_out"] == 2
+    back = decode_table(spark, out).orderBy("doc_id").collect()
+    assert [(r.doc_id, r.n_dups) for r in back] == [(1, 3), (3, 1)]
+    snap = mf.read_snapshots(out)[-1]
+    assert snap["operation"] == "curate"
+    assert snap["config"]["source"] == src
