@@ -1048,6 +1048,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "enc_bss_lineitem": _rt(
             "lineitem", cols=["l_quantity", "l_extendedprice", "l_discount", "l_tax"], encoding="bss"
         ),
+        "enc_alp_lineitem": _rt(
+            "lineitem", cols=["l_quantity", "l_extendedprice", "l_discount", "l_tax"], encoding="alp"
+        ),
         "enc_rle_bool_lineitem": lambda spark, sf_dir: roundtrip_df(
             _load(spark, sf_dir, "lineitem").select((F.col("l_quantity") > 25).alias("flag")),
             encoding="rle_bool",
@@ -1329,6 +1332,9 @@ WHERE round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) >= 0.35
         "enc_fsst_documents": _ident_sql("documents", ["text", "lang", "source"]),
         "enc_zdict_documents": _ident_sql("documents", ["text", "lang", "source"]),
         "enc_bss_lineitem": _ident_sql(
+            "lineitem", ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+        ),
+        "enc_alp_lineitem": _ident_sql(
             "lineitem", ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
         ),
         "enc_rle_bool_lineitem": "SELECT l_quantity > 25 AS flag FROM lineitem",

@@ -41,7 +41,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..kernels import bitpack  # noqa: F401  (re-exported for selectors)
-from ..kernels import bytearrays, bytestreamsplit, deltabp, dictenc, forbp, fsst, hybrid, levels, plain
+from ..kernels import alp, bytearrays, bytestreamsplit, deltabp, dictenc, forbp, fsst, hybrid, levels, plain
 from ..kernels.varint import read_uvarint, uvarint
 from .columns import ColumnData, gather_segments
 
@@ -77,6 +77,7 @@ ENCODINGS = {
     "rle_bool": 8,
     "zdict": 9,  # delta-length layout, DEFLATE values + trained dict
     "for_bp": 10,  # frame-of-reference + bit-pack (north-star ts pairing)
+    "alp": 11,  # adaptive lossless floats (VLDB'24), digits ride for_bp
 }
 ENCODINGS_R = {v: k for k, v in ENCODINGS.items()}
 
@@ -566,6 +567,8 @@ def _encode_values(enc: str, col: ColumnData, vlo: int, vhi: int, dlo: int, dhi:
         return forbp.encode(vals, 32 if col.ptype == "int32" else 64)
     if enc == "bss":
         return bytestreamsplit.encode(vals)
+    if enc == "alp":
+        return alp.encode(vals)
     raise ValueError(f"bad encoding {enc} for {col.ptype}")
 
 
@@ -634,6 +637,9 @@ def _decode_values(enc: str, ptype: str, payload: bytes, pos: int, nvals: int, d
     if enc == "bss":
         dt = {"int32": np.int32, "int64": np.int64, "float": np.float32, "double": np.float64}[ptype]
         vals, pos = bytestreamsplit.decode(payload, nvals, np.dtype(dt), pos)
+        return vals, pos
+    if enc == "alp":
+        vals, pos = alp.decode(payload, pos, nvals, np.float32 if ptype == "float" else np.float64)
         return vals, pos
     raise ValueError(enc)
 

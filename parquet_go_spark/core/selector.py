@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..kernels import bytearrays, deltabp, dictenc, forbp, hybrid
+from ..kernels import alp, bytearrays, deltabp, dictenc, forbp, hybrid
 from .columns import ColumnData
 
 __all__ = ["choose_encoding", "COST_PENALTY"]
@@ -39,6 +39,7 @@ COST_PENALTY = {
     "bss": 0.02,
     "fsst": 0.60,
     "zdict": 0.20,  # DEFLATE ~75-250 MB/s/core vs snappy's ~500
+    "alp": 0.04,  # one rint/verify pass + the for_bp pack
 }
 
 
@@ -226,6 +227,11 @@ def choose_encoding(col: ColumnData, compression: str = "none"):
             est["for_bp"] = forbp.estimate_size(col.values, bits)
         if compression != "none" and col.ptype in ("float", "double", "int64", "int32"):
             est["bss"] = n * itemsize * 0.999  # wins only via compression, below
+        if col.ptype in ("float", "double"):
+            # ALP (VLDB'24): decimal-representable floats become a FOR'd
+            # digit stream; the sample estimate prices exceptions in, so
+            # noise columns never rank it
+            est["alp"] = alp.estimate_size(col.values)
 
     if compression != "none":
         # re-estimate the top candidates on compressed sample encodings
