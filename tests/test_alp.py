@@ -92,7 +92,8 @@ def test_fuzz_roundtrip(xs):
 def test_decode_rejects_forged_exception_count():
     vals = RNG.integers(0, 1000, 100) / 10.0
     enc = bytearray(alp.encode(vals))
-    enc[1:5] = (10**6).to_bytes(4, "little")  # n_exc >> nvals
+    assert enc[0] == 0  # decimal scheme: [scheme, e, n_exc u32, ...]
+    enc[2:6] = (10**6).to_bytes(4, "little")  # n_exc >> nvals
     with pytest.raises(ValueError):
         alp.decode(bytes(enc), 0, len(vals), np.float64)
 
@@ -123,10 +124,71 @@ def test_chunk_alp_with_nulls_multipage():
     assert to_arrow(out).equals(arr)
 
 
-def test_selector_picks_alp_on_decimals_not_noise():
+def test_selector_picks_alp_on_decimals_and_dict_on_low_cardinality():
     dec = pa.array(RNG.integers(-(10**6), 10**6, 40_000) / 100.0, type=pa.float64())
     blob, meta = encode_chunk(from_arrow(dec), profile="auto", compression="snappy")
     assert meta.encoding == "alp"
-    noise = pa.array(RNG.standard_normal(40_000), type=pa.float64())
-    _blob2, meta2 = encode_chunk(from_arrow(noise), profile="auto", compression="snappy")
-    assert meta2.encoding != "alp"
+    # low-cardinality floats: the dictionary stays strictly cheaper
+    lowcard = pa.array(RNG.choice([0.05, 0.1, 0.25], 40_000), type=pa.float64())
+    _blob2, meta2 = encode_chunk(from_arrow(lowcard), profile="auto", compression="snappy")
+    assert meta2.encoding == "rle_dict"
+
+
+# ---------------------------------------------------------------- ALP-RD
+
+def test_rd_noise_doubles_beat_plain_and_stay_exact():
+    vals = RNG.standard_normal(20_000)
+    enc = _roundtrip(vals)
+    assert enc[0] == 1  # RD scheme byte
+    assert len(enc) < len(vals) * 8 * 0.92
+
+
+def test_rd_embedding_floats_beat_byteplane_codecs():
+    import pyarrow.parquet as pq
+
+    vals = np.asarray(
+        pq.read_table("/root/testdata/sf0.001/embeddings.parquet")
+        .column("embedding").combine_chunks().values,
+        dtype=np.float32,
+    )
+    enc = _roundtrip(vals)
+    assert enc[0] == 1
+    # zstd on raw/byte-split planes leaves this data at ~0.93 of raw;
+    # the bit-aligned split must do better with no block codec at all
+    assert len(enc) < len(vals) * 4 * 0.90
+
+
+def test_rd_left_exceptions_patched():
+    # a few values with exotic exponents force left-dictionary misses
+    vals = np.concatenate([
+        RNG.standard_normal(5_000),
+        np.array([1e300, -1e-300, 5e-324, np.inf, np.nan]),
+    ])
+    enc = _roundtrip(vals)
+    assert enc[0] == 1
+
+
+def test_rd_decode_rejects_forged_right_width():
+    vals = RNG.standard_normal(1_000)
+    enc = bytearray(alp.encode(vals))
+    assert enc[0] == 1
+    enc[1] = 7  # float64 right width must be in [48, 63]
+    with pytest.raises(ValueError):
+        alp.decode(bytes(enc), 0, len(vals), np.float64)
+
+
+def test_rd_decode_rejects_truncation():
+    vals = RNG.standard_normal(1_000)
+    enc = alp.encode(vals)
+    assert enc[0] == 1
+    with pytest.raises(ValueError):
+        alp.decode(enc[: len(enc) // 2], 0, len(vals), np.float64)
+
+
+def test_chunk_auto_picks_alp_rd_on_noise_floats():
+    vals = RNG.standard_normal(40_000).astype(np.float32)
+    blob, meta = encode_chunk(from_arrow(pa.array(vals, type=pa.float32())),
+                              profile="auto", compression="zstd")
+    assert meta.encoding == "alp"
+    out = decode_chunk(blob, logical="float")
+    np.testing.assert_array_equal(_bits(np.asarray(out.values)), _bits(vals))
