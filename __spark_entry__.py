@@ -115,6 +115,19 @@ def _rt_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("val", F.col("val").cast("double"))
 
 
+def _rt_alp_rd_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALP-RD durably under the oracle gate: the embedding elements as a
+    flat float column pinned to the alp codec — non-decimal reals, so
+    the kernel's size-based scheme switch takes the RD (bit-split) path
+    (asserted in tests/test_alp.py). Independent of what the auto
+    selector happens to pick elsewhere."""
+    df = _load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.posexplode("embedding").alias("pos", "val")
+    )
+    rt = roundtrip_df(df.select(F.col("val")), encoding="alp")
+    return rt.withColumn("val", F.col("val").cast("double"))
+
+
 def _rt_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recursive nested types under the oracle gate: struct, nested
     struct, map, and list<list> columns (with null parents, null inner
@@ -1021,6 +1034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_events": _rt("events"),
         "roundtrip_customer": _rt("customer"),
         "roundtrip_embeddings": _rt_embeddings,  # list<float>: Dremel rep/def levels
+        "enc_alp_rd_embeddings": _rt_alp_rd_embeddings,
         "roundtrip_reference_documents": _rt("documents", profile="reference"),
         "roundtrip_zlib_documents": _rt("documents", compression="zlib"),
         "roundtrip_nulls": _rt_nulls,
@@ -1267,6 +1281,9 @@ WHERE round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) >= 0.35
             "SELECT vec_id, label, CAST(i AS INT) AS pos,"
             " CAST(embedding[i + 1] AS DOUBLE) AS val"
             " FROM embeddings, UNNEST(range(len(embedding))) AS t(i)"
+        ),
+        "enc_alp_rd_embeddings": (
+            "SELECT CAST(u.val AS DOUBLE) AS val FROM embeddings, UNNEST(embedding) AS u(val)"
         ),
         "roundtrip_reference_documents": _ident_sql("documents"),
         "roundtrip_zlib_documents": _ident_sql("documents"),
