@@ -58,6 +58,57 @@ class _PGSPartition(InputPartition):
     pid: int
 
 
+def _pushdown_enabled() -> bool | None:
+    """Is ``spark.sql.python.filterPushdown.enabled`` on for this read?
+
+    Spark 4.x hard-fails any Python DataSource whose reader *defines*
+    ``pushFilters`` while the conf is off, so the reader class must be
+    chosen per-session.  Two probes, then "unknown":
+
+    - worker path: with the conf ON, ``DataSource.reader()`` is invoked
+      by the dedicated pushdown planner worker
+      (``pyspark/sql/worker/data_source_pushdown_filters.py``), whose
+      very purpose is to call ``pushFilters``; with it OFF, it is
+      invoked by ``plan_data_source_read.main``, which holds the conf as
+      its ``enable_pushdown`` local (the same value it later uses for
+      the hard check).  A short walk up the stack distinguishes the two.
+    - driver path (no worker frame found): the active session's runtime
+      conf.
+
+    Unknown ⇒ the caller must pick the no-pushdown reader: pruning is an
+    optimization (Spark re-applies every filter), a crash is not.
+    """
+    import sys
+
+    try:
+        f = sys._getframe(1)
+        while f is not None:
+            if "enable_pushdown" in f.f_locals:
+                return bool(f.f_locals["enable_pushdown"])
+            if f.f_code.co_filename.endswith("data_source_pushdown_filters.py"):
+                return True
+            f = f.f_back
+    except Exception:
+        pass
+    try:
+        from pyspark.sql import SparkSession
+
+        s = SparkSession.getActiveSession()
+        if s is not None:
+            v = s.conf.get("spark.sql.python.filterPushdown.enabled", "false")
+            return str(v).lower() == "true"
+    except Exception:
+        pass
+    return None
+
+
+def _choose_reader(opt: str | None, with_pushdown: type, without: type) -> type:
+    if opt is not None:
+        return with_pushdown if str(opt).lower() in ("true", "1", "yes") else without
+    enabled = _pushdown_enabled()
+    return with_pushdown if enabled else without
+
+
 def _prune_value(value):
     """Normalize a catalyst literal to the engine's stored representation;
     None when no safe mapping exists (pruning skipped for that filter).
@@ -169,7 +220,12 @@ def _decode_partition_to_batches(
         yield batch
 
 
-class _PGSReader(DataSourceReader):
+class _PGSReaderNoPushdown(DataSourceReader):
+    """Reader without a ``pushFilters`` override: safe in sessions where
+    ``spark.sql.python.filterPushdown.enabled`` is off (Spark refuses to
+    plan a reader that defines the method there).  ``self.prune`` stays
+    empty ⇒ full scan, Spark applies all filters after the scan."""
+
     def __init__(self, enc_dir: str, schema_fields: list[dict], as_of: int | None = None):
         from . import manifest as mf
 
@@ -185,12 +241,6 @@ class _PGSReader(DataSourceReader):
         self.eq_files = (
             mf.snapshot_eq_delete_files(enc_dir, as_of) if as_of is not None else None
         )
-
-    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
-        for f in filters:
-            self.prune.extend(_filter_to_prune(f))
-            # conservative pruning ⇒ Spark must re-apply EVERY filter
-            yield f
 
     def partitions(self) -> Sequence[InputPartition]:
         from .decode_job import surviving_partitions
@@ -217,6 +267,17 @@ class _PGSReader(DataSourceReader):
             self.enc_dir, self.fields, partition.pid, self.prune,
             delete_files=self.delete_files, eq_files=self.eq_files,
         )
+
+
+class _PGSReader(_PGSReaderNoPushdown):
+    """Pushdown-capable variant, planned only when the session conf
+    allows it (``_choose_reader``)."""
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        for f in filters:
+            self.prune.extend(_filter_to_prune(f))
+            # conservative pruning ⇒ Spark must re-apply EVERY filter
+            yield f
 
 
 def _offset_pids(offset: dict) -> set[int]:
@@ -356,7 +417,7 @@ class PGSDataSource(DataSource):
         fields = mf.read_table_schema(self._dir())
         return ", ".join(f"`{f['name']}` {f['ddl']}" for f in fields)
 
-    def reader(self, schema) -> _PGSReader:
+    def reader(self, schema) -> _PGSReaderNoPushdown:
         from . import manifest as mf
 
         as_of = self.options.get("as_of")
@@ -364,7 +425,8 @@ class PGSDataSource(DataSource):
         if seq is None and self.options.get("as_of_ts") is not None:
             # Iceberg TIMESTAMP AS OF: .option("as_of_ts", "<ISO-8601>")
             seq = mf.seq_as_of_timestamp(self._dir(), self.options["as_of_ts"])
-        return _PGSReader(
+        cls = _choose_reader(self.options.get("pushdown"), _PGSReader, _PGSReaderNoPushdown)
+        return cls(
             self._dir(),
             mf.read_table_schema(self._dir()),
             as_of=seq,
@@ -429,27 +491,17 @@ class _PGSQPartition(InputPartition):
     rg: int
 
 
-class _PGSQReader(DataSourceReader):
+class _PGSQReaderNoPushdown(DataSourceReader):
     """``spark.read.format("pgsq")``: the distributed real-Parquet scan
-    (spark/parquet_source.py) behind the Python DataSource API — pushed
-    catalyst filters become footer-Statistics row-group pruning, one
+    (spark/parquet_source.py) behind the Python DataSource API — one
     input partition per surviving row group, every page decoded by this
-    engine's kernels."""
+    engine's kernels.  This base variant defines no ``pushFilters`` so
+    it plans in sessions with Python filter pushdown disabled."""
 
     def __init__(self, files: list[str], schema_triples: list[tuple]):
         self.files = files
         self.triples = schema_triples  # (name, arrow type, ddl)
         self.prune: list[tuple] = []
-
-    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
-        for f in filters:
-            for col, op, value in _filter_to_prune(f):
-                # ==/<=/>= compare footer stats and page-index bounds;
-                # ==/IN additionally probe bloom filters; notnull drops
-                # all-null chunks/pages via null counts
-                if op in ("==", "<=", ">=", "in", "notnull"):
-                    self.prune.append((col, op, value))
-            yield f  # conservative: Spark re-applies every filter
 
     def partitions(self) -> Sequence[InputPartition]:
         from .parquet_source import plan_scan_tasks
@@ -489,6 +541,21 @@ class _PGSQReader(DataSourceReader):
         yield from pa.table(dict(zip(cols, arrays))).to_batches(max_chunksize=1 << 16)
 
 
+class _PGSQReader(_PGSQReaderNoPushdown):
+    """Pushdown-capable variant: pushed catalyst filters become
+    footer-Statistics row-group pruning + PageIndex page pruning."""
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        for f in filters:
+            for col, op, value in _filter_to_prune(f):
+                # ==/<=/>= compare footer stats and page-index bounds;
+                # ==/IN additionally probe bloom filters; notnull drops
+                # all-null chunks/pages via null counts
+                if op in ("==", "<=", ">=", "in", "notnull"):
+                    self.prune.append((col, op, value))
+            yield f  # conservative: Spark re-applies every filter
+
+
 class PGSParquetDataSource(DataSource):
     """``format("pgsq")``: read directories of real ``.parquet`` files
     (written by any implementation) through this engine's decode
@@ -514,8 +581,9 @@ class PGSParquetDataSource(DataSource):
         triples = parquet_scan_schema(self._files()[0])
         return ", ".join(f"`{n}` {ddl}" for n, _, ddl in triples)
 
-    def reader(self, schema) -> _PGSQReader:
+    def reader(self, schema) -> _PGSQReaderNoPushdown:
         from .parquet_source import parquet_scan_schema
 
         files = self._files()
-        return _PGSQReader(files, parquet_scan_schema(files[0]))
+        cls = _choose_reader(self.options.get("pushdown"), _PGSQReader, _PGSQReaderNoPushdown)
+        return cls(files, parquet_scan_schema(files[0]))

