@@ -37,7 +37,22 @@ __all__ = [
     "delete_where",
     "delete_keys",
     "merge_into",
+    "mark_matching_keys",
+    "materialize_deletes",
 ]
+
+
+def _pid_of(p: str) -> int:
+    local = p[len("file:") :] if p.startswith("file:") else p
+    return int(os.path.basename(local)[len("part-") : -len(".bin")])
+
+
+def _collect_keys(src_keys: DataFrame) -> list:
+    """THE one documented driver-side key collect — called only when the
+    distinct key count is at or under ``merge_into``'s ``key_guard``
+    (CDC-batch sizes), never on the large-source path
+    (tests/test_maintenance.py pins this with a monkeypatch)."""
+    return [r[0] for r in src_keys.collect()]
 
 
 def delete_keys(
@@ -97,6 +112,178 @@ def delete_keys(
     return {"candidates": len(applies), "file": name, "snapshot": snap["seq"]}
 
 
+def _scan_key_positions(
+    spark: SparkSession, enc_dir: str, fields: list[dict], key: str, pids: list[int]
+) -> DataFrame:
+    """Distributed projection scan of ONE column: (pid, row ordinal,
+    key value) for every base row of the given partitions — existing
+    MOR sidecars deliberately NOT applied, so ordinals match the data
+    file (the positional-delete coordinate system). One task per
+    partition file; only the key column's chunk is decoded."""
+    kf = next(f for f in fields if f["name"] == key)
+    ddl = kf["ddl"]
+    if ddl.strip().startswith(("array<", "map<", "struct<")):
+        raise ValueError(f"merge key {key!r} must be a scalar column, got {ddl}")
+    paths = [os.path.join(enc_dir, f"part-{pid:05d}.bin") for pid in pids]
+    files = spark.read.format("binaryFile").load(paths).select("path")
+
+    def scan(it):
+        import numpy as np
+        import pandas as pd
+
+        from .decode_job import decode_blobs_to_batch, logical_of_ddl
+        from .encode_job import parse_partition_file
+
+        logicals = {key: logical_of_ddl(ddl)}
+        for pdf in it:
+            for p in pdf["path"]:
+                pid = _pid_of(p)
+                local = p[len("file:") :] if p.startswith("file:") else p
+                with open(local, "rb") as fh:
+                    payload = fh.read()
+                blobs = parse_partition_file(payload, {key})
+                batch = decode_blobs_to_batch(blobs, [key], set(), logicals, None)
+                if batch is None or not batch.num_rows:
+                    continue
+                n = batch.num_rows
+                yield pd.DataFrame(
+                    {
+                        "pid": np.full(n, pid, dtype="int32"),
+                        "pos": np.arange(n, dtype="int64"),
+                        "k": batch.column(0).to_pandas(),
+                    }
+                )
+
+    return files.mapInPandas(scan, schema=f"pid int, pos bigint, k {ddl}")
+
+
+def mark_matching_keys(
+    spark: SparkSession,
+    enc_dir: str,
+    key: str,
+    src_keys: DataFrame,
+    within: "set[int] | None" = None,
+) -> dict:
+    """Distributed MOR delete-by-key: write positional-delete sidecars
+    for every table row whose ``key`` value appears in ``src_keys`` (a
+    one-column DataFrame) — the key set NEVER visits the driver.
+
+    Plan shape (the 100 TB-safe merge delete): one projection scan of
+    the key column per partition (``_scan_key_positions``) → LEFT SEMI
+    join against the distinct source keys (AQE broadcasts the small
+    side, shuffles when both are big — either way no driver
+    materialization) → ``applyInPandas`` grouped by partition id writes
+    one sidecar per touched partition (group-per-pid ⇒ no write races),
+    deduplicated against sidecars already on disk so a replayed batch
+    is a no-op. Only the bounded per-partition totals return to the
+    driver. ``within`` restricts the scan universe (the streaming
+    upsert passes the pre-batch snapshot's partitions so appended rows
+    survive their own delete)."""
+    fields = mf.read_table_schema(enc_dir)
+    committed = mf.committed_partitions(enc_dir)
+    pids = sorted(committed & set(within)) if within is not None else sorted(committed)
+    if not pids:
+        return {"candidates": 0, "rows_deleted": 0, "partitions": []}
+    tk = _scan_key_positions(spark, enc_dir, fields, key, pids)
+    ks = (
+        src_keys.select(F.col(src_keys.columns[0]).alias("k"))
+        .where(F.col("k").isNotNull())
+        .distinct()
+    )
+    matched = tk.join(ks, "k", "leftsemi").select("pid", "pos")
+
+    def write_group(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pid = int(pdf["pid"].iloc[0])
+        pos = np.unique(pdf["pos"].to_numpy(dtype="int64"))
+        man = mf.read_partition_manifest(enc_dir, pid)
+        base_rows = man[0]["num_rows"] if man else 0
+        already = mf.delete_positions(enc_dir, pid)
+        new = np.setdiff1d(pos, already, assume_unique=True)
+        if new.size:
+            mf.write_delete_file(enc_dir, pid, new, base_rows=base_rows)
+        return pd.DataFrame([{"partition": pid, "rows_deleted": int(new.size)}])
+
+    rows = (
+        matched.groupBy("pid")
+        .applyInPandas(write_group, "partition int, rows_deleted long")
+        .collect()
+    )
+    return {
+        "candidates": len(pids),
+        "rows_deleted": int(sum(r["rows_deleted"] for r in rows)),
+        "partitions": sorted(r["partition"] for r in rows),
+    }
+
+
+def materialize_deletes(
+    spark: SparkSession, enc_dir: str, pids=None, **encode_kwargs
+) -> dict:
+    """Rewrite every partition carrying positional-delete sidecars
+    (optionally restricted to ``pids``) so the deletes are materialized
+    into the data files — the Iceberg rewrite-position-delete-files /
+    minor-compaction analogue, and the second half of a large-source
+    COW merge. One task per affected partition decodes live rows
+    (sidecars applied), re-encodes in place keeping the partition's
+    block codec, then sidecars are dropped and history pinning the
+    rewritten bytes is tombstoned."""
+    import pyarrow as pa
+
+    from .datasource import _decode_partition_to_batches
+    from .decode_job import arrow_type_of_ddl
+    from .encode_job import encode_columns_to_partition
+
+    have = sorted({int(n[len("del-") : len("del-") + 5]) for n in mf.list_delete_files(enc_dir)})
+    if pids is not None:
+        have = sorted(set(have) & set(pids))
+    if not have:
+        return {"rewritten": [], "snapshot": None}
+    fields = mf.read_table_schema(enc_dir)
+    cols = [f["name"] for f in fields]
+    paths = [os.path.join(enc_dir, f"part-{pid:05d}.bin") for pid in have]
+    files = spark.read.format("binaryFile").load(paths).select("path")
+
+    def rewrite(it):
+        import pandas as pd
+
+        for pdf in it:
+            out = []
+            for p in pdf["path"]:
+                pid = _pid_of(p)
+                batches = list(_decode_partition_to_batches(enc_dir, fields, pid, []))
+                if batches:
+                    table = pa.Table.from_batches(batches).combine_chunks()
+                else:
+                    # every row deleted: rewrite an EMPTY typed partition
+                    # (dropping the sidecars alone would resurrect rows)
+                    table = pa.table(
+                        {f["name"]: pa.array([], type=arrow_type_of_ddl(f["ddl"])) for f in fields}
+                    )
+                kw = dict(encode_kwargs)
+                man_rows = mf.read_partition_manifest(enc_dir, pid)
+                if man_rows:
+                    codec = next(
+                        (r["compression"] for r in man_rows if r["compression"] != "none"),
+                        "none",
+                    )
+                    kw.setdefault("compression", codec)
+                encode_columns_to_partition(table, cols, enc_dir, pid, **kw)
+                out.append({"partition": pid, "rewritten": True})
+            yield pd.DataFrame(out)
+
+    rows = files.mapInPandas(rewrite, "partition int, rewritten boolean").collect()
+    rewritten = {r["partition"] for r in rows}
+    for pid in sorted(rewritten):
+        mf.remove_delete_files(enc_dir, pid)
+    mf.invalidate_snapshots(enc_dir, rewritten)
+    snap = mf.commit_snapshot(
+        enc_dir, "rewrite", {"op": "materialize_deletes", "partitions": sorted(rewritten)}
+    )
+    return {"rewritten": sorted(rewritten), "snapshot": snap["seq"]}
+
+
 def merge_into(
     spark: SparkSession,
     enc_dir: str,
@@ -105,32 +292,43 @@ def merge_into(
     partitions: int | None = None,
     evolve_schema: bool = False,
     mode: str = "cow",
+    key_guard: int = 200_000,
     **encode_kwargs,
 ) -> dict:
     """Upsert (Iceberg MERGE analogue): table rows whose ``key`` appears
     in ``src`` are replaced by the ``src`` row; new keys append.
-    Composition of the two verified primitives: a bloom/stats-pruned
-    ``delete_where(key IN src-keys)`` (touches only partitions that may
-    hold a matching key), then ``encode_table(append=True)`` of the
-    source batch; a trailing ``merge`` snapshot pins the result.
     ``mode="cow"`` rewrites matched partitions in place, so historical
     snapshots pinning them are tombstoned (``as_of`` raises
     'invalidated'). ``mode="mor"`` marks the replaced rows in positional
     delete sidecars instead — no data file is rewritten, every
     historical snapshot stays time-travelable, and the matched
-    partitions pay read amplification until compaction.
+    partitions pay read amplification until compaction. ``mode="eq"``
+    writes one equality sidecar — zero-read, CDC hot path.
 
-    Scale shape: the delete is per-candidate-partition; the append is a
-    normal encode job. The key set itself is collected to the driver to
-    drive pruning — sized for CDC-style batches (thousands to low
-    millions of keys). For source batches approaching the table's own
-    size, rewrite wholesale instead (``compact_table`` over
-    ``decode_table(...).join(src, ...)``)."""
+    Two regimes on the delete phase, switched by the DISTRIBUTED
+    distinct-key count vs ``key_guard``:
+
+    - ``≤ key_guard`` (CDC-style batches): the key set is collected to
+      the driver (``_collect_keys``, the one sanctioned collect) and
+      drives manifest stats/bloom pruning — only partitions that MAY
+      hold a match are touched.
+    - ``> key_guard`` (source approaching table scale): keys never
+      visit the driver. ``mark_matching_keys`` runs a distributed
+      key-column projection scan + LEFT SEMI join + per-partition
+      sidecar writes (MOR); COW additionally materializes the touched
+      partitions (``materialize_deletes``). ``mode="eq"`` refuses —
+      an equality sidecar with millions of values makes every future
+      read O(values); use mor/cow.
+
+    Either way the append is a normal salted encode job and a trailing
+    ``merge`` snapshot pins the result."""
     if mode not in ("cow", "mor", "eq"):
         raise ValueError(f"merge_into mode must be 'cow', 'mor', or 'eq', got {mode!r}")
-    keys = [r[0] for r in src.select(key).where(F.col(key).isNotNull()).distinct().collect()]
+    src_keys = src.select(key).where(F.col(key).isNotNull()).distinct()
+    n_keys = src_keys.count()
     deleted = {"rows_deleted": 0, "candidates": 0}
-    if keys:
+    if n_keys and n_keys <= key_guard:
+        keys = _collect_keys(src_keys)
         if mode == "eq":
             # zero-read upsert: the delete phase is one metadata-scoped
             # equality sidecar — the table is never decoded at all, so
@@ -141,7 +339,18 @@ def merge_into(
             deleted = {"rows_deleted": None, "candidates": eq["candidates"]}
         else:
             deleted = delete_where(spark, enc_dir, [(key, "in", tuple(keys))], mode=mode)
-    n_parts = partitions or max(1, min(len(keys) // 50_000 + 1, 64))
+    elif n_keys:
+        if mode == "eq":
+            raise ValueError(
+                f"merge_into mode='eq' with {n_keys} distinct keys exceeds "
+                f"key_guard={key_guard}: an equality sidecar that large taxes "
+                "every future read — use mode='mor' or 'cow'"
+            )
+        marked = mark_matching_keys(spark, enc_dir, key, src_keys)
+        deleted = {"rows_deleted": marked["rows_deleted"], "candidates": marked["candidates"]}
+        if mode == "cow" and marked["partitions"]:
+            materialize_deletes(spark, enc_dir, pids=marked["partitions"], **encode_kwargs)
+    n_parts = partitions or max(1, min(n_keys // 50_000 + 1, 64))
     encode_table(
         src,
         enc_dir,
@@ -157,13 +366,13 @@ def merge_into(
         {
             "key": key,
             "mode": mode,
-            "src_keys": len(keys),
+            "src_keys": n_keys,
             "rows_replaced": deleted["rows_deleted"],
             "delete_candidates": deleted["candidates"],
         },
     )
     return {
-        "src_keys": len(keys),
+        "src_keys": n_keys,
         "rows_replaced": deleted["rows_deleted"],
         "delete_candidates": deleted["candidates"],
         "snapshot": snap["seq"],
@@ -233,10 +442,6 @@ def delete_where(
         return {"candidates": 0, "rows_deleted": 0, "snapshot": snap["seq"]}
     paths = [os.path.join(enc_dir, f"part-{pid:05d}.bin") for pid in sorted(cand)]
     files = spark.read.format("binaryFile").load(paths).select("path")
-
-    def _pid_of(p: str) -> int:
-        local = p[len("file:") :] if p.startswith("file:") else p
-        return int(os.path.basename(local)[len("part-") : -len(".bin")])
 
     def rewrite(it):
         import pandas as pd

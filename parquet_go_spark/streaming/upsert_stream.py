@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame
 
 from ..spark import manifest as mf
 from ..spark.encode_job import encode_table
-from ..spark.maintenance import delete_keys
+from ..spark.maintenance import delete_keys, mark_matching_keys
 
 __all__ = ["upsert_stream", "last_upsert_batch"]
 
@@ -59,13 +59,22 @@ def upsert_stream(
     partitions: int = 2,
     checkpoint: str | None = None,
     trigger_seconds: float | None = None,
+    key_guard: int = 200_000,
     **encode_kwargs,
 ):
     """Start the streaming upsert into ``enc_dir`` (must already be an
     encoded table — bootstrap with ``encode_table``); returns the
     StreamingQuery. Each micro-batch is deduplicated on ``key`` (last
     occurrence order is not defined within a batch; upstream should
-    send one change per key per batch, the usual CDC contract)."""
+    send one change per key per batch, the usual CDC contract).
+
+    Batches with at most ``key_guard`` distinct keys take the
+    equality-delete hot path (one driver-collected key list → one
+    metadata-only sidecar, no table read). A larger batch never sends
+    its keys through the driver: ``mark_matching_keys`` runs the
+    distributed scan + semi-join + positional sidecars, scoped to the
+    pre-batch partitions. Replays are safe in both regimes (the marker
+    snapshot guard, and the mark's dedup against on-disk sidecars)."""
     if not os.path.exists(os.path.join(enc_dir, "_schema.json")):
         raise ValueError(f"{enc_dir} is not an encoded table (bootstrap with encode_table)")
 
@@ -73,10 +82,11 @@ def upsert_stream(
         if batch_id <= last_upsert_batch(enc_dir):
             return  # replayed batch: already fully applied
         src = batch_df.dropDuplicates([key])
-        keys = [r[0] for r in src.select(key).where(src[key].isNotNull()).collect()]
+        src_keys = src.select(key).where(src[key].isNotNull()).distinct()
+        n_keys = src_keys.count()
         snaps = mf.read_snapshots(enc_dir)
         base_pids = set(snaps[-1]["partition_ids"]) if snaps else set()
-        if keys:
+        if n_keys:
             encode_table(
                 src,
                 enc_dir,
@@ -86,13 +96,28 @@ def upsert_stream(
                 resume=True,
                 **encode_kwargs,
             ).collect()
-            delete_keys(
-                enc_dir,
-                key,
-                keys,
-                within=base_pids,
-                extra_config={"stream_batch_id": int(batch_id)},
-            )
+            if n_keys <= key_guard:
+                keys = [r[0] for r in src_keys.collect()]
+                delete_keys(
+                    enc_dir,
+                    key,
+                    keys,
+                    within=base_pids,
+                    extra_config={"stream_batch_id": int(batch_id)},
+                )
+            else:
+                spark = src.sparkSession
+                marked = mark_matching_keys(spark, enc_dir, key, src_keys, within=base_pids)
+                mf.commit_snapshot(
+                    enc_dir,
+                    "merge",
+                    {
+                        "stream_batch_id": int(batch_id),
+                        "mode": "mor",
+                        "src_keys": n_keys,
+                        "rows_replaced": marked["rows_deleted"],
+                    },
+                )
         else:  # empty batch: just advance the marker
             mf.commit_snapshot(enc_dir, "merge", {"stream_batch_id": int(batch_id)})
 
