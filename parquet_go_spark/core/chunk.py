@@ -522,7 +522,7 @@ def _chunk_fsst_table(col: ColumnData):
     return fsst.train(lens, data)
 
 
-def _encode_values(enc: str, col: ColumnData, vlo: int, vhi: int, dlo: int, dhi: int, codes, dict_size: int, index_mode: str, fsst_table=None, codec_dict: bytes = b"", zcodec: int | None = None) -> bytes:
+def _encode_values(enc: str, col: ColumnData, vlo: int, vhi: int, dlo: int, dhi: int, codes, dict_size: int, index_mode: str, fsst_table=None, codec_dict: bytes = b"", zcodec: int | None = None, alp_hint: dict | None = None) -> bytes:
     if enc == "rle_dict":
         return dictenc.encode_indices(codes[vlo:vhi].astype(np.uint64), dict_size, mode=index_mode)
     if col.ptype == "flba":
@@ -568,7 +568,7 @@ def _encode_values(enc: str, col: ColumnData, vlo: int, vhi: int, dlo: int, dhi:
     if enc == "bss":
         return bytestreamsplit.encode(vals)
     if enc == "alp":
-        return alp.encode(vals)
+        return alp.encode(vals, hint=alp_hint)
     raise ValueError(f"bad encoding {enc} for {col.ptype}")
 
 
@@ -738,6 +738,11 @@ def encode_chunk(
     bounds = _page_boundaries(col, max_page)
     fsst_table = None
     codec_dict = b""
+    alp_hint = None
+    if enc == "alp" and col.ptype in ("float", "double"):
+        # one (e, rb) search per CHUNK; pages verify and re-search only
+        # on divergence (kernels/alp.py choose_params)
+        alp_hint = sel_aux if isinstance(sel_aux, dict) else alp.choose_params(col.values)
     if enc == "fsst":
         fsst_table = sel_aux if sel_aux is not None else _chunk_fsst_table(col)
     zcodec = None
@@ -804,7 +809,7 @@ def encode_chunk(
             dlo = dhi = 0
         lvl = levels.encode_def_levels(validity, mode=level_mode)
         vals = _encode_values(
-            enc, col, vstart, vend, dlo, dhi, codes, dict_size or 0, index_mode, fsst_table, codec_dict, zcodec
+            enc, col, vstart, vend, dlo, dhi, codes, dict_size or 0, index_mode, fsst_table, codec_dict, zcodec, alp_hint
         )
         payload = lvl + vals
         comp = _compress(payload, compression)

@@ -230,8 +230,11 @@ def choose_encoding(col: ColumnData, compression: str = "none"):
         if col.ptype in ("float", "double"):
             # ALP (VLDB'24): decimal-representable floats become a FOR'd
             # digit stream; the sample estimate prices exceptions in, so
-            # noise columns never rank it
-            est["alp"] = alp.estimate_size(col.values)
+            # noise columns never rank it. The parameter search runs
+            # once here and rides sel_aux to every page as the chunk
+            # hint (encode verifies per page, re-searches on divergence)
+            alp_params = alp.choose_params(col.values)
+            est["alp"] = alp.estimate_size(col.values, alp_params)
 
     if compression != "none":
         # re-estimate the top candidates on compressed sample encodings
@@ -271,4 +274,6 @@ def choose_encoding(col: ColumnData, compression: str = "none"):
         aux = fsst_table
     elif best == "zdict":
         aux = zdict_aux if zdict_aux is not None else b""
+    elif best == "alp":
+        aux = alp_params
     return best, codes, uniques, distinct, dict_size, aux

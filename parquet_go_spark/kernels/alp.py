@@ -50,7 +50,7 @@ import numpy as np
 
 from . import bitpack, forbp
 
-__all__ = ["encode", "decode", "estimate_size"]
+__all__ = ["encode", "decode", "estimate_size", "choose_params"]
 
 _MAX_E = 18
 _SAMPLE = 1024
@@ -140,10 +140,11 @@ def _pad8(a: np.ndarray) -> np.ndarray:
     return a
 
 
-def _encode_rd(values: np.ndarray) -> bytes:
+def _encode_rd(values: np.ndarray, rb: int | None = None) -> bytes:
     total, _lo, _hi = _rd_bounds(values.dtype)
     ibits = np.uint32 if total == 32 else np.uint64
-    rb = _rd_choose_rb(values)
+    if rb is None:
+        rb = _rd_choose_rb(values)
     bits = values.view(ibits).astype(np.uint64)
     left = (bits >> np.uint64(rb)).astype(np.uint16)  # left width <= 16
     right = bits & np.uint64((1 << rb) - 1)
@@ -241,14 +242,44 @@ def _rd_cost(values: np.ndarray, rb: int) -> float:
     return (code_bits + rb) / 8.0 + exc_rate * 6
 
 
-def encode(values: np.ndarray) -> bytes:
+def choose_params(values: np.ndarray) -> dict:
+    """Chunk-level parameter search (VERDICT r2 #4): run the full
+    exponent scan and RD cut-point scan ONCE per chunk and hand the
+    result to every page via ``encode(hint=...)``. Pages verify the
+    hint with two cost probes plus neighbor checks and re-search only
+    on failure — a heterogeneous page never gets a bad codec, a
+    homogeneous chunk (the normal case) pays the search once."""
+    return {"e": _choose_e(values), "rb": _rd_choose_rb(values)}
+
+
+def encode(values: np.ndarray, hint: dict | None = None) -> bytes:
     if values.dtype not in (np.dtype(np.float32), np.dtype(np.float64)):
         raise ValueError(f"alp encodes float32/float64, got {values.dtype}")
-    e = _choose_e(values)
     n = len(values)
-    if n and _rd_cost(values, _rd_choose_rb(values)) < _decimal_cost(values, e):
-        # paper's scheme switch: reals that aren't decimals go ALP-RD
-        return _encode_rd(values)
+    # exception positions are u32 in both schemes; page sizing keeps
+    # chunks far below this, but make the invariant explicit
+    if n >= 1 << 32:
+        raise ValueError(f"alp page too large for u32 exception positions: {n} values")
+    if hint is not None and n:
+        e, rb = int(hint["e"]), int(hint["rb"])
+        dc, rc = _decimal_cost(values, e), _rd_cost(values, rb)
+        _total, rb_lo, rb_hi = _rd_bounds(values.dtype)
+        if rc < dc:
+            # verify the hinted cut is still locally optimal here
+            for nb in (rb - 1, rb + 1):
+                if rb_lo <= nb <= rb_hi and _rd_cost(values, nb) < rc * 0.95:
+                    rb = _rd_choose_rb(values)  # page diverged: re-search
+                    break
+            return _encode_rd(values, rb)
+        for nb in (e - 1, e + 1):
+            if 0 <= nb <= _MAX_E and _decimal_cost(values, nb) < dc * 0.95:
+                e = _choose_e(values)  # page diverged: re-search
+                break
+    else:
+        e = _choose_e(values)
+        if n and _rd_cost(values, _rd_choose_rb(values)) < _decimal_cost(values, e):
+            # paper's scheme switch: reals that aren't decimals go ALP-RD
+            return _encode_rd(values)
     digits, exc = _digits_and_exceptions(values, e)
     pos = np.flatnonzero(exc).astype(np.uint32)
     # filler keeps the FOR frame tight (paper: first non-exception digit)
@@ -294,15 +325,14 @@ def decode(payload, pos: int, nvals: int, dtype) -> tuple[np.ndarray, int]:
     return vals, pos
 
 
-def estimate_size(values: np.ndarray) -> float:
+def estimate_size(values: np.ndarray, params: dict | None = None) -> float:
     """Sample-based size estimate for the selector (same shape as the
     kernels' other closed-form estimates): min of the decimal and RD
-    schemes, matching what encode() would pick."""
+    schemes, matching what encode() would pick. Pass ``params`` from
+    ``choose_params`` to reuse an already-run search."""
     n = len(values)
     if n == 0:
         return 6.0
-    per_val = min(
-        _decimal_cost(values, _choose_e(values)),
-        _rd_cost(values, _rd_choose_rb(values)),
-    )
+    p = params if params is not None else choose_params(values)
+    per_val = min(_decimal_cost(values, p["e"]), _rd_cost(values, p["rb"]))
     return 10.0 + n * per_val

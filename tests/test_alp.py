@@ -192,3 +192,43 @@ def test_chunk_auto_picks_alp_rd_on_noise_floats():
     assert meta.encoding == "alp"
     out = decode_chunk(blob, logical="float")
     np.testing.assert_array_equal(_bits(np.asarray(out.values)), _bits(vals))
+
+
+def test_chunk_hint_matches_per_page_search_on_homogeneous_data():
+    """choose_params hoists the (e, rb) search to chunk level (VERDICT
+    r2 #4): on homogeneous data the hinted encode must produce the very
+    bytes the per-page search would."""
+    rng = np.random.default_rng(7)
+    # decimal-shaped doubles (prices)
+    prices = np.round(rng.uniform(0, 1000, 50_000), 2)
+    hint = alp.choose_params(prices)
+    assert alp.encode(prices, hint=hint) == alp.encode(prices)
+    # RD-shaped noise floats (embeddings)
+    emb = rng.standard_normal(50_000).astype(np.float32)
+    hint = alp.choose_params(emb)
+    assert alp.encode(emb, hint=hint) == alp.encode(emb)
+
+
+def test_chunk_hint_diverging_page_resarches():
+    """A page whose data diverges from the chunk hint must re-search,
+    not limp along with a bad exponent."""
+    rng = np.random.default_rng(8)
+    decimals = np.round(rng.uniform(0, 100, 10_000), 2)
+    # hint fitted to micro-scale decimals (e=6), page holds 2-decimals
+    micro = np.round(rng.uniform(0, 1e-3, 10_000), 6)
+    bad_hint = alp.choose_params(micro)
+    out = alp.encode(decimals, hint=bad_hint)
+    vals, _ = alp.decode(out, 0, len(decimals), np.float64)
+    assert vals.tobytes() == decimals.tobytes()
+    # size must stay near the properly-searched encode (no blowup)
+    assert len(out) <= int(len(alp.encode(decimals)) * 1.05)
+
+
+def test_encode_rejects_u32_position_overflow_guard():
+    """The u32-position invariant is checked explicitly, not implied by
+    page sizing (ADVICE r2). A 2^32-value array would need 32 GiB, so
+    trigger the guard with a zero-stride broadcast view: same reported
+    length, one backing element."""
+    big = np.broadcast_to(np.zeros(1, np.float64), (1 << 32,))
+    with pytest.raises(ValueError, match="u32 exception positions"):
+        alp.encode(big)
