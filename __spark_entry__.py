@@ -37,6 +37,10 @@ from parquet_go_spark.ops.similarity import (
     ivf_centroids,
     ivf_topk,
     lsh_bucket_topk,
+    pq_code_sql,
+    pq_codebooks,
+    pq_lut_sql,
+    pq_topk,
     signature_sql,
 )
 from parquet_go_spark.ops.curate import curate_corpus
@@ -873,6 +877,17 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, queries, k=10).withColumn("rank", F.col("rank").cast("long"))
 
 
+def _q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-ADC product-quantization top-k (ops/similarity.pq_topk, the
+    FAISS IVFADC shape): compressed-domain integer scoring over m
+    one-byte codes per vector, exact re-rank of the ADC shortlist.
+    Oracle: the identical literal codebooks + integer LUT sums in
+    DuckDB — ADC scores are int64, so ranks match bit-for-bit."""
+    emb = _load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return pq_topk(emb, queries, k=10).withColumn("rank", F.col("rank").cast("long"))
+
+
 def _q_parquet_scan_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed real-Parquet scan through this engine's kernels
     (spark/parquet_source.py): the driver plans from two tail preads of
@@ -1108,11 +1123,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search
         "embedding_cosine_topk": _q_cosine_topk,
         "embedding_ivf_topk": _q_ivf_topk,
+        "embedding_pq_topk": _q_pq_topk,
         "embedding_near_dups": lambda spark, sf_dir: embedding_near_dups(
             _load(spark, sf_dir, "embeddings")
         ),
-        "embedding_lsh_topk": _q_lsh_topk,
         # --- variants past the driver budget (pytest-gated) ----------
+        "embedding_lsh_topk": _q_lsh_topk,
         "roundtrip_orders": _rt("orders"),
         "roundtrip_events": _rt("events"),
         "roundtrip_customer": _rt("customer"),
@@ -1265,6 +1281,46 @@ cand AS (
 )
 SELECT q_id, n_id, rank FROM (
   SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rank FROM cand
+) WHERE rank <= 10
+"""
+    _pq_cb = pq_codebooks(64, 8, 16, 17)
+    _pq_codes = ", ".join(
+        f"({pq_code_sql(_pq_cb, i, 'en', dot_fn='list_dot_product')}) AS k{i}" for i in range(8)
+    )
+    _pq_luts = ", ".join(
+        f"({pq_lut_sql(_pq_cb, i, 'en', dot_fn='list_dot_product')}) AS l{i}" for i in range(8)
+    )
+    _pq_adc = " + ".join(f"(p.l{i})[c.k{i}]" for i in range(8))
+    pq_topk_sql = f"""
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+s AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm, ({duck_cells}) AS ds FROM v),
+nn AS (SELECT vec_id, e, nrm, ds, list_transform(e, x -> x / nullif(nrm, 0)) AS en FROM s),
+c AS (SELECT vec_id, CAST(list_position(ds, list_max(ds)) AS INT) AS cell, {_pq_codes} FROM nn),
+q0 AS (SELECT vec_id AS q_id, ds, {_pq_luts} FROM nn WHERE vec_id < 8),
+qp AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY ds[i + 1] DESC, i ASC) AS pr,
+    CAST(i + 1 AS INT) AS cell
+  FROM q0, UNNEST(range(len(ds))) AS t(i)
+),
+cand AS (
+  SELECT p.q_id, c.vec_id AS n_id, {_pq_adc} AS sim
+  FROM (SELECT * FROM qp WHERE pr <= 4) p
+  JOIN c ON c.cell = p.cell AND c.vec_id <> p.q_id
+),
+short AS (
+  SELECT q_id, n_id FROM (
+    SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS r FROM cand
+  ) WHERE r <= 32
+),
+ex AS (
+  SELECT sh.q_id, sh.n_id,
+    round(list_dot_product(cv.e, qv.e) / (cv.nrm * qv.nrm), 6) AS sim
+  FROM short sh
+  JOIN nn cv ON cv.vec_id = sh.n_id
+  JOIN nn qv ON qv.vec_id = sh.q_id
+)
+SELECT q_id, n_id, rank FROM (
+  SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rank FROM ex
 ) WHERE rank <= 10
 """
     lsh_topk_sql = f"""
@@ -1499,6 +1555,7 @@ WHERE round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) >= 0.35
         "embedding_cosine_topk": topk_sql,
         "embedding_lsh_topk": lsh_topk_sql,
         "embedding_ivf_topk": ivf_topk_sql,
+        "embedding_pq_topk": pq_topk_sql,
         "embedding_near_dups": near_dups_sql,
         "simhash64": _simhash_duck_sql(),
         "langid_ngram": _langid_duck_sql(),

@@ -22,11 +22,15 @@ __all__ = [
     "cosine_topk",
     "lsh_bucket_topk",
     "ivf_topk",
+    "pq_topk",
     "embedding_near_dups",
     "hyperplanes",
     "signature_sql",
     "ivf_centroids",
     "cell_scores_sql",
+    "pq_codebooks",
+    "pq_code_sql",
+    "pq_lut_sql",
 ]
 
 
@@ -336,6 +340,178 @@ def ivf_topk(
     w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("n_id"))
     return (
         cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "rank")
+    )
+
+
+def pq_codebooks(dim: int, m: int = 8, n_codes: int = 16, seed: int = 17) -> np.ndarray:
+    """Deterministic product-quantization codebooks: ``m`` subspaces of
+    ``dim//m`` dims, ``n_codes`` unit-norm centroids each, rounded to 6
+    decimals so the identical constants embed as literals in any SQL
+    engine (the same cross-engine-parity trick as ``hyperplanes`` /
+    ``ivf_centroids``). A seeded random codebook, not trained k-means:
+    at scale per-subspace k-means slots in here unchanged (the
+    code-assignment/ADC plan is identical), but the oracle gate needs
+    constants both engines share. -> (m, dim//m, n_codes)."""
+    if dim % m:
+        raise ValueError(f"pq: dim {dim} not divisible by m {m}")
+    rng = np.random.default_rng(seed)
+    cb = rng.standard_normal((m, dim // m, n_codes))
+    cb /= np.linalg.norm(cb, axis=1, keepdims=True)
+    return np.round(cb, 6)
+
+
+def _pq_sub_dots(cb: np.ndarray, m_idx: int, vec_expr: str, dot_fn: str | None) -> list[str]:
+    """round(dot(subvector_m, centroid_j), 6) per code j — the shared
+    building block of code assignment and LUT construction."""
+    sub = cb.shape[1]
+    start = m_idx * sub
+    if dot_fn:  # DuckDB: 1-based inclusive slice
+        sliced = f"{vec_expr}[{start + 1}:{start + sub}]"
+    else:  # Spark: slice(arr, start1, length)
+        sliced = f"slice({vec_expr}, {start + 1}, {sub})"
+    dots = []
+    for j in range(cb.shape[2]):
+        lits = ", ".join(repr(float(x)) for x in cb[m_idx, :, j])
+        if dot_fn:
+            d = f"{dot_fn}({sliced}, [{lits}])"
+        else:
+            d = (
+                f"aggregate(zip_with({sliced}, array({lits}),"
+                f" (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+            )
+        dots.append(f"round({d}, 6)")
+    return dots
+
+
+def pq_code_sql(cb: np.ndarray, m_idx: int, vec_expr: str, dot_fn: str | None = None) -> str:
+    """SQL for subspace ``m_idx``'s code of the (normalized) vector:
+    1-based argmax-dot centroid index — first-max tie rule is identical
+    in Spark (``array_position``) and DuckDB (``list_position``)."""
+    dots = _pq_sub_dots(cb, m_idx, vec_expr, dot_fn)
+    if dot_fn:
+        lst = "[" + ", ".join(dots) + "]"
+        return f"CAST(list_position({lst}, list_max({lst})) AS INT)"
+    lst = "array(" + ", ".join(dots) + ")"
+    return f"CAST(array_position({lst}, array_max({lst})) AS INT)"
+
+
+def pq_lut_sql(cb: np.ndarray, m_idx: int, vec_expr: str, dot_fn: str | None = None) -> str:
+    """SQL for the query-side ADC lookup table of subspace ``m_idx``:
+    floor(round(dot, 6) * 1e6) per code as BIGINT — integer partial
+    scores, so the ADC sum is exact and identically ordered in every
+    engine (float summation order can never flip a rank)."""
+    dots = _pq_sub_dots(cb, m_idx, vec_expr, dot_fn)
+    cells = [f"CAST(floor(({d}) * 1000000) AS BIGINT)" for d in dots]
+    if dot_fn:
+        return "[" + ", ".join(cells) + "]"
+    return "array(" + ", ".join(cells) + ")"
+
+
+def pq_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 8,
+    n_codes: int = 16,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    rerank: int | None = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 17,
+    cell_seed: int = 13,
+) -> DataFrame:
+    """Approximate cosine top-k via IVF-ADC (the FAISS IVFADC shape):
+    corpus vectors are coarse-quantized to a cell AND product-quantized
+    to ``m`` one-byte codes in ONE projection (no corpus shuffle);
+    queries probe their ``n_probe`` best cells carrying per-subspace
+    integer lookup tables; scoring a candidate is ``m`` table lookups
+    summed in int64 — the compressed-domain complement to the exact
+    scorer (``cosine_topk`` reads full vectors, this reads ~m bytes per
+    row). ``rerank=R`` keeps the standard final stage: the top-R ADC
+    shortlist per query is re-scored EXACTLY (full vectors touched for
+    only |Q|·R rows via a broadcast semi-join — recall recovers to the
+    coarse-cell ceiling while the scan stays compressed-domain);
+    ``rerank=None`` ranks by raw ADC scores.
+
+    Scale shape: each corpus row meets ~|Q|·n_probe/n_cells probes via
+    the broadcast cell join, per-candidate work is O(m) integer adds
+    (vs O(dim) float muls), and only the top-k window's survivors
+    shuffle. All codebooks/centroids are deterministic literals and the
+    ADC scores are integers, so the DuckDB oracle reproduces ranks
+    bit-for-bit (no float summation-order hazard)."""
+    dim = len(queries.select(vec_col).first()[0])
+    cb = pq_codebooks(dim, m, n_codes, seed)
+    cents = ivf_centroids(dim, n_cells, cell_seed)
+    ds = cell_scores_sql(cents, "e")
+    nrm = "sqrt(aggregate(zip_with(e, e, (x, y) -> x * y), 0D, (acc, x) -> acc + x))"
+
+    def base(d: DataFrame) -> DataFrame:
+        return (
+            d.select(
+                F.col(id_col).alias("vid"),
+                F.expr(f"transform({vec_col}, x -> cast(x AS double))").alias("e"),
+            )
+            .withColumn("nrm", F.expr(nrm))
+            .withColumn("en", F.expr("transform(e, x -> x / nullif(nrm, 0D))"))
+        )
+
+    v = base(df).select(
+        "vid",
+        F.expr(f"array_position({ds}, array_max({ds}))").cast("int").alias("cell"),
+        F.array(*[F.expr(pq_code_sql(cb, i, "en")) for i in range(m)]).alias("codes"),
+    )
+    qw = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("pos"))
+    probes = (
+        base(queries)
+        .select(
+            F.col("vid").alias("q_id"),
+            F.array(*[F.expr(pq_lut_sql(cb, i, "en")) for i in range(m)]).alias("luts"),
+            F.posexplode(F.expr(ds)).alias("pos", "score"),
+        )
+        .withColumn("pr", F.row_number().over(qw))
+        .filter(F.col("pr") <= n_probe)
+        .select("q_id", "luts", (F.col("pos") + 1).alias("cell"))
+    )
+    adc = "aggregate(zip_with(a.codes, p.luts, (c, l) -> element_at(l, c)), 0L, (acc, x) -> acc + x)"
+    cand = (
+        v.alias("a")
+        .join(
+            F.broadcast(probes.alias("p")),
+            (F.col("a.cell") == F.col("p.cell")) & (F.col("a.vid") != F.col("p.q_id")),
+        )
+        .select("p.q_id", F.col("a.vid").alias("n_id"), F.expr(adc).alias("sim"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("n_id"))
+    if rerank is None:
+        return (
+            cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("q_id", "n_id", "rank")
+        )
+    shortlist = cand.withColumn("r", F.row_number().over(w)).filter(F.col("r") <= rerank)
+    qfull = base(queries).select(
+        F.col("vid").alias("q_id"), F.col("e").alias("qe"), F.col("nrm").alias("qnrm")
+    )
+    exact = (
+        base(df)
+        .select("vid", "e", "nrm")
+        .join(F.broadcast(shortlist), F.col("vid") == F.col("n_id"))
+        .join(F.broadcast(qfull), "q_id")
+        .select(
+            "q_id",
+            "n_id",
+            F.round(
+                F.expr("aggregate(zip_with(e, qe, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+                / (F.col("nrm") * F.col("qnrm")),
+                6,
+            ).alias("sim"),
+        )
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("q_id", "n_id", "rank")
     )
