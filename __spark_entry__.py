@@ -43,7 +43,7 @@ from parquet_go_spark.ops.similarity import (
     pq_topk,
     signature_sql,
 )
-from parquet_go_spark.ops.curate import curate_corpus
+from parquet_go_spark.ops.curate import curate_corpus, strip_boilerplate
 from parquet_go_spark.ops.multimodal import image_features
 from parquet_go_spark.ops.stats import table_column_stats, table_numeric_minmax
 from parquet_go_spark.ops.text import fingerprint, langid_ngram, text_quality, token_stats
@@ -1029,6 +1029,61 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_clusters(docs, lsh_pairs(docs))
 
 
+def _q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style per-host frequent-line removal (ops/curate.py
+    strip_boilerplate): lines appearing in > 30% of a host's documents
+    (nav bars, copyright footers) are stripped, rarer lines survive in
+    original order. The driver corpus is single-line, so the query
+    first derives a deterministic multi-line view (host nav + body +
+    a sub-threshold promo line on doc_id % 8 + footer) identically in
+    both engines; the operator itself is generic over any
+    (host, text-with-newlines) input."""
+    docs = _load(spark, sf_dir, "documents")
+    ml = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id",
+        "source",
+        F.concat_ws(
+            "\n",
+            F.concat(F.lit("nav home about "), F.col("source")),
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 8 == 0,
+                F.concat(F.lit("promo follow us "), F.col("source")),
+            ),
+            F.concat(F.lit("copyright 2024 "), F.col("source")),
+        ).alias("text"),
+    )
+    return strip_boilerplate(ml, host_col="source", text_col="text", id_col="doc_id")
+
+
+_BOILERPLATE_DUCK = """
+WITH ml AS (
+  SELECT doc_id, source,
+    concat_ws(chr(10),
+      'nav home about ' || source,
+      text,
+      CASE WHEN doc_id % 8 = 0 THEN 'promo follow us ' || source END,
+      'copyright 2024 ' || source) AS text
+  FROM documents WHERE text IS NOT NULL),
+lines AS (
+  SELECT doc_id, source AS host, i - 1 AS idx, l[i] AS line
+  FROM (SELECT doc_id, source, string_split(text, chr(10)) AS l FROM ml),
+       UNNEST(range(1, len(l) + 1)) AS t(i)),
+hd AS (SELECT host, COUNT(DISTINCT doc_id) AS n_docs FROM lines GROUP BY host),
+freq AS (
+  SELECT doc_id, host, idx, line,
+    COUNT(DISTINCT doc_id) OVER (PARTITION BY host, line) AS line_docs
+  FROM lines),
+flagged AS (
+  SELECT f.*, (line_docs >= 2 AND line_docs > n_docs * 0.3) AS is_bp
+  FROM freq f JOIN hd USING (host))
+SELECT doc_id, host AS source,
+  coalesce(string_agg(CASE WHEN NOT is_bp THEN line END, chr(10) ORDER BY idx), '') AS clean_text,
+  COUNT(*) FILTER (WHERE is_bp) AS n_lines_removed
+FROM flagged GROUP BY doc_id, host
+"""
+
+
 def _q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-document selection per near-dup cluster (longest text,
     ties to the smallest id) — the final corpus-dedup step: one kept
@@ -1099,9 +1154,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curation": lambda spark, sf_dir: curate_corpus(
             _load(spark, sf_dir, "documents")
         ),
+        "boilerplate_strip": _q_boilerplate_strip,
         "token_stats": lambda spark, sf_dir: token_stats(_load(spark, sf_dir, "documents")),
         "text_quality": lambda spark, sf_dir: text_quality(_load(spark, sf_dir, "documents")),
-        "fingerprint_md5": lambda spark, sf_dir: fingerprint(_load(spark, sf_dir, "documents")),
         "minhash_signatures": lambda spark, sf_dir: minhash_signatures(
             _load(spark, sf_dir, "documents")
         ),
@@ -1129,6 +1184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # --- variants past the driver budget (pytest-gated) ----------
         "embedding_lsh_topk": _q_lsh_topk,
+        "fingerprint_md5": lambda spark, sf_dir: fingerprint(_load(spark, sf_dir, "documents")),
         "roundtrip_orders": _rt("orders"),
         "roundtrip_events": _rt("events"),
         "roundtrip_customer": _rt("customer"),
@@ -1503,6 +1559,7 @@ WHERE round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) >= 0.35
             "SELECT md5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups"
             " FROM documents GROUP BY text"
         ),
+        "boilerplate_strip": _BOILERPLATE_DUCK,
         "corpus_curation": (
             "WITH scored AS ("
             "SELECT doc_id, lang, md5(text) AS fp,"

@@ -13,7 +13,75 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["curate_corpus", "curate_corpus_rows"]
+__all__ = ["curate_corpus", "curate_corpus_rows", "strip_boilerplate"]
+
+
+def strip_boilerplate(
+    df: DataFrame,
+    host_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_ratio: float = 0.3,
+    min_docs: int = 2,
+) -> DataFrame:
+    """CCNet-style per-host frequent-line removal: a line that appears
+    in more than ``max_ratio`` of a host's documents (and at least
+    ``min_docs`` of them) is boilerplate — navigation, copyright
+    footers, cookie banners — and is stripped; everything else keeps
+    its original order. Returns ``(id, host, clean_text,
+    n_lines_removed)`` with ``clean_text`` the surviving lines joined
+    by ``\\n`` (empty string when every line was boilerplate).
+
+    Plan (the 100 TB shape): explode to lines (no shuffle) -> ONE
+    exchange on ``(host, line)`` where a window counts distinct docs
+    per line [map-side combine via the aggregate would lose the line
+    order, so the count is a window over the exploded frame] -> join
+    the tiny per-host doc-count aggregate (AQE broadcasts it) -> ONE
+    exchange on the doc id to reassemble surviving lines in order.
+    Counts are integers and reassembly sorts by line index, so the
+    result is deterministic in any engine (the DuckDB oracle matches
+    exactly).
+    """
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("idx", "line"),
+    )
+    host_docs = df.groupBy(F.col(host_col).alias("host")).agg(
+        F.countDistinct(F.col(id_col)).alias("n_docs")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("host", "line")
+    freq = lines.withColumn("line_docs", F.size(F.collect_set("id").over(w)))
+    flagged = freq.join(host_docs, "host").withColumn(
+        "is_bp",
+        (F.col("line_docs") >= min_docs)
+        & (F.col("line_docs").cast("double") > F.col("n_docs").cast("double") * max_ratio),
+    )
+    return (
+        flagged.groupBy("id", "host")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(~F.col("is_bp"), F.struct("idx", "line")).otherwise(None)
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("clean_text"),
+            F.sum(F.col("is_bp").cast("long")).alias("n_lines_removed"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            F.col("host").alias(host_col),
+            "clean_text",
+            "n_lines_removed",
+        )
+    )
 
 
 def curate_corpus(

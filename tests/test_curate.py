@@ -71,3 +71,36 @@ def test_curate_cli_end_to_end(spark, tmp_path, capsys):
     snap = mf.read_snapshots(out)[-1]
     assert snap["operation"] == "curate"
     assert snap["config"]["source"] == src
+
+
+def test_strip_boilerplate_removes_frequent_keeps_rare(spark):
+    from parquet_go_spark.ops.curate import strip_boilerplate
+
+    rows = []
+    for h in ("a.com", "b.org"):
+        for i in range(10):
+            lines = [f"welcome to {h}"]          # 100% of host docs -> removed
+            lines.append(f"unique body {h} {i}")  # 10% -> kept
+            if i < 2:
+                lines.append("rare promo")        # 20% < 30% -> kept
+            lines.append(f"(c) {h}")              # 100% -> removed
+            rows.append((h + str(i), h, "\n".join(lines)))
+    df = spark.createDataFrame(rows, "doc_id string, host string, text string")
+    out = {r["doc_id"]: r for r in strip_boilerplate(df, "host", "text", "doc_id").collect()}
+    assert len(out) == 20
+    r = out["a.com0"]
+    assert r["n_lines_removed"] == 2
+    assert r["clean_text"] == "unique body a.com 0\nrare promo"
+    r = out["b.org5"]
+    assert r["clean_text"] == "unique body b.org 5"
+    # order preserved when multiple survivors
+    assert all("welcome" not in r["clean_text"] and "(c)" not in r["clean_text"] for r in out.values())
+
+
+def test_strip_boilerplate_all_lines_removed_yields_empty(spark):
+    from parquet_go_spark.ops.curate import strip_boilerplate
+
+    rows = [(str(i), "h", "same line\nsame too") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id string, host string, text string")
+    out = strip_boilerplate(df, "host", "text", "doc_id").collect()
+    assert all(r["clean_text"] == "" and r["n_lines_removed"] == 2 for r in out)
