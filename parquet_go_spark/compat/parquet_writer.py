@@ -24,7 +24,7 @@ import pyarrow as pa
 
 from ..core.chunk import DICT_MAX, _encode_dict_values, _factorize, _page_boundaries, column_minmax
 from ..core.columns import ColumnData, from_arrow
-from ..kernels import bytearrays, deltabp, dictenc, hybrid, levels, plain
+from ..kernels import bytearrays, deltabp, dictenc, hybrid, int96, levels, plain
 from .thrift_writer import write_struct
 
 __all__ = ["write_parquet"]
@@ -179,10 +179,15 @@ def _statistics_struct(col: ColumnData, distinct: int):
     return st
 
 
-def _write_chunk(out: bytearray, col: ColumnData, name: str, enc_name: str | None, compression: str, codec: int, max_page: int, page_version: int = 1, crc: bool = False, pidx: list | None = None):
+def _write_chunk(out: bytearray, col: ColumnData, name: str, enc_name: str | None, compression: str, codec: int, max_page: int, page_version: int = 1, crc: bool = False, pidx: list | None = None, as_int96: bool = False):
     """Write one column chunk (dict page + data pages) into ``out``;
-    returns (col_chunk_struct, meta_row)."""
-    enc = _choose(col, enc_name)
+    returns (col_chunk_struct, meta_row). ``as_int96`` writes an INT64-
+    micros timestamp column as legacy PLAIN INT96 (type_int96.go:11-66 /
+    int96_time.go:17-50 inverse) for Impala/Hive-era readers: 12-byte
+    nanos-of-day + Julian-day values, no dictionary, no min/max stats
+    (INT96 ordering is undefined by the spec, so stats carry only the
+    null count)."""
+    enc = E_PLAIN if as_int96 else _choose(col, enc_name)
     codes = uniques = None
     dict_size = 0
     distinct = -1
@@ -225,7 +230,10 @@ def _write_chunk(out: bytearray, col: ColumnData, name: str, enc_name: str | Non
         nvals = int(validity.sum())
         vend = vstart + nvals
         dlo, dhi = (int(vcum[vstart]), int(vcum[vend])) if vcum is not None else (0, 0)
-        vals = _encode_page_values(enc, col, vstart, vend, dlo, dhi, codes, dict_size)
+        if as_int96:
+            vals = int96.encode_plain(col.values[vstart:vend])
+        else:
+            vals = _encode_page_values(enc, col, vstart, vend, dlo, dhi, codes, dict_size)
         if page_version == 2:
             # V2: def levels (no size prefix) OUTSIDE the compressed
             # region; byte length in the header (page_v2.go:111-125,
@@ -296,7 +304,7 @@ def _write_chunk(out: bytearray, col: ColumnData, name: str, enc_name: str | Non
         {1: ("i32", 3 if page_version == 2 else 0), 2: ("i32", enc), 3: ("i32", n_data_pages)}
     )
     meta = {
-        1: ("i32", _PQ_TYPE[col.ptype]),
+        1: ("i32", 3 if as_int96 else _PQ_TYPE[col.ptype]),
         2: ("list", ("i32", sorted(encodings_used))),
         3: ("list", ("binary", [name])),
         4: ("i32", codec),
@@ -304,7 +312,12 @@ def _write_chunk(out: bytearray, col: ColumnData, name: str, enc_name: str | Non
         6: ("i64", total_raw),
         7: ("i64", total_comp),
         9: ("i64", data_offset),
-        12: ("struct", _statistics_struct(col, distinct)),
+        12: (
+            "struct",
+            {3: ("i64", col.num_rows - col.num_values)}
+            if as_int96
+            else _statistics_struct(col, distinct),
+        ),
         13: ("list", ("struct", enc_stats)),
     }
     if dict_offset is not None:
@@ -312,7 +325,7 @@ def _write_chunk(out: bytearray, col: ColumnData, name: str, enc_name: str | Non
     col_chunk = {2: ("i64", chunk_start), 3: ("struct", meta)}
     meta_row = {
         "column": name,
-        "ptype": col.ptype,
+        "ptype": "int96" if as_int96 else col.ptype,
         "encoding": {
             E_PLAIN: "plain",
             E_RLE_DICT: "rle_dict",
@@ -334,7 +347,11 @@ def _is_nested(t: pa.DataType) -> bool:
     )
 
 
-def _leaf_schema_elem(name: str, t: pa.DataType, optional: bool) -> dict:
+def _leaf_schema_elem(name: str, t: pa.DataType, optional: bool, as_int96: bool = False) -> dict:
+    if as_int96:
+        # legacy layout: physical INT96, NO converted/logical type
+        # (readers infer timestamp-nanos from the physical type alone)
+        return {1: ("i32", 3), 3: ("i32", 1 if optional else 0), 4: ("binary", name)}
     col0 = from_arrow(pa.array([], type=t))
     el = {
         1: ("i32", _PQ_TYPE[col0.ptype]),
@@ -548,6 +565,7 @@ def write_parquet(
     creator: str = "parquet_go_spark",
     file_version: int = 1,
     return_meta: bool = False,
+    int96_columns: list[str] | None = None,
 ):
     """pa.Table -> Parquet file bytes (flat or nested schema: lists at
     any depth, structs with faithful null propagation, maps — emitted in
@@ -598,8 +616,19 @@ def write_parquet(
             schema_elems.extend(_schema_elems_for(name, t))
             n_leaves += len(nested_specs[name])
         else:
-            schema_elems.append(_leaf_schema_elem(name, t, optional=True))
+            schema_elems.append(
+                _leaf_schema_elem(name, t, optional=True, as_int96=name in (int96_columns or ()))
+            )
             n_leaves += 1
+
+    if int96_columns:
+        for name in int96_columns:
+            if name not in table.column_names or _is_nested(table.schema.field(name).type):
+                raise ValueError(f"int96_columns must name flat columns, got {name!r}")
+            if not pa.types.is_timestamp(table.schema.field(name).type):
+                raise ValueError(f"int96_columns expects timestamp columns, got {name!r}")
+            if bloom_columns and name in bloom_columns:
+                raise ValueError(f"bloom filters over INT96 column {name!r} unsupported")
 
     if bloom_columns:
         unknown = set(bloom_columns) - set(table.column_names)
@@ -640,10 +669,12 @@ def write_parquet(
                     metas.append(mrow)
                 continue
             col = from_arrow(part.column(name))
-            pidx = [] if page_index else None
+            as96 = name in (int96_columns or ())
+            # INT96 ordering is undefined -> no page-index bounds either
+            pidx = [] if page_index and not as96 else None
             cc, mrow = _write_chunk(
                 out, col, name, (encodings or {}).get(name), compression, codec, max_page,
-                page_version, crc, pidx,
+                page_version, crc, pidx, as_int96=as96,
             )
             if page_index:
                 chunk_pages.append((cc, pidx))

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pytest
 
 from parquet_go_spark.core.chunk import column_minmax, encode_chunk
 from parquet_go_spark.core.columns import from_arrow
@@ -139,3 +140,64 @@ def test_minmax_multibyte_split_at_cap_stays_prune_safe():
         assert d["min_str"] <= min(vals).decode()
     if d["max_str"] is not None:
         assert d["max_str"] >= max(vals).decode()[:64]
+
+
+def test_int96_write_shim_reads_back_in_three_engines(spark, tmp_path):
+    """VERDICT r2 #9: the write-side INT96 inverse (int96_time.go:17-50)
+    behind write_parquet(int96_columns=...). pyarrow, Spark's JVM
+    reader, and this engine's own kernel scan must all read the
+    timestamps back identically."""
+    import io
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parquet_go_spark.compat.parquet_writer import write_parquet
+
+    n = 5000
+    rng = np.random.default_rng(9)
+    micros = rng.integers(0, 2_000_000_000_000_000, n)  # ~2033
+    micros[::97] = 0
+    ts = pa.array(pd.to_datetime(micros, unit="us"), type=pa.timestamp("us"))
+    t = pa.table({"k": pa.array(np.arange(n), type=pa.int64()), "ts": ts})
+    buf = write_parquet(t, compression="snappy", int96_columns=["ts"], max_page=8192)
+
+    # footer: physical INT96, PLAIN only
+    md = pq.ParquetFile(io.BytesIO(buf)).metadata
+    cmeta = md.row_group(0).column(1)
+    assert cmeta.physical_type == "INT96"
+    assert "PLAIN" in cmeta.encodings and "PLAIN_DICTIONARY" not in cmeta.encodings
+
+    # pyarrow read-back (INT96 surfaces as timestamp[ns])
+    got = pq.read_table(io.BytesIO(buf))
+    assert got.column("ts").cast(pa.timestamp("us")).combine_chunks().equals(
+        t.column("ts").combine_chunks()
+    )
+
+    # Spark JVM read-back
+    p = tmp_path / "i96.parquet"
+    p.write_bytes(buf)
+    sp = spark.read.parquet(str(p)).orderBy("k").toPandas()
+    want = t.to_pandas().sort_values("k").reset_index(drop=True)
+    assert (sp["ts"].to_numpy("datetime64[us]") == want["ts"].to_numpy("datetime64[us]")).all()
+
+    # our own kernel reader
+    from parquet_go_spark.compat.parquet_reader import file_meta, read_column_arrow
+
+    ours = read_column_arrow(buf, "ts")
+    assert ours.cast(pa.timestamp("us")).to_pylist() == t.column("ts").to_pylist()
+
+
+def test_int96_write_rejects_non_timestamp_and_nested(tmp_path):
+    import numpy as np
+    import pyarrow as pa
+
+    from parquet_go_spark.compat.parquet_writer import write_parquet
+
+    t = pa.table({"i": pa.array(np.arange(5), type=pa.int64())})
+    with pytest.raises(ValueError, match="timestamp"):
+        write_parquet(t, int96_columns=["i"])
+    with pytest.raises(ValueError, match="flat"):
+        write_parquet(t, int96_columns=["nope"])
