@@ -913,11 +913,17 @@ def _q_parquet_interop_int96(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``int96_time.go:17-50``): Spark writes the events timestamps as
     deprecated INT96 (``spark.sql.parquet.outputTimestampType=INT96``,
     the layout legacy Impala/Hive files use), and the distributed kernel
-    scan decodes the 12-byte Julian-day+nanos values back. The oracle is
-    the original table: correctness = the Julian conversion round-trips
-    the instants exactly (micros embed exactly in nanos)."""
+    scan decodes the 12-byte Julian-day+nanos values back. The WRITE
+    side then runs the inverse shim: the decoded rows are re-written
+    as INT96 by this engine's own writer
+    (``write_parquet(int96_columns=...)``, ``int96_time.go`` inverse)
+    and kernel-scanned once more — the returned rows crossed BOTH INT96
+    directions. The oracle is the original table: correctness = the
+    Julian conversion round-trips the instants exactly in each
+    direction (micros embed exactly in nanos)."""
     import tempfile
 
+    from parquet_go_spark.compat.parquet_writer import write_parquet
     from parquet_go_spark.spark.parquet_source import read_parquet_table
 
     ev = _load(spark, sf_dir, "events").select("event_id", "ts")
@@ -931,7 +937,17 @@ def _q_parquet_interop_int96(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
         else:
             spark.conf.unset("spark.sql.parquet.outputTimestampType")
-    return read_parquet_table(spark, out).select("event_id", "ts")
+    dec = read_parquet_table(spark, out).select("event_id", "ts")
+    out2 = tempfile.mkdtemp(prefix="pgs_i96w_")
+    if hasattr(dec, "toArrow"):
+        tbl = dec.toArrow()
+    else:  # classic API without toArrow: collect via pandas
+        import pyarrow as _pa
+
+        tbl = _pa.Table.from_pandas(dec.toPandas(), preserve_index=False)
+    with open(out2 + "/w.parquet", "wb") as fh:
+        fh.write(write_parquet(tbl, compression="snappy", int96_columns=["ts"]))
+    return read_parquet_table(spark, out2).select("event_id", "ts")
 
 
 def _q_parquet_scan_page_prune(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -82,6 +82,15 @@ def cmd_encode(args) -> int:
         p_err = "--append is supported for the chunks format only"
         print(json.dumps({"error": p_err}), file=sys.stderr)
         return 2
+    kv_meta = None
+    if args.kv:
+        kv_meta = {}
+        for kv in args.kv:
+            k, eq, v = kv.partition("=")
+            if not eq:
+                print(f"--kv expects key=value, got {kv!r}", file=sys.stderr)
+                return 2
+            kv_meta[k] = v
     if args.format == "parquet":
         from .spark.parquet_sink import encode_table_parquet
 
@@ -94,7 +103,7 @@ def cmd_encode(args) -> int:
             resume=not args.no_resume,
             page_index=args.page_index,
             bloom_columns=args.bloom_columns.split(",") if args.bloom_columns else None,
-            kv_metadata=dict(kv.split("=", 1) for kv in args.kv) if args.kv else None,
+            kv_metadata=kv_meta,
         ).collect()
     else:
         from .spark.encode_job import encode_table

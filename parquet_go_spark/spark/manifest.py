@@ -294,6 +294,7 @@ def commit_snapshot(
     operation: str,
     config: dict | None = None,
     properties: dict[str, str] | None = None,
+    properties_fn=None,
 ) -> dict:
     """Append one job-level snapshot (Iceberg-snapshot analogue): a
     sequenced, immutable JSON record of what is committed right now —
@@ -362,9 +363,24 @@ def commit_snapshot(
         snap["properties"] = {str(k): str(v) for k, v in properties.items()}
     while True:
         seq, parent = _next_seq(out_dir)
+        if properties_fn is not None:
+            # recomputed on EVERY attempt, strictly AFTER the seq scan: a
+            # competitor that committed before the scan is visible to this
+            # read; one that commits after it claims the very seq we are
+            # about to link, so our link fails and we retry with its map
+            # folded in — property updates are linearizable, never lost
+            # (ADVICE r2)
+            snap["properties"] = {str(k): str(v) for k, v in properties_fn().items()}
         snap["seq"], snap["parent"] = seq, parent
         path = os.path.join(snapshot_dir(out_dir), f"snap-{seq:06d}.json")
-        tmp = path + f".tmp.{os.getpid()}.{id(snap)}"
+        # staged OUTSIDE the snap-*.json* namespace: a tmp matching
+        # _next_seq's glob would let a competitor treat our unlinked
+        # seq as burned and skip past it without ever colliding —
+        # exactly the lost-update window the CAS exists to close (the
+        # .tmp suffix keeps remove_orphan_files sweeping crashed stages)
+        tmp = os.path.join(
+            snapshot_dir(out_dir), f"stage-{os.getpid()}.{id(snap)}.tmp"
+        )
         with open(tmp, "w") as f:
             json.dump(snap, f)
         try:
@@ -410,16 +426,22 @@ def set_table_properties(out_dir: str, updates: dict[str, str | None]) -> dict:
     ``set-properties`` snapshot carrying the full effective map — pure
     metadata, no data files touched, time travel reads the map current
     at any version."""
-    cur = table_properties(out_dir)
-    diff: dict[str, str | None] = {}
-    for k, v in updates.items():
-        if v is None:
-            cur.pop(str(k), None)
-            diff[str(k)] = None
-        else:
-            cur[str(k)] = str(v)
-            diff[str(k)] = str(v)
-    return commit_snapshot(out_dir, "set-properties", {"updates": diff}, properties=cur)
+    diff: dict[str, str | None] = {
+        str(k): (None if v is None else str(v)) for k, v in updates.items()
+    }
+
+    def _effective() -> dict[str, str]:
+        cur = table_properties(out_dir)
+        for k, v in diff.items():
+            if v is None:
+                cur.pop(k, None)
+            else:
+                cur[k] = v
+        return cur
+
+    return commit_snapshot(
+        out_dir, "set-properties", {"updates": diff}, properties_fn=_effective
+    )
 
 
 def seq_as_of_timestamp(out_dir: str, ts) -> int:

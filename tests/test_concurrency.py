@@ -115,3 +115,36 @@ def test_commit_snapshot_never_reuses_burned_seq_under_race(spark, tmp_path):
     assert seqs == [2, 3, 4, 5]  # nobody reused the burned seq 1
     assert all(s["seq"] > s1["seq"] for s in snaps)
     assert snaps[0]["parent"] is not None and snaps[0]["parent"] >= s0["seq"]
+
+
+def test_concurrent_property_setters_never_lose_keys(tmp_path):
+    """ADVICE r2: two concurrent set_table_properties calls each
+    read-modify-write the map; the CAS retry must fold the winner's map
+    in so the loser's commit keeps BOTH keys."""
+    import threading
+
+    from parquet_go_spark.spark import manifest as mf
+
+    d = str(tmp_path / "enc")
+    import os
+
+    os.makedirs(d)
+    mf.write_table_schema(d, [{"name": "x", "ddl": "bigint"}])
+    mf.commit_snapshot(d, "encode")
+
+    errs = []
+    barrier = threading.Barrier(8)
+
+    def setter(i):
+        try:
+            barrier.wait()
+            mf.set_table_properties(d, {f"k{i}": f"v{i}"})
+        except Exception as ex:  # pragma: no cover
+            errs.append(ex)
+
+    ts = [threading.Thread(target=setter, args=(i,)) for i in range(8)]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    assert not errs
+    props = mf.table_properties(d)
+    assert props == {f"k{i}": f"v{i}" for i in range(8)}

@@ -51,3 +51,26 @@ def test_en_stopwords_match_quality_list():
     from parquet_go_spark.spark.pages_table import _STOP_EN
 
     assert set(_STOP_EN.tolist()) == set(STOPWORDS)
+
+
+def test_lang_vocab_pinned_against_numpy_bitstream_drift():
+    """ADVICE r2: _lang_vocabs draws from np.random distribution methods
+    (dirichlet/choice/integers) whose bit-streams are not guaranteed
+    stable across NumPy versions, unlike _gen_block's pure integer
+    arithmetic. Pin the generated vocabulary with a checksum so an
+    upgrade that silently changes the corpus fails HERE, loudly,
+    instead of invalidating recorded baselines/fixture hashes.
+    Recorded under numpy 1.26.4 (see FIXTURES.md §F1)."""
+    import zlib
+
+    from parquet_go_spark.spark.pages_table import _lang_vocabs
+
+    v = _lang_vocabs()
+    acc = 0
+    for lang in sorted(v):
+        stops, words = v[lang]
+        acc = zlib.crc32(("|".join(stops.tolist()) + "#" + "|".join(words.tolist())).encode(), acc)
+    assert acc == 1460732147, (
+        "per-language vocabulary changed — NumPy bit-stream drift; "
+        "re-baseline BENCH/size numbers and update this pin"
+    )
