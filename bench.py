@@ -29,6 +29,7 @@ OP_QUERIES = [
     "enc_fsst_documents",
     "dedup_exact",
     "corpus_curation",
+    "boilerplate_strip",
     "minhash_signatures",
     "lsh_dup_pairs",
     "token_stats",
@@ -38,6 +39,7 @@ OP_QUERIES = [
     "langid_ngram",
     "embedding_cosine_topk",
     "embedding_ivf_topk",
+    "embedding_pq_topk",
     "parquet_scan_distributed",
     "parquet_scan_page_prune",
 ]
@@ -61,6 +63,28 @@ def _steal_jiffies() -> tuple[int, int]:
         return steal, sum(vals)
     except Exception:
         return 0, 0
+
+
+def _steal_pct(interval_s: float = 1.5) -> float:
+    """Steal fraction (%) over a short sampling interval."""
+    s0, t0 = _steal_jiffies()
+    time.sleep(interval_s)
+    s1, t1 = _steal_jiffies()
+    return 100.0 * (s1 - s0) / max(t1 - t0, 1)
+
+
+def _wait_clean_window(max_wait_s: float = 90.0, threshold: float = 1.0) -> float:
+    """Block (bounded) until a sampling interval shows steal below
+    ``threshold`` %, so the timed reps START inside a clean window
+    (VERDICT r2 #3: the r2 encode number was a 13.3%-steal sample).
+    Returns the last observed steal pct — the caller records it either
+    way; a dirty return means the host never went quiet in budget."""
+    deadline = time.monotonic() + max_wait_s
+    pct = _steal_pct()
+    while pct >= threshold and time.monotonic() < deadline:
+        time.sleep(3.0)
+        pct = _steal_pct()
+    return pct
 
 
 def main() -> None:
@@ -115,10 +139,21 @@ def main() -> None:
         # dirty best-of is self-explaining.
         max_reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
         bench_profile = os.environ.get("SPARK_GRAFT_BENCH_PROFILE", "auto")
+        # the timed block STARTS inside a probe-verified clean window, and
+        # each rep carries its own steal interval — the best rep's steal,
+        # not the whole block's, is the quality stamp for the quoted number
+        extras["encode_probe_steal_pct"] = round(_wait_clean_window(), 2)
         rep_walls: list[float] = []
+        rep_steals: list[float] = []
         st0, tot0 = _steal_jiffies()
-        for r in range(max_reps):
+        while True:
+            if rep_steals and rep_steals[-1] >= 2.0:
+                # last rep ran through a steal burst: wait it out before
+                # burning another rep on a dirty interval
+                _wait_clean_window(max_wait_s=45.0)
+            r = len(rep_walls)
             enc_dir = f"{tmp}/enc{r}"
+            rs0, rt0 = _steal_jiffies()
             t0 = time.perf_counter()
             man = encode_table(
                 src,
@@ -129,16 +164,24 @@ def main() -> None:
                 profile=bench_profile,
             ).collect()
             rep_walls.append(time.perf_counter() - t0)
-            if r >= 1:
-                a, b = sorted(rep_walls)[:2]
-                # stop on a tight window (stable measurement) or when the
-                # rep budget is spent (sustained-dirty phase: report the
-                # best seen plus the steal evidence and move on)
-                if b <= a * 1.12 or sum(rep_walls) > 240:
-                    break
+            rs1, rt1 = _steal_jiffies()
+            rep_steals.append(round(100 * (rs1 - rs0) / max(rt1 - rt0, 1), 2))
+            best_i = rep_walls.index(min(rep_walls))
+            stable = len(rep_walls) >= 2 and sorted(rep_walls)[1] <= sorted(rep_walls)[0] * 1.12
+            # quoted number = best rep; done once it is BOTH stable
+            # (another rep within 12%) AND a clean sample (its own steal
+            # interval < 2%). Two bonus reps past max_reps may chase a
+            # clean window; a sustained-dirty phase exhausts the budget
+            # and the per-rep steal list makes the quote self-explaining.
+            if stable and rep_steals[best_i] < 2.0:
+                break
+            if sum(rep_walls) > 270 or len(rep_walls) >= max_reps + 2:
+                break
         st1, tot1 = _steal_jiffies()
         q["encode_pages"] = round(min(rep_walls), 3)
         extras["encode_rep_walls"] = [round(w, 2) for w in rep_walls]
+        extras["encode_rep_steal_pct"] = rep_steals
+        extras["encode_best_rep_steal_pct"] = rep_steals[rep_walls.index(min(rep_walls))]
         if tot1 > tot0:
             extras["encode_steal_pct"] = round(100 * (st1 - st0) / (tot1 - tot0), 1)
         enc_dir = f"{tmp}/enc{len(rep_walls) - 1}"

@@ -519,11 +519,24 @@ def cmd_curate(args) -> int:
     rows as a new table whose ``curate`` snapshot records the gates and
     source lineage."""
     spark = _spark(args)
-    from .ops.curate import curate_corpus_rows
+    from .ops.curate import curate_corpus_rows, strip_boilerplate
     from .spark import manifest as mf
     from .spark.encode_job import encode_table
 
     df = _load_table(spark, args)
+    if args.strip_boilerplate:
+        from pyspark.sql import functions as F
+
+        cleaned = strip_boilerplate(
+            df,
+            host_col=args.host_col,
+            text_col=args.text_col,
+            id_col=args.id_col,
+            max_ratio=args.bp_max_ratio,
+        ).select(args.id_col, F.col("clean_text"))
+        df = df.drop(args.text_col).join(cleaned, args.id_col).withColumnRenamed(
+            "clean_text", args.text_col
+        )
     kept = curate_corpus_rows(
         df,
         text_col=args.text_col,
@@ -550,6 +563,12 @@ def cmd_curate(args) -> int:
             "max_punct": args.max_punct,
             "text_col": args.text_col,
             "id_col": args.id_col,
+            "strip_boilerplate": bool(args.strip_boilerplate),
+            **(
+                {"host_col": args.host_col, "bp_max_ratio": args.bp_max_ratio}
+                if args.strip_boilerplate
+                else {}
+            ),
         },
     )
     print(json.dumps({"rows_out": rows_out, "out": args.out, "snapshot": snap["seq"]}))
@@ -859,6 +878,18 @@ def main(argv=None) -> int:
     cu.add_argument("--key-col", default=None)
     cu.add_argument("--partitions", type=int, default=None)
     cu.add_argument("--compression", default="snappy")
+    cu.add_argument(
+        "--strip-boilerplate",
+        action="store_true",
+        help="CCNet-style per-host frequent-line removal before the quality pipeline",
+    )
+    cu.add_argument("--host-col", default="source", help="host/domain column for line frequency")
+    cu.add_argument(
+        "--bp-max-ratio",
+        type=float,
+        default=0.3,
+        help="lines in more than this fraction of a host's docs are stripped",
+    )
     cu.set_defaults(fn=cmd_curate)
 
     pr = sub.add_parser(

@@ -30,6 +30,7 @@ __all__ = [
     "cell_scores_sql",
     "pq_codebooks",
     "pq_code_sql",
+    "pq_scores_sql",
     "pq_lut_sql",
 ]
 
@@ -385,15 +386,23 @@ def _pq_sub_dots(cb: np.ndarray, m_idx: int, vec_expr: str, dot_fn: str | None) 
     return dots
 
 
+def pq_scores_sql(cb: np.ndarray, m_idx: int, vec_expr: str, dot_fn: str | None = None) -> str:
+    """SQL array of subspace ``m_idx``'s rounded centroid dots — staged
+    into a column so argmax reads it once instead of inlining the dot
+    list twice."""
+    dots = _pq_sub_dots(cb, m_idx, vec_expr, dot_fn)
+    if dot_fn:
+        return "[" + ", ".join(dots) + "]"
+    return "array(" + ", ".join(dots) + ")"
+
+
 def pq_code_sql(cb: np.ndarray, m_idx: int, vec_expr: str, dot_fn: str | None = None) -> str:
     """SQL for subspace ``m_idx``'s code of the (normalized) vector:
     1-based argmax-dot centroid index — first-max tie rule is identical
     in Spark (``array_position``) and DuckDB (``list_position``)."""
-    dots = _pq_sub_dots(cb, m_idx, vec_expr, dot_fn)
+    lst = pq_scores_sql(cb, m_idx, vec_expr, dot_fn)
     if dot_fn:
-        lst = "[" + ", ".join(dots) + "]"
         return f"CAST(list_position({lst}, list_max({lst})) AS INT)"
-    lst = "array(" + ", ".join(dots) + ")"
     return f"CAST(array_position({lst}, array_max({lst})) AS INT)"
 
 
@@ -458,10 +467,18 @@ def pq_topk(
             .withColumn("en", F.expr("transform(e, x -> x / nullif(nrm, 0D))"))
         )
 
-    v = base(df).select(
+    v = base(df).withColumn("ds", F.expr(ds))
+    for i in range(m):
+        v = v.withColumn(f"cs{i}", F.expr(pq_scores_sql(cb, i, "en")))
+    v = v.select(
         "vid",
-        F.expr(f"array_position({ds}, array_max({ds}))").cast("int").alias("cell"),
-        F.array(*[F.expr(pq_code_sql(cb, i, "en")) for i in range(m)]).alias("codes"),
+        F.expr("array_position(ds, array_max(ds))").cast("int").alias("cell"),
+        F.array(
+            *[
+                F.expr(f"CAST(array_position(cs{i}, array_max(cs{i})) AS INT)")
+                for i in range(m)
+            ]
+        ).alias("codes"),
     )
     qw = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("pos"))
     probes = (

@@ -104,3 +104,45 @@ def test_strip_boilerplate_all_lines_removed_yields_empty(spark):
     df = spark.createDataFrame(rows, "doc_id string, host string, text string")
     out = strip_boilerplate(df, "host", "text", "doc_id").collect()
     assert all(r["clean_text"] == "" and r["n_lines_removed"] == 2 for r in out)
+
+
+def test_cli_curate_strip_boilerplate(spark, tmp_path):
+    import json as _json
+    import subprocess
+    import sys
+
+    import pyspark.sql.functions as F
+
+    from parquet_go_spark.spark.decode_job import decode_table
+    from parquet_go_spark.spark.encode_job import encode_table
+
+    rows = []
+    for h in ("a.com", "b.org"):
+        for i in range(12):
+            rows.append(
+                (
+                    h + f"-{i}",
+                    h,
+                    f"welcome to {h}\nbody text {h} {i} unique words here plenty\n(c) {h}",
+                )
+            )
+    df = spark.createDataFrame(rows, "doc_id string, source string, text string")
+    src = str(tmp_path / "src")
+    encode_table(df, src, partitions=2).collect()
+    out = str(tmp_path / "out")
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "parquet_go_spark", "--cpus", "4",
+            "curate", "--enc", src, "--out", out,
+            "--id-col", "doc_id", "--min-ttr", "0.0", "--max-punct", "1.0",
+            "--strip-boilerplate", "--host-col", "source",
+        ],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    info = _json.loads(r.stdout.strip().splitlines()[-1])
+    assert info["rows_out"] == 24
+    got = decode_table(spark, out)
+    texts = [x["text"] for x in got.select("text").collect()]
+    assert all("welcome" not in t and "(c)" not in t for t in texts)
+    assert all(t.startswith("body text") for t in texts)
