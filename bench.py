@@ -167,13 +167,25 @@ def main() -> None:
             rs1, rt1 = _steal_jiffies()
             rep_steals.append(round(100 * (rs1 - rs0) / max(rt1 - rt0, 1), 2))
             best_i = rep_walls.index(min(rep_walls))
-            stable = len(rep_walls) >= 2 and sorted(rep_walls)[1] <= sorted(rep_walls)[0] * 1.12
+            # cleanliness is relative to the OBSERVED steal floor: a
+            # 32-wide run on this host pays a sustained ~10-20% co-tenant
+            # tax (every vCPU busy ⇒ the hypervisor visibly preempts), so
+            # "clean" means "no burst beyond the floor", not an absolute
+            # 2% that full-width runs can never meet. Narrow runs (floor
+            # ≈ 0) keep the strict 2% bar.
+            floor = min(rep_steals)
+            clean_thr = max(2.0, floor + 1.5)
+            tol = 1.12 if floor < 5.0 else 1.25
+            stable = (
+                len(rep_walls) >= 2 and sorted(rep_walls)[1] <= sorted(rep_walls)[0] * tol
+            )
             # quoted number = best rep; done once it is BOTH stable
-            # (another rep within 12%) AND a clean sample (its own steal
-            # interval < 2%). Two bonus reps past max_reps may chase a
-            # clean window; a sustained-dirty phase exhausts the budget
-            # and the per-rep steal list makes the quote self-explaining.
-            if stable and rep_steals[best_i] < 2.0:
+            # (another rep within tolerance) AND a clean sample (its own
+            # steal interval at the floor). Two bonus reps past max_reps
+            # may chase a clean window; a sustained-dirty phase exhausts
+            # the budget and the per-rep steal list makes the quote
+            # self-explaining.
+            if stable and rep_steals[best_i] < clean_thr:
                 break
             if sum(rep_walls) > 270 or len(rep_walls) >= max_reps + 2:
                 break
