@@ -363,37 +363,37 @@ def pq_codebooks(dim: int, m: int = 8, n_codes: int = 16, seed: int = 17) -> np.
     return np.round(cb, 6)
 
 
-def _pq_sub_dots(cb: np.ndarray, m_idx: int, vec_expr: str, dot_fn: str | None) -> list[str]:
-    """round(dot(subvector_m, centroid_j), 6) per code j — the shared
-    building block of code assignment and LUT construction."""
+def _pq_scores_core(cb: np.ndarray, m_idx: int, vec_expr: str, dot_fn: str | None) -> str:
+    """SQL array of round(dot(subvector_m, centroid_j), 6) per code j —
+    ONE ``transform`` over a nested array literal of all K centroids
+    (one codegen loop) rather than K unrolled fold expressions: the
+    arithmetic is identical, the expression tree is ~K× smaller, which
+    is what dominates plan-compile time for literal-heavy ANN queries."""
     sub = cb.shape[1]
     start = m_idx * sub
-    if dot_fn:  # DuckDB: 1-based inclusive slice
-        sliced = f"{vec_expr}[{start + 1}:{start + sub}]"
-    else:  # Spark: slice(arr, start1, length)
-        sliced = f"slice({vec_expr}, {start + 1}, {sub})"
-    dots = []
+    rows = []
     for j in range(cb.shape[2]):
         lits = ", ".join(repr(float(x)) for x in cb[m_idx, :, j])
-        if dot_fn:
-            d = f"{dot_fn}({sliced}, [{lits}])"
-        else:
-            d = (
-                f"aggregate(zip_with({sliced}, array({lits}),"
-                f" (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
-            )
-        dots.append(f"round({d}, 6)")
-    return dots
+        rows.append(f"[{lits}]" if dot_fn else f"array({lits})")
+    if dot_fn:  # DuckDB: 1-based inclusive slice, lambda list_transform
+        sliced = f"{vec_expr}[{start + 1}:{start + sub}]"
+        return (
+            f"list_transform([{', '.join(rows)}],"
+            f" cbj -> round({dot_fn}({sliced}, cbj), 6))"
+        )
+    sliced = f"slice({vec_expr}, {start + 1}, {sub})"
+    return (
+        f"transform(array({', '.join(rows)}),"
+        f" cbj -> round(aggregate(zip_with({sliced}, cbj,"
+        f" (x, y) -> x * y), 0D, (acc, x) -> acc + x), 6))"
+    )
 
 
 def pq_scores_sql(cb: np.ndarray, m_idx: int, vec_expr: str, dot_fn: str | None = None) -> str:
     """SQL array of subspace ``m_idx``'s rounded centroid dots — staged
     into a column so argmax reads it once instead of inlining the dot
     list twice."""
-    dots = _pq_sub_dots(cb, m_idx, vec_expr, dot_fn)
-    if dot_fn:
-        return "[" + ", ".join(dots) + "]"
-    return "array(" + ", ".join(dots) + ")"
+    return _pq_scores_core(cb, m_idx, vec_expr, dot_fn)
 
 
 def pq_code_sql(cb: np.ndarray, m_idx: int, vec_expr: str, dot_fn: str | None = None) -> str:
@@ -411,11 +411,10 @@ def pq_lut_sql(cb: np.ndarray, m_idx: int, vec_expr: str, dot_fn: str | None = N
     floor(round(dot, 6) * 1e6) per code as BIGINT — integer partial
     scores, so the ADC sum is exact and identically ordered in every
     engine (float summation order can never flip a rank)."""
-    dots = _pq_sub_dots(cb, m_idx, vec_expr, dot_fn)
-    cells = [f"CAST(floor(({d}) * 1000000) AS BIGINT)" for d in dots]
+    scores = _pq_scores_core(cb, m_idx, vec_expr, dot_fn)
     if dot_fn:
-        return "[" + ", ".join(cells) + "]"
-    return "array(" + ", ".join(cells) + ")"
+        return f"list_transform({scores}, d -> CAST(floor(d * 1000000) AS BIGINT))"
+    return f"transform({scores}, d -> CAST(floor(d * 1000000) AS BIGINT))"
 
 
 def pq_topk(
