@@ -198,24 +198,27 @@ def ivf_centroids(dim: int, n_cells: int = 16, seed: int = 13) -> np.ndarray:
 
 
 def cell_scores_sql(cents: np.ndarray, vec_expr: str, dot_fn: str | None = None) -> str:
-    """SQL array expression of round(dot(vec, centroid_j), 6) per cell.
-    ``dot_fn=None`` emits Spark zip_with/aggregate folds;
-    ``dot_fn="list_dot_product"`` the DuckDB form. Rounding before the
-    argmax/rank keeps cell assignment identical across engines."""
-    dots = []
+    """SQL array expression of round(dot(vec, centroid_j), 6) per cell:
+    ONE ``transform`` over a nested array literal of all centroids (one
+    codegen loop — identical arithmetic to unrolled per-cell folds, ~J×
+    smaller expression tree, so literal-heavy plans compile fast).
+    ``dot_fn=None`` emits the Spark form; ``dot_fn="list_dot_product"``
+    the DuckDB form. Rounding before the argmax/rank keeps cell
+    assignment identical across engines."""
+    rows = []
     for j in range(cents.shape[1]):
         lits = ", ".join(repr(float(x)) for x in cents[:, j])
-        if dot_fn:
-            d = f"{dot_fn}({vec_expr}, [{lits}])"
-        else:
-            d = (
-                f"aggregate(zip_with({vec_expr}, array({lits}),"
-                f" (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
-            )
-        dots.append(f"round({d}, 6)")
+        rows.append(f"[{lits}]" if dot_fn else f"array({lits})")
     if dot_fn:
-        return "[" + ", ".join(dots) + "]"
-    return "array(" + ", ".join(dots) + ")"
+        return (
+            f"list_transform([{', '.join(rows)}],"
+            f" cj -> round({dot_fn}({vec_expr}, cj), 6))"
+        )
+    return (
+        f"transform(array({', '.join(rows)}),"
+        f" cj -> round(aggregate(zip_with({vec_expr}, cj,"
+        f" (x, y) -> x * y), 0D, (acc, x) -> acc + x), 6))"
+    )
 
 
 def train_ivf_kmeans(
