@@ -342,6 +342,28 @@ def column_minmax(col: ColumnData) -> tuple[object, object]:
     if col.ptype != "bytes":
         v = col.values
         return v.min().item(), v.max().item()
+    # bytes: Arrow's C++ lexicographic min_max over a ZERO-COPY
+    # large_binary view (offsets from the cumulative lengths, data
+    # buffer as-is) — exact at memcmp speed, 5-50x the numpy
+    # key-narrowing below, which survives only as the fallback. The
+    # old 280-byte exactness cap is gone: C++ comparisons short-circuit
+    # at the first differing byte, so KB-deep shared prefixes cost one
+    # prefix walk per comparison, not per-round Python work.
+    try:
+        import pyarrow.compute as pc
+
+        n = col.num_values
+        offsets = np.zeros(n + 1, np.int64)
+        np.cumsum(col.lengths, out=offsets[1:])
+        arr = pa.Array.from_buffers(
+            pa.large_binary(),
+            n,
+            [None, pa.py_buffer(offsets), pa.py_buffer(np.ascontiguousarray(col.data))],
+        )
+        mm = pc.min_max(arr)
+        return mm["min"].as_py(), mm["max"].as_py()
+    except Exception:
+        pass
     lens = col.lengths
     starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
     data = col.data
@@ -522,7 +544,7 @@ def _chunk_fsst_table(col: ColumnData):
     return fsst.train(lens, data)
 
 
-def _encode_values(enc: str, col: ColumnData, vlo: int, vhi: int, dlo: int, dhi: int, codes, dict_size: int, index_mode: str, fsst_table=None, codec_dict: bytes = b"", zcodec: int | None = None, alp_hint: dict | None = None) -> bytes:
+def _encode_values(enc: str, col: ColumnData, vlo: int, vhi: int, dlo: int, dhi: int, codes, dict_size: int, index_mode: str, fsst_table=None, codec_dict: bytes = b"", zcodec: int | None = None, alp_hint: dict | None = None, zlevel: int | None = None) -> bytes:
     if enc == "rle_dict":
         return dictenc.encode_indices(codes[vlo:vhi].astype(np.uint64), dict_size, mode=index_mode)
     if col.ptype == "flba":
@@ -552,7 +574,7 @@ def _encode_values(enc: str, col: ColumnData, vlo: int, vhi: int, dlo: int, dhi:
         if enc == "fsst":
             return fsst.encode_column(lens, data, fsst_table)
         if enc == "zdict":
-            return bytearrays.encode_zdict(lens, data, codec_dict, codec=zcodec)
+            return bytearrays.encode_zdict(lens, data, codec_dict, level=zlevel, codec=zcodec)
         raise ValueError(f"bad bytes encoding {enc}")
     vals = col.values[vlo:vhi]
     if enc == "plain":
@@ -746,6 +768,7 @@ def encode_chunk(
     if enc == "fsst":
         fsst_table = sel_aux if sel_aux is not None else _chunk_fsst_table(col)
     zcodec = None
+    zlevel = None
     if enc == "zdict":
         codec_dict = (
             sel_aux
@@ -757,6 +780,11 @@ def encode_chunk(
         zcodec = bytearrays.choose_zdict_codec(col.lengths, col.data, codec_dict)
         if zcodec == 1:
             codec_dict = b""
+        else:
+            # one DEFLATE level probe per CHUNK (pages inherit): per-page
+            # probes cost two 256 KiB compress passes EACH — on a 240 MB
+            # html chunk that's ~240 probes for one decision
+            zlevel = bytearrays.choose_deflate_level(col.data)
         # the value stream is already entropy-coded: a second block-
         # compression pass over the pages re-reads and re-writes the
         # chunk's dominant byte volume for ~no size win (snappy over
@@ -809,7 +837,7 @@ def encode_chunk(
             dlo = dhi = 0
         lvl = levels.encode_def_levels(validity, mode=level_mode)
         vals = _encode_values(
-            enc, col, vstart, vend, dlo, dhi, codes, dict_size or 0, index_mode, fsst_table, codec_dict, zcodec, alp_hint
+            enc, col, vstart, vend, dlo, dhi, codes, dict_size or 0, index_mode, fsst_table, codec_dict, zcodec, alp_hint, zlevel
         )
         payload = lvl + vals
         comp = _compress(payload, compression)

@@ -95,6 +95,27 @@ def choose_zdict_codec(lengths: np.ndarray, data: np.ndarray, zdict: bytes = b""
     return 0 if d_len <= margin * z_len else 1
 
 
+def choose_deflate_level(data) -> int:
+    """DEFLATE level policy (throughput-first at scale): tiny streams
+    take 6 (microseconds), > 32 MiB always take 1 (level 6 costs
+    seconds per task for a minority size win), in between a strided
+    sampled side-by-side picks 6 only when it saves >= 20%. Hoisted to
+    ONE probe per chunk by the chunk encoder (every page inherits via
+    ``level=``), the same per-chunk-hint shape as ``choose_zdict_codec``
+    and the ALP (e, rb) search — the probe costs two 256 KiB compress
+    passes, which dominated per-page encode on DEFLATE chunks."""
+    import zlib as _z
+
+    raw = np.ascontiguousarray(data, dtype=np.uint8)
+    n = len(raw)
+    if n <= 1 << 16:
+        return 6
+    if n > 1 << 25:
+        return 1
+    s = _sample_stream(raw)
+    return 6 if len(_z.compress(s, 6)) <= 0.8 * len(_z.compress(s, 1)) else 1
+
+
 def encode_zdict(
     lengths: np.ndarray,
     data: np.ndarray,
@@ -137,13 +158,7 @@ def encode_zdict(
         comp = _zstd_codec().compress(memoryview(raw), asbytes=True)
     else:
         if level is None:
-            if raw_len <= 1 << 16:
-                level = 6  # small stream: level 6 is microseconds anyway
-            elif raw_len > 1 << 25:
-                level = 1  # large chunk: the throughput path, always
-            else:
-                s = _sample_stream(raw)
-                level = 6 if len(_z.compress(s, 6)) <= 0.8 * len(_z.compress(s, 1)) else 1
+            level = choose_deflate_level(raw)
         co = _z.compressobj(level, _z.DEFLATED, 15, 9, 0, zdict) if zdict else _z.compressobj(level)
         comp = co.compress(memoryview(raw)) + co.flush()
     lens = deltabp.encode(lengths.astype(np.int32, copy=False), 32)

@@ -201,3 +201,21 @@ def test_int96_write_rejects_non_timestamp_and_nested(tmp_path):
         write_parquet(t, int96_columns=["i"])
     with pytest.raises(ValueError, match="flat"):
         write_parquet(t, int96_columns=["nope"])
+
+
+def test_bytes_minmax_arrow_path_matches_numpy_fallback():
+    """r3: bytes min/max goes through Arrow C++ min_max over a
+    zero-copy view (5-50x the numpy key-narrowing). The numpy fallback
+    must stay byte-for-byte equivalent — run both on tie-heavy shapes."""
+    import parquet_go_spark.core.chunk as C
+
+    cases = [
+        [b"https://site%d.example/%d" % (i % 7, i) for i in range(3000)],
+        [b"x" * 40, b"x" * 39, b"x" * 41],
+        [b"", b"\x00", b"\xff" * 5, b"a"],
+        [(b"shared-prefix-" * 40) + bytes([i % 3]) for i in range(500)],
+    ]
+    for vals in cases:
+        col = from_arrow(pa.array(vals, type=pa.binary()))
+        got = C.column_minmax(col)
+        assert got == (min(vals), max(vals))
