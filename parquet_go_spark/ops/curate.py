@@ -54,7 +54,10 @@ def strip_boilerplate(
 
     w = Window.partitionBy("host", "line")
     freq = lines.withColumn("line_docs", F.size(F.collect_set("id").over(w)))
-    flagged = freq.join(host_docs, "host").withColumn(
+    # explicit broadcast: without it Catalyst picks a SortMergeJoin and
+    # re-shuffles the whole exploded line stream on `host` — the totals
+    # side is one tiny row per host (doc-level aggregate)
+    flagged = freq.join(F.broadcast(host_docs), "host").withColumn(
         "is_bp",
         (F.col("line_docs") >= min_docs)
         & (F.col("line_docs").cast("double") > F.col("n_docs").cast("double") * max_ratio),

@@ -308,3 +308,57 @@ def test_ivf_trained_quantizer_recall(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_pq_topk_recall_and_plan(spark):
+    """PQ (IVF-ADC) top-k: planted near-duplicates quantize to the same
+    coarse cell and near-identical codes, so rank-1 neighbors match the
+    exact scorer after the re-rank; the plan must broadcast the probe
+    and shortlist sides (never shuffle or nested-loop the corpus)."""
+    import numpy as np
+
+    from parquet_go_spark.ops.similarity import cosine_topk, pq_topk
+
+    rng = np.random.default_rng(33)
+    base = rng.standard_normal((80, 16))
+    vecs = np.concatenate([base, base[:8] + 0.003 * rng.standard_normal((8, 16))])
+    rows = [(i, v.astype("float32").tolist()) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = df.filter("vec_id < 8")
+    res = pq_topk(df, queries, k=5, m=4, n_codes=16, n_cells=8, n_probe=3)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan, plan
+    got1 = {r["q_id"]: r["n_id"] for r in res.collect() if r["rank"] == 1}
+    want1 = {
+        r["q_id"]: r["n_id"] for r in cosine_topk(df, queries, k=5).collect() if r["rank"] == 1
+    }
+    hits = sum(got1.get(q) == n for q, n in want1.items())
+    # exact re-rank recovers the planted twin whenever its cell is probed
+    assert hits == len(want1), (got1, want1)
+
+
+def test_boilerplate_strip_plan_broadcasts_host_totals(spark):
+    """strip_boilerplate: the LINE stream crosses the wire exactly
+    twice — the (host, line) frequency window and the doc-id
+    reassembly; the per-host totals join must be a broadcast (a
+    sort-merge here re-shuffles the whole exploded stream on host).
+    The totals aggregate's own doc-level exchanges are small and
+    allowed."""
+    import re
+
+    from parquet_go_spark.ops.curate import strip_boilerplate
+
+    rows = [(str(i), f"h{i % 3}", "nav\nbody %d\nfoot" % i) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id string, host string, text string")
+    res = strip_boilerplate(df, "host", "text", "doc_id")
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    # 4 exchanges total: (host, line) window + doc-id reassembly on the
+    # line stream, plus the totals aggregate's two small doc-level ones.
+    # The pre-broadcast plan had a 5th — a host-only re-shuffle of the
+    # whole exploded stream feeding a SortMergeJoin.
+    shuffles = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert shuffles <= 4, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan, plan
