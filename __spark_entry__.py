@@ -47,7 +47,7 @@ from parquet_go_spark.ops.curate import curate_corpus, strip_boilerplate
 from parquet_go_spark.ops.multimodal import image_features
 from parquet_go_spark.ops.stats import table_column_stats, table_numeric_minmax
 from parquet_go_spark.ops.text import fingerprint, langid_ngram, text_quality, token_stats
-from parquet_go_spark.ops.winnow import winnowing_fingerprints
+from parquet_go_spark.ops.winnow import duplicate_spans, winnowing_fingerprints
 from parquet_go_spark.spark.roundtrip import roundtrip_df
 
 SF0001 = "/root/testdata/sf0.001"
@@ -1100,6 +1100,63 @@ FROM flagged GROUP BY doc_id, host
 """
 
 
+def _q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-granular cross-document dedup (ops/winnow.duplicate_spans,
+    Lee et al. ACL'22 approximated with winnowing): fingerprints seen
+    in >= 2 docs mark duplicated regions, adjacent marks merge into
+    spans. A deterministic shared footer is planted on doc_id % 7 == 0
+    so the fixture provably contains cross-document duplicated spans;
+    organic repeats in the corpus count too — both engines agree
+    exactly (integer fingerprints and positions)."""
+    docs = _load(spark, sf_dir, "documents")
+    planted = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" shared promotional footer sentence repeated across documents"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return duplicate_spans(planted)
+
+
+def _dupspans_duck_sql(k: int = 8, w: int = 16, gap: int = 64, min_len: int = 32) -> str:
+    """DuckDB mirror of ops/winnow.duplicate_spans over the same planted
+    view: the winnow fingerprint SQL as a subquery, exact distinct-doc
+    counts, and the identical lag-window span merge."""
+    inner = _winnow_duck_sql(k, w).replace(
+        "FROM documents WHERE length(text) >= ",
+        "FROM (SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text || "
+        "' shared promotional footer sentence repeated across documents' "
+        "ELSE text END AS text FROM documents WHERE text IS NOT NULL) "
+        "WHERE length(text) >= ",
+    )
+    return f"""
+WITH fps AS ({inner}),
+dup AS (
+  SELECT fp FROM (SELECT fp, COUNT(DISTINCT doc_id) AS c FROM fps GROUP BY fp) WHERE c >= 2
+),
+marked AS (SELECT doc_id, pos FROM fps WHERE fp IN (SELECT fp FROM dup)),
+lagged AS (
+  SELECT doc_id, pos,
+    CASE WHEN prev IS NULL OR pos - prev > {gap} THEN 1 ELSE 0 END AS new_span
+  FROM (SELECT doc_id, pos, LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM marked)
+),
+sp AS (
+  SELECT doc_id, pos, SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id FROM lagged
+)
+SELECT doc_id, span_start, span_end, span_len, n_fps FROM (
+  SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + {k} AS span_end,
+    MAX(pos) + {k} - MIN(pos) AS span_len, COUNT(*) AS n_fps
+  FROM sp GROUP BY doc_id, span_id
+) WHERE span_len >= {min_len}
+"""
+
+
 def _q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-document selection per near-dup cluster (longest text,
     ties to the smallest id) — the final corpus-dedup step: one kept
@@ -1178,7 +1235,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "lsh_dup_pairs": lambda spark, sf_dir: lsh_pairs(_load(spark, sf_dir, "documents")),
         "dedup_clusters": _q_dedup_clusters,
-        "dedup_canonical": _q_dedup_canonical,
         "ngram_jaccard_pairs": lambda spark, sf_dir: ngram_jaccard_pairs(
             _load(spark, sf_dir, "documents")
         ),
@@ -1187,6 +1243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": lambda spark, sf_dir: winnowing_fingerprints(
             _load(spark, sf_dir, "documents")
         ),
+        "duplicate_spans": _q_duplicate_spans,
         # multimodal
         "multimodal_image_hist": _q_multimodal_image_hist,
         "multimodal_audio_peaks": _q_multimodal_audio_peaks,
@@ -1201,6 +1258,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- variants past the driver budget (pytest-gated) ----------
         "embedding_lsh_topk": _q_lsh_topk,
         "fingerprint_md5": lambda spark, sf_dir: fingerprint(_load(spark, sf_dir, "documents")),
+        "dedup_canonical": _q_dedup_canonical,
         "roundtrip_orders": _rt("orders"),
         "roundtrip_events": _rt("events"),
         "roundtrip_customer": _rt("customer"),
@@ -1633,6 +1691,7 @@ WHERE round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) >= 0.35
         "simhash64": _simhash_duck_sql(),
         "langid_ngram": _langid_duck_sql(),
         "winnow_fingerprints": _winnow_duck_sql(),
+        "duplicate_spans": _dupspans_duck_sql(),
     }
 
 

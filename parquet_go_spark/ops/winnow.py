@@ -18,7 +18,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
-__all__ = ["winnow_bytes", "winnowing_fingerprints"]
+__all__ = ["winnow_bytes", "winnowing_fingerprints", "duplicate_spans"]
 
 _B = np.uint64(1000003)
 _MASK = np.uint64((1 << 61) - 1)
@@ -76,3 +76,65 @@ def winnowing_fingerprints(
                 )
 
     return df.select(id_col, text_col).mapInPandas(run, schema=f"{id_col} long, pos long, fp long")
+
+
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 16,
+    gap: int = 64,
+    min_len: int = 32,
+) -> DataFrame:
+    """Cross-document duplicated SPANS (the span-granular complement to
+    doc-level dedup — "Deduplicating Training Data Makes Language
+    Models Better", Lee et al., ACL'22, approximated with winnowing
+    instead of a suffix array): any substring of length >= k + w - 1
+    shared by two documents shares a winnowing fingerprint REGARDLESS
+    OF ALIGNMENT (the SIGMOD'03 guarantee), so fingerprints seen in
+    >= 2 distinct documents mark duplicated regions, and per document
+    the marked positions within ``gap`` bytes of each other merge into
+    one span. Returns (id, span_start, span_end, span_len, n_fps) for
+    spans with span_len >= ``min_len``; span_end is exclusive and
+    extends k-1 bytes past the last fingerprinted gram.
+
+    Plan shape: the fingerprint projection never shuffles the corpus;
+    the duplicated-fp set costs two exchanges over the (fp, doc)
+    stream (exact distinct-doc count); marking is a fp-keyed LEFT SEMI
+    join; span merging is one doc-keyed window (lag + running flag
+    sum) plus the final per-span aggregate. Every exchange is over
+    fingerprint rows (~bytes / (w/2) of the corpus), never documents.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    fps = winnowing_fingerprints(df, text_col=text_col, id_col=id_col, k=k, w=w)
+    dup_fps = (
+        fps.select("fp", id_col)
+        .distinct()
+        .groupBy("fp")
+        .count()
+        .filter(F.col("count") >= 2)
+        .select("fp")
+    )
+    marked = fps.join(dup_fps, "fp", "leftsemi")
+    wo = Window.partitionBy(id_col).orderBy("pos")
+    spans = (
+        marked.withColumn("prev", F.lag("pos").over(wo))
+        .withColumn(
+            "new_span",
+            (F.col("prev").isNull() | (F.col("pos") - F.col("prev") > gap)).cast("long"),
+        )
+        .withColumn("span_id", F.sum("new_span").over(wo))
+        .groupBy(id_col, "span_id")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(k)).alias("span_end"),
+            F.count(F.lit(1)).alias("n_fps"),
+        )
+        .withColumn("span_len", F.col("span_end") - F.col("span_start"))
+        .filter(F.col("span_len") >= min_len)
+        .select(id_col, "span_start", "span_end", "span_len", "n_fps")
+    )
+    return spans

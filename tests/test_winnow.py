@@ -64,3 +64,47 @@ def test_spark_wrapper(spark):
     rows = out.count()
     assert rows > df.count()  # several fingerprints per doc
     assert out.columns == ["doc_id", "pos", "fp"]
+
+
+def test_duplicate_spans_finds_planted_copy(spark):
+    from parquet_go_spark.ops.winnow import duplicate_spans
+
+    shared = "this exact paragraph is copied verbatim between documents and is quite long"
+    rows = [
+        (1, "unique prefix one " + shared + " unique suffix alpha"),
+        (2, "totally different beginning " + shared + " different ending"),
+        (3, "no copied content here at all, fully original text, its own words only"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = duplicate_spans(df).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 3 not in by_doc
+    for doc in (1, 2):
+        spans = by_doc[doc]
+        assert len(spans) == 1
+        s = spans[0]
+        text = rows[doc - 1][1]
+        # the reported span sits inside the copied region (winnowing
+        # guarantees coverage of shared substrings >= k + w - 1)
+        frag = text[s["span_start"] : s["span_end"]]
+        assert frag in shared or shared in frag or frag.strip(" ") in shared
+        assert s["span_len"] >= 32 and s["n_fps"] >= 2
+
+
+def test_duplicate_spans_merges_with_gap(spark):
+    from parquet_go_spark.ops.winnow import duplicate_spans
+
+    a = "first copied sentence block that appears twice in the corpus yes"
+    b = "second copied block also repeated across both documents here too"
+    rows = [
+        (1, a + " xx " + b),          # close together -> one merged span
+        (2, "intro " + a + (" filler" * 40) + " " + b + " outro"),  # far apart -> two spans
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = duplicate_spans(df, gap=16).collect()
+    n = {}
+    for r in out:
+        n[r["doc_id"]] = n.get(r["doc_id"], 0) + 1
+    assert n[2] >= 2  # separated duplicates stay separate spans
