@@ -46,7 +46,13 @@ from parquet_go_spark.ops.similarity import (
 from parquet_go_spark.ops.curate import curate_corpus, strip_boilerplate
 from parquet_go_spark.ops.multimodal import image_features
 from parquet_go_spark.ops.stats import table_column_stats, table_numeric_minmax
-from parquet_go_spark.ops.text import fingerprint, langid_ngram, text_quality, token_stats
+from parquet_go_spark.ops.text import (
+    fingerprint,
+    langid_ngram,
+    repetition_signals,
+    text_quality,
+    token_stats,
+)
 from parquet_go_spark.ops.winnow import duplicate_spans, winnowing_fingerprints
 from parquet_go_spark.spark.roundtrip import roundtrip_df
 
@@ -1290,6 +1296,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prune_dict_membership": _q_dict_membership_prune,
         "delete_where": _q_delete_where,
         "incremental_changes": _q_incremental_changes,
+        "repetition_signals": lambda spark, sf_dir: repetition_signals(
+            _load(spark, sf_dir, "documents")
+        ),
     }
 
 
@@ -1692,6 +1701,32 @@ WHERE round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) >= 0.35
         "langid_ngram": _langid_duck_sql(),
         "winnow_fingerprints": _winnow_duck_sql(),
         "duplicate_spans": _dupspans_duck_sql(),
+        "repetition_signals": """
+WITH base AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+  FROM documents WHERE text IS NOT NULL
+),
+g AS (
+  SELECT doc_id, ws, len(ws) AS n,
+    list_transform(range(1, greatest(len(ws) - 2, 0) + 1),
+      i -> ws[CAST(i AS INT)] || ' ' || ws[CAST(i + 1 AS INT)] || ' ' || ws[CAST(i + 2 AS INT)]) AS gs
+  FROM base
+),
+tw AS (
+  SELECT doc_id, MAX(c) AS top FROM (
+    SELECT doc_id, COUNT(*) AS c FROM (SELECT doc_id, UNNEST(ws) AS w FROM base) GROUP BY doc_id, w
+  ) GROUP BY doc_id
+)
+SELECT g.doc_id, CAST(n AS BIGINT) AS n_words,
+  round(CASE WHEN len(gs) > 0
+        THEN CAST(len(gs) - len(list_distinct(gs)) AS DOUBLE) / len(gs) ELSE 0 END, 6) AS dup_3gram_frac,
+  round(CASE WHEN n > 0 THEN CAST(tw.top AS DOUBLE) / n ELSE 0 END, 6) AS top_word_cov,
+  round(CASE WHEN n > 0
+        THEN CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE) / n ELSE 0 END, 6) AS mean_word_len,
+  (CASE WHEN len(gs) > 0 THEN CAST(len(gs) - len(list_distinct(gs)) AS DOUBLE) / len(gs) ELSE 0 END > 0.2
+   OR CASE WHEN n > 0 THEN CAST(tw.top AS DOUBLE) / n ELSE 0 END > 0.3) AS repetitive
+FROM g LEFT JOIN tw ON g.doc_id = tw.doc_id
+""",
     }
 
 

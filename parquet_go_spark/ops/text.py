@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["token_stats", "text_quality", "fingerprint", "langid_ngram"]
+__all__ = ["token_stats", "text_quality", "fingerprint", "langid_ngram", "repetition_signals"]
 
 
 def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -179,4 +179,67 @@ def langid_ngram(
         F.col(lang_col),
         F.col("best.lang").alias("lang_pred"),
         (F.col("best.lang") == F.col(lang_col)).alias("correct"),
+    )
+
+
+def repetition_signals(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style within-document repetition signals (Rae et al. 2021
+    §A1.1, the standard web-text repetition gates): fraction of
+    duplicate word 3-grams, coverage of the single most frequent word,
+    mean word length, and the composite ``repetitive`` flag. Pure
+    built-in SQL — 3-grams via a transform over index sequences, counts
+    via array algebra, all whole-stage codegen, zero Python and zero
+    shuffles (one projection).
+
+    A keyword-stuffed or template-generated page shows near-total
+    3-gram duplication and one word covering a large share of tokens;
+    clean prose sits near zero on both."""
+    t = F.col(text_col)
+    words = F.expr(f"filter(split({text_col}, ' '), w -> w <> '')")
+    n_words = F.size(words)
+    grams = F.expr(
+        f"transform(sequence(1, greatest(size(filter(split({text_col}, ' '), w -> w <> '')) - 2, 0)),"
+        f" i -> concat_ws(' ', filter(split({text_col}, ' '), w -> w <> '')[i - 1],"
+        f" filter(split({text_col}, ' '), w -> w <> '')[i],"
+        f" filter(split({text_col}, ' '), w -> w <> '')[i + 1]))"
+    )
+    n_grams = F.size(grams)
+    dup_gram_frac = F.when(
+        n_grams > 0,
+        (n_grams - F.size(F.array_distinct(grams))).cast("double") / n_grams.cast("double"),
+    ).otherwise(F.lit(0.0))
+    # coverage of the most frequent word: max group size / n_words via
+    # aggregate over the sorted word array (runs of equal words)
+    top_word_cov = F.when(
+        n_words > 0,
+        F.expr(
+            f"""
+            aggregate(
+              array_sort(filter(split({text_col}, ' '), w -> w <> '')),
+              named_struct('prev', cast(null as string), 'run', 0L, 'best', 0L),
+              (acc, w) -> named_struct(
+                'prev', w,
+                'run', IF(acc.prev IS NOT NULL AND w = acc.prev, acc.run + 1L, 1L),
+                'best', greatest(acc.best,
+                                 IF(acc.prev IS NOT NULL AND w = acc.prev, acc.run + 1L, 1L))),
+              acc -> acc.best)
+            """
+        ).cast("double")
+        / n_words.cast("double"),
+    ).otherwise(F.lit(0.0))
+    mean_word_len = F.when(
+        n_words > 0,
+        F.expr(
+            f"aggregate(filter(split({text_col}, ' '), w -> w <> ''),"
+            " 0L, (acc, w) -> acc + length(w))"
+        ).cast("double")
+        / n_words.cast("double"),
+    ).otherwise(F.lit(0.0))
+    return df.filter(t.isNotNull()).select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        F.round(dup_gram_frac, 6).alias("dup_3gram_frac"),
+        F.round(top_word_cov, 6).alias("top_word_cov"),
+        F.round(mean_word_len, 6).alias("mean_word_len"),
+        ((dup_gram_frac > 0.2) | (top_word_cov > 0.3)).alias("repetitive"),
     )

@@ -88,3 +88,21 @@ def test_host_stats(spark):
     assert rows["a.com"]["n_paths"] == 2
     assert rows["b.com"]["n_pages"] == 1
     assert rows["a.com"]["avg_depth"] == 2.0
+
+
+def test_repetition_signals_flags_stuffed_pages(spark):
+    from parquet_go_spark.ops.text import repetition_signals
+
+    rows = [
+        (1, "buy cheap pills buy cheap pills buy cheap pills buy cheap pills"),
+        (2, "a perfectly ordinary sentence with mostly distinct words in it today"),
+        (3, "spam spam spam spam spam spam spam spam"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in repetition_signals(df).collect()}
+    assert set(out) == {1, 2, 3}  # nulls dropped
+    assert out[1]["repetitive"] and out[3]["repetitive"] and not out[2]["repetitive"]
+    assert out[3]["top_word_cov"] == 1.0
+    assert out[2]["dup_3gram_frac"] == 0.0
+    assert abs(out[1]["dup_3gram_frac"] - 0.7) < 1e-9  # 10 grams, 3 distinct
