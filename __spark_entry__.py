@@ -23,6 +23,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from parquet_go_spark.ops.dedup import (
+    hash_split,
     exact_dedup,
     lsh_pairs,
     minhash_signatures,
@@ -53,7 +54,7 @@ from parquet_go_spark.ops.text import (
     text_quality,
     token_stats,
 )
-from parquet_go_spark.ops.winnow import duplicate_spans, winnowing_fingerprints
+from parquet_go_spark.ops.winnow import contamination, duplicate_spans, winnowing_fingerprints
 from parquet_go_spark.spark.roundtrip import roundtrip_df
 
 SF0001 = "/root/testdata/sf0.001"
@@ -1163,6 +1164,79 @@ SELECT doc_id, span_start, span_end, span_len, n_fps FROM (
 """
 
 
+def _q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (ops/winnow.contamination, the
+    GPT-3/FLAN-style overlap check): a deterministic "benchmark" of
+    150-char excerpts from every 50th document is fingerprinted and
+    broadcast; corpus docs sharing >= 2 winnowing fingerprints with a
+    benchmark excerpt are flagged. The excerpt construction guarantees
+    planted contamination (each source doc must flag itself); organic
+    overlaps count too, identically in both engines."""
+    docs = _load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    bench = docs.filter((F.col("doc_id") % 50 == 0) & (F.length("text") >= 200)).select(
+        "doc_id", F.substring("text", 10, 150).alias("text")
+    )
+    return contamination(docs, bench)
+
+
+def _q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/val/test split
+    (ops/dedup.hash_split): bucket = md5(seed:id) interval — stable
+    under repartitioning and corpus growth. Gated on the per-split
+    (count, id-sum) aggregate so every assignment is hash-checked."""
+    docs = _load(spark, sf_dir, "documents")
+    return (
+        hash_split(docs)
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("doc_id").alias("id_sum"))
+    )
+
+
+def _decon_duck_sql(k: int = 8, w: int = 16, min_hits: int = 2) -> str:
+    """DuckDB mirror of _q_decontamination: the winnow fingerprint SQL
+    over the corpus and over the derived 150-char benchmark excerpts,
+    broadcast-joined on fp, counted per (doc, bench) pair."""
+    corpus = _winnow_duck_sql(k, w).replace(
+        "FROM documents WHERE length(text) >= ",
+        "FROM documents WHERE text IS NOT NULL AND length(text) >= ",
+    )
+    bench = _winnow_duck_sql(k, w).replace(
+        "FROM documents WHERE length(text) >= ",
+        "FROM (SELECT doc_id, substr(text, 10, 150) AS text FROM documents "
+        "WHERE text IS NOT NULL AND doc_id % 50 = 0 AND length(text) >= 200) "
+        "WHERE length(text) >= ",
+    )
+    return f"""
+WITH cfps AS ({corpus}),
+bfps AS (SELECT DISTINCT doc_id AS bench_id, fp FROM ({bench}))
+SELECT c.doc_id, b.bench_id, COUNT(DISTINCT c.fp) AS n_shared_fps
+FROM cfps c JOIN bfps b USING (fp)
+GROUP BY c.doc_id, b.bench_id
+HAVING COUNT(DISTINCT c.fp) >= {min_hits}
+"""
+
+
+def _hash_split_duck_sql(seed: str = "pgs-split-v1") -> str:
+    space = 1 << 60
+    b_train = int(0.98 * space)
+    b_val = int(0.99 * space)
+    return f"""
+WITH h AS (
+  SELECT doc_id,
+    CAST(('0x' || substr(md5('{seed}:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+    CASE WHEN hv < {b_train} THEN 'train'
+         WHEN hv < {b_val} THEN 'val'
+         ELSE 'test' END AS split
+  FROM h
+)
+SELECT split, COUNT(*) AS n, SUM(doc_id) AS id_sum FROM s GROUP BY split
+"""
+
+
 def _q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-document selection per near-dup cluster (longest text,
     ties to the smallest id) — the final corpus-dedup step: one kept
@@ -1246,10 +1320,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "simhash64": lambda spark, sf_dir: simhash64(_load(spark, sf_dir, "documents")),
         "langid_ngram": lambda spark, sf_dir: langid_ngram(_load(spark, sf_dir, "documents")),
-        "winnow_fingerprints": lambda spark, sf_dir: winnowing_fingerprints(
-            _load(spark, sf_dir, "documents")
-        ),
         "duplicate_spans": _q_duplicate_spans,
+        "decontamination": _q_decontamination,
         # multimodal
         "multimodal_image_hist": _q_multimodal_image_hist,
         "multimodal_audio_peaks": _q_multimodal_audio_peaks,
@@ -1299,6 +1371,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_signals": lambda spark, sf_dir: repetition_signals(
             _load(spark, sf_dir, "documents")
         ),
+        "winnow_fingerprints": lambda spark, sf_dir: winnowing_fingerprints(
+            _load(spark, sf_dir, "documents")
+        ),
+        "hash_split_stats": _q_hash_split,
     }
 
 
@@ -1701,6 +1777,8 @@ WHERE round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) >= 0.35
         "langid_ngram": _langid_duck_sql(),
         "winnow_fingerprints": _winnow_duck_sql(),
         "duplicate_spans": _dupspans_duck_sql(),
+        "decontamination": _decon_duck_sql(),
+        "hash_split_stats": _hash_split_duck_sql(),
         "repetition_signals": """
 WITH base AS (
   SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["exact_dedup", "minhash_signatures", "lsh_pairs", "ngram_jaccard_pairs", "simhash64"]
+__all__ = ["exact_dedup", "minhash_signatures", "lsh_pairs", "ngram_jaccard_pairs", "simhash64", "hash_split"]
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -176,3 +176,41 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
         )
     expr = " + ".join(f"({t})" for t in bit_terms)
     return base.select(F.col(id_col), F.expr(f"cast({expr} AS bigint)").alias("simhash"))
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    fractions: dict[str, float] | None = None,
+    seed: str = "pgs-split-v1",
+) -> DataFrame:
+    """Deterministic train/val/test assignment (the standard web-corpus
+    split op): each row's bucket comes from md5(seed || id) — stable
+    across runs, partitionings, engines, and corpus growth (a document
+    keeps its split forever; sampling by position or rand() does not
+    survive re-partitioning). Pure projection, no shuffle.
+
+    ``fractions`` maps split name -> fraction (must sum to 1); buckets
+    are half-open intervals over the 60-bit hash space in the dict's
+    insertion order."""
+    from pyspark.sql import functions as F
+
+    fractions = fractions or {"train": 0.98, "val": 0.01, "test": 0.01}
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    space = float(1 << 60)
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(seed), F.lit(":"), F.col(id_col).cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    expr = None
+    acc = 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        acc += fractions[name]
+        cond = h < F.lit(int(acc * space))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    expr = F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
+    return df.withColumn("split", expr)

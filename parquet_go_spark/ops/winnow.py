@@ -18,7 +18,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
-__all__ = ["winnow_bytes", "winnowing_fingerprints", "duplicate_spans"]
+__all__ = ["winnow_bytes", "winnowing_fingerprints", "duplicate_spans", "contamination"]
 
 _B = np.uint64(1000003)
 _MASK = np.uint64((1 << 61) - 1)
@@ -138,3 +138,44 @@ def duplicate_spans(
         .select(id_col, "span_start", "span_end", "span_len", "n_fps")
     )
     return spans
+
+
+def contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 16,
+    min_hits: int = 2,
+) -> DataFrame:
+    """Benchmark decontamination (the GPT-3/FLAN-style n-gram overlap
+    check, winnowing-based): flag corpus documents sharing fingerprinted
+    substrings with a benchmark/eval set, so training data can be
+    scrubbed of test material. Any shared substring of length >=
+    k + w - 1 is guaranteed a shared fingerprint (SIGMOD'03), so recall
+    is structural, not sampled.
+
+    Returns (id, bench_id, n_shared_fps) for corpus docs sharing >=
+    ``min_hits`` fingerprints with a benchmark doc.
+
+    Scale shape: the benchmark side (eval sets are KBs-MBs) fingerprints
+    into a tiny frame that BROADCASTS; the corpus fingerprint projection
+    never shuffles; matches aggregate per (corpus doc, bench doc) with
+    map-side combine. A corpus row's cost is its own fingerprints; the
+    benchmark never re-scans the corpus."""
+    from pyspark.sql import functions as F
+
+    cfps = winnowing_fingerprints(corpus, text_col=text_col, id_col=id_col)
+    bfps = (
+        winnowing_fingerprints(benchmark, text_col=text_col, id_col=bench_id_col)
+        .select(F.col(bench_id_col).alias("bench_id"), "fp")
+        .distinct()
+    )
+    return (
+        cfps.join(F.broadcast(bfps), "fp")
+        .groupBy(id_col, "bench_id")
+        .agg(F.countDistinct("fp").alias("n_shared_fps"))
+        .filter(F.col("n_shared_fps") >= min_hits)
+    )

@@ -108,3 +108,41 @@ def test_duplicate_spans_merges_with_gap(spark):
     for r in out:
         n[r["doc_id"]] = n.get(r["doc_id"], 0) + 1
     assert n[2] >= 2  # separated duplicates stay separate spans
+
+
+def test_contamination_flags_only_overlapping_docs(spark):
+    from parquet_go_spark.ops.winnow import contamination
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "training text containing the exact benchmark question what is the airspeed velocity of an unladen swallow plus more"),
+            (2, "completely clean document with no overlap at all in any way whatsoever"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "what is the airspeed velocity of an unladen swallow")],
+        "doc_id long, text string",
+    )
+    out = contamination(corpus, bench).collect()
+    assert len(out) == 1
+    assert out[0]["doc_id"] == 1 and out[0]["bench_id"] == 100 and out[0]["n_shared_fps"] >= 2
+
+
+def test_hash_split_stable_and_proportional(spark):
+    from pyspark.sql import functions as F
+
+    from parquet_go_spark.ops.dedup import hash_split
+
+    df = spark.range(20000).withColumnRenamed("id", "doc_id")
+    counts = {r["split"]: r["count"] for r in hash_split(df).groupBy("split").count().collect()}
+    assert abs(counts["train"] / 20000 - 0.98) < 0.01
+    # repartition-invariant assignment
+    a = {r["doc_id"]: r["split"] for r in hash_split(df.repartition(11)).collect()}
+    b = {r["doc_id"]: r["split"] for r in hash_split(df.repartition(2)).collect()}
+    assert a == b
+    # fractions must sum to 1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="sum to 1"):
+        hash_split(df, fractions={"train": 0.5, "val": 0.1})
