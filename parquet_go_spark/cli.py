@@ -512,6 +512,71 @@ def cmd_snapshots(args) -> int:
     return 0
 
 
+def cmd_decontaminate(args) -> int:
+    """Scrub a corpus of benchmark contamination: fingerprint the
+    benchmark set (ops/winnow.contamination), drop every corpus
+    document sharing >= --min-hits winnowing fingerprints with any
+    benchmark doc, and encode the survivors as a new table whose
+    ``decontaminate`` snapshot records the benchmark lineage and drop
+    count."""
+    spark = _spark(args)
+    from pyspark.sql import functions as F
+
+    from .ops.winnow import contamination
+    from .spark import manifest as mf
+    from .spark.encode_job import encode_table
+
+    df = _load_table(spark, args)
+    if args.bench_format == "parquet":
+        bench = spark.read.parquet(args.bench)
+    else:
+        from .spark.decode_job import decode_table
+
+        bench = decode_table(spark, args.bench)
+    flagged = contamination(
+        df.filter(F.col(args.text_col).isNotNull()),
+        bench,
+        text_col=args.text_col,
+        id_col=args.id_col,
+        bench_id_col=args.bench_id_col,
+        min_hits=args.min_hits,
+    ).select(args.id_col).distinct()
+    kept = df.join(flagged, args.id_col, "left_anti")
+    n_in = df.count()
+    man = encode_table(
+        kept,
+        args.out,
+        key_col=args.key_col,
+        partitions=args.partitions,
+        compression=args.compression,
+    ).collect()
+    first = man[0]["column"] if man else None
+    rows_out = sum(r["num_rows"] for r in man if r["column"] == first)
+    snap = mf.commit_snapshot(
+        args.out,
+        "decontaminate",
+        {
+            "source": args.enc,
+            "benchmark": args.bench,
+            "min_hits": args.min_hits,
+            "rows_in": n_in,
+            "rows_dropped": n_in - rows_out,
+        },
+    )
+    print(
+        json.dumps(
+            {
+                "rows_in": n_in,
+                "rows_out": rows_out,
+                "rows_dropped": n_in - rows_out,
+                "out": args.out,
+                "snapshot": snap["seq"],
+            }
+        )
+    )
+    return 0
+
+
 def cmd_curate(args) -> int:
     """Curate a corpus end-to-end: load (either input format, any
     --where/--as-of scoping), run the one-shuffle dedup + quality
@@ -863,6 +928,30 @@ def main(argv=None) -> int:
     cu = sub.add_parser(
         "curate", help="dedup + quality-gate a corpus into a new encoded table"
     )
+    dc = sub.add_parser(
+        "decontaminate",
+        help="drop documents overlapping a benchmark/eval set (winnowing fingerprints)",
+    )
+    dc.add_argument("--enc", required=True, help="source table (pgs dir or parquet dir)")
+    dc.add_argument("--bench", required=True, help="benchmark table (pgs dir or parquet dir)")
+    dc.add_argument(
+        "--bench-format", dest="bench_format", choices=["pgs", "parquet"], default="parquet"
+    )
+    dc.add_argument("--out", required=True)
+    dc.add_argument(
+        "--input-format", dest="input_format", choices=["pgs", "parquet"], default="pgs"
+    )
+    dc.add_argument("--columns", default=None)
+    dc.add_argument("--where", default=None)
+    dc.add_argument("--as-of", dest="as_of", type=int, default=None)
+    dc.add_argument("--text-col", default="text")
+    dc.add_argument("--id-col", default="doc_id")
+    dc.add_argument("--bench-id-col", dest="bench_id_col", default="doc_id")
+    dc.add_argument("--min-hits", dest="min_hits", type=int, default=2)
+    dc.add_argument("--key-col", default=None)
+    dc.add_argument("--partitions", type=int, default=None)
+    dc.add_argument("--compression", default="snappy")
+    dc.set_defaults(fn=cmd_decontaminate)
     cu.add_argument("--enc", required=True, help="source table (pgs dir or parquet dir)")
     cu.add_argument("--out", required=True)
     cu.add_argument(

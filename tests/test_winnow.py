@@ -146,3 +146,37 @@ def test_hash_split_stable_and_proportional(spark):
 
     with _pytest.raises(ValueError, match="sum to 1"):
         hash_split(df, fractions={"train": 0.5, "val": 0.1})
+
+
+def test_cli_decontaminate(spark, tmp_path):
+    import json as _json
+    import subprocess
+    import sys
+
+    from parquet_go_spark.spark.decode_job import decode_table
+    from parquet_go_spark.spark.encode_job import encode_table
+
+    leak = "the secret benchmark question about unladen swallows and their airspeed velocity"
+    rows = [
+        (1, "clean document with entirely original content and nothing shared at all"),
+        (2, "prefix text " + leak + " suffix text"),
+        (3, "another perfectly clean page with its own unique words and phrasing"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    src = str(tmp_path / "src")
+    encode_table(df, src, partitions=2).collect()
+    bench_dir = str(tmp_path / "bench")
+    spark.createDataFrame([(100, leak)], "doc_id long, text string").write.parquet(bench_dir)
+    out = str(tmp_path / "out")
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "parquet_go_spark", "--cpus", "4",
+            "decontaminate", "--enc", src, "--bench", bench_dir, "--out", out,
+        ],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    info = _json.loads(r.stdout.strip().splitlines()[-1])
+    assert info["rows_in"] == 3 and info["rows_dropped"] == 1
+    kept = {x["doc_id"] for x in decode_table(spark, out).select("doc_id").collect()}
+    assert kept == {1, 3}
