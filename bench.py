@@ -259,12 +259,24 @@ def main() -> None:
         sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf"))
     except ValueError:
         sf = -1.0
+    # The scaling / hardware-envelope measurements are bulky nested
+    # documents; inlining them once pushed the final stdout line past
+    # the driver's tail capture and BENCH_r03 recorded "parsed": null.
+    # Emit them as their own EARLIER stdout lines (and keep the files
+    # on disk, referenced by name) so the LAST line stays a compact,
+    # always-parseable summary.
     here = os.path.dirname(os.path.abspath(__file__))
     for key, fname in (("scaling", "BENCH_SCALING.json"), ("hw_envelope", "BENCH_ENVELOPE.json")):
         p = os.path.join(here, fname)
         if os.path.exists(p):
             with open(p) as f:
-                extras[key] = json.load(f)
+                blob = json.load(f)
+            print(json.dumps({"detail": key, "file": fname, "data": blob}))
+            extras[f"{key}_file"] = fname
+            if key == "scaling":
+                for k in ("scaling_efficiency", "gbps_n", "gbps_4n", "n_cores", "4n_cores", "pass"):
+                    if k in blob:
+                        extras[f"scaling_{k}" if not k.startswith("scaling") else k] = blob[k]
     out = {
         "metric": "total_bench_seconds",
         "value": round(sum(q.values()), 3),

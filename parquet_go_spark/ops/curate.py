@@ -32,15 +32,18 @@ def strip_boilerplate(
     n_lines_removed)`` with ``clean_text`` the surviving lines joined
     by ``\\n`` (empty string when every line was boilerplate).
 
-    Plan (the 100 TB shape): explode to lines (no shuffle) -> ONE
-    exchange on ``(host, line)`` where a window counts distinct docs
-    per line [map-side combine via the aggregate would lose the line
-    order, so the count is a window over the exploded frame] -> join
-    the tiny per-host doc-count aggregate (AQE broadcasts it) -> ONE
-    exchange on the doc id to reassemble surviving lines in order.
-    Counts are integers and reassembly sorts by line index, so the
-    result is deterministic in any engine (the DuckDB oracle matches
-    exactly).
+    Plan (the 100 TB shape): explode to lines (no shuffle) -> a
+    ``groupBy(host, line).agg(countDistinct(id))`` side aggregate
+    [Spark plans count-distinct as dedup-on-(host,line,id) then count,
+    so per-group state is one counter — NOT the full doc-id set a
+    ``collect_set`` window would buffer; a universal line on a
+    mega-host (empty line, shared footer) stays O(1) memory per
+    group] -> join the counts back onto the exploded stream on
+    ``(host, line)`` -> join the tiny per-host doc-count aggregate
+    (AQE broadcasts it) -> ONE exchange on the doc id to reassemble
+    surviving lines in order. Counts are integers and reassembly sorts
+    by line index, so the result is deterministic in any engine (the
+    DuckDB oracle matches exactly).
     """
     lines = df.select(
         F.col(id_col).alias("id"),
@@ -50,10 +53,14 @@ def strip_boilerplate(
     host_docs = df.groupBy(F.col(host_col).alias("host")).agg(
         F.countDistinct(F.col(id_col)).alias("n_docs")
     )
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("host", "line")
-    freq = lines.withColumn("line_docs", F.size(F.collect_set("id").over(w)))
+    # Per-(host, line) distinct-doc counts as a separate aggregate
+    # joined back, NOT a collect_set window: the window form buffered
+    # every doc id of a line for every occurrence row, and the hottest
+    # lines — the very boilerplate being targeted — built the largest
+    # frames (executor-memory hazard at 100x scale). countDistinct
+    # plans as a bounded two-stage dedup+count.
+    line_docs = lines.groupBy("host", "line").agg(F.countDistinct("id").alias("line_docs"))
+    freq = lines.join(line_docs, ["host", "line"])
     # explicit broadcast: without it Catalyst picks a SortMergeJoin and
     # re-shuffles the whole exploded line stream on `host` — the totals
     # side is one tiny row per host (doc-level aggregate)

@@ -197,12 +197,21 @@ def repetition_signals(df: DataFrame, text_col: str = "text", id_col: str = "doc
     t = F.col(text_col)
     words = F.expr(f"filter(split({text_col}, ' '), w -> w <> '')")
     n_words = F.size(words)
-    grams = F.expr(
-        f"transform(sequence(1, greatest(size(filter(split({text_col}, ' '), w -> w <> '')) - 2, 0)),"
-        f" i -> concat_ws(' ', filter(split({text_col}, ' '), w -> w <> '')[i - 1],"
-        f" filter(split({text_col}, ' '), w -> w <> '')[i],"
-        f" filter(split({text_col}, ' '), w -> w <> '')[i + 1]))"
-    )
+    # Guarded gram construction: sequence(1, 0) in Spark yields the
+    # DESCENDING [1, 0] (not empty), so an unguarded transform indexes
+    # words[-1]/words[size] on docs with < 3 words — an
+    # INVALID_ARRAY_INDEX crash under ANSI mode and a silent
+    # dup_3gram_frac=0.5 divergence from the oracle without it. Docs
+    # shorter than 3 words have zero 3-grams by definition.
+    grams = F.when(
+        n_words >= 3,
+        F.expr(
+            f"transform(sequence(1, size(filter(split({text_col}, ' '), w -> w <> '')) - 2),"
+            f" i -> concat_ws(' ', filter(split({text_col}, ' '), w -> w <> '')[i - 1],"
+            f" filter(split({text_col}, ' '), w -> w <> '')[i],"
+            f" filter(split({text_col}, ' '), w -> w <> '')[i + 1]))"
+        ),
+    ).otherwise(F.expr("cast(array() as array<string>)"))
     n_grams = F.size(grams)
     dup_gram_frac = F.when(
         n_grams > 0,

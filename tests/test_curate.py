@@ -97,6 +97,35 @@ def test_strip_boilerplate_removes_frequent_keeps_rare(spark):
     assert all("welcome" not in r["clean_text"] and "(c)" not in r["clean_text"] for r in out.values())
 
 
+def test_strip_boilerplate_skewed_host_bounded_state(spark):
+    """One mega-host carrying a universal line (the round-3 memory
+    hazard): the hottest (host, line) group must be aggregated by a
+    bounded countDistinct, never buffered as a collect_set window
+    frame. Pins both the results under planted skew and the plan shape
+    (no Window/collect_set operator anywhere in the plan)."""
+    from parquet_go_spark.ops.curate import strip_boilerplate
+
+    rows = []
+    # mega-host: 400 docs, every one carries the same empty line + footer
+    for i in range(400):
+        rows.append((f"m{i}", "mega.com", f"body {i}\n\nshared footer\nbody2 {i}"))
+    # tiny host: 3 docs, footer appears once (33% > 30% with min_docs=2? no: 1 doc < min_docs)
+    for i in range(3):
+        rows.append((f"t{i}", "tiny.org", f"t-body {i}" + ("\nshared footer" if i == 0 else "")))
+    df = spark.createDataFrame(rows, "doc_id string, host string, text string")
+    q = strip_boilerplate(df, "host", "text", "doc_id")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "collect_set" not in plan and "Window" not in plan
+    out = {r["doc_id"]: r for r in q.collect()}
+    assert len(out) == 403
+    # mega-host: empty line + footer stripped (each in 100% of 400 docs)
+    assert out["m7"]["clean_text"] == "body 7\nbody2 7"
+    assert out["m7"]["n_lines_removed"] == 2
+    # tiny host: footer in 1/3 docs -> below min_docs=2, kept
+    assert out["t0"]["clean_text"] == "t-body 0\nshared footer"
+    assert out["t0"]["n_lines_removed"] == 0
+
+
 def test_strip_boilerplate_all_lines_removed_yields_empty(spark):
     from parquet_go_spark.ops.curate import strip_boilerplate
 

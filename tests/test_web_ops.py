@@ -98,10 +98,28 @@ def test_repetition_signals_flags_stuffed_pages(spark):
         (2, "a perfectly ordinary sentence with mostly distinct words in it today"),
         (3, "spam spam spam spam spam spam spam spam"),
         (4, None),
+        # < 3 words: zero 3-grams by definition. Under ANSI mode an
+        # unguarded sequence(1, size-2) produced the DESCENDING [1, 0]
+        # and crashed with INVALID_ARRAY_INDEX on these rows.
+        (5, ""),
+        (6, "one"),
+        (7, "two words"),
+        (8, "  "),  # whitespace-only -> zero non-empty words
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r["doc_id"]: r for r in repetition_signals(df).collect()}
-    assert set(out) == {1, 2, 3}  # nulls dropped
+    assert set(out) == {1, 2, 3, 5, 6, 7, 8}  # nulls dropped
+    for short_id, nw in ((5, 0), (6, 1), (7, 2), (8, 0)):
+        r = out[short_id]
+        assert r["n_words"] == nw
+        assert r["dup_3gram_frac"] == 0.0
+    # zero-word docs can't trip either gate; 1-2 word docs trip only the
+    # top_word_cov gate (cov 1.0 / 0.5), same as the DuckDB oracle
+    assert not out[5]["repetitive"] and not out[8]["repetitive"]
+    assert out[6]["repetitive"] and out[7]["repetitive"]
+    assert out[6]["top_word_cov"] == 1.0  # single word covers everything
+    assert out[6]["mean_word_len"] == 3.0
+    assert out[5]["top_word_cov"] == 0.0 and out[5]["mean_word_len"] == 0.0
     assert out[1]["repetitive"] and out[3]["repetitive"] and not out[2]["repetitive"]
     assert out[3]["top_word_cov"] == 1.0
     assert out[2]["dup_3gram_frac"] == 0.0
