@@ -65,15 +65,22 @@ def _pushdown_enabled() -> bool | None:
     ``pushFilters`` while the conf is off, so the reader class must be
     chosen per-session.  Two probes, then "unknown":
 
-    - worker path: with the conf ON, ``DataSource.reader()`` is invoked
-      by the dedicated pushdown planner worker
+    - documented surface first: the active session's runtime conf
+      (available on the driver; planner workers have no session).
+    - worker path (no session): with the conf ON, ``DataSource.reader()``
+      is invoked by the dedicated pushdown planner worker
       (``pyspark/sql/worker/data_source_pushdown_filters.py``), whose
       very purpose is to call ``pushFilters``; with it OFF, it is
       invoked by ``plan_data_source_read.main``, which holds the conf as
       its ``enable_pushdown`` local (the same value it later uses for
-      the hard check).  A short walk up the stack distinguishes the two.
-    - driver path (no worker frame found): the active session's runtime
-      conf.
+      the hard check).  A short walk up the stack distinguishes the two
+      — and the local is only trusted when its frame actually belongs to
+      that pyspark worker module, so unrelated code defining an
+      ``enable_pushdown`` variable can never misreport.  Probed against
+      pyspark 4.1.x (pinned by ``test_datasource.py``'s vanilla-session
+      matrix — a pyspark refactor that renames either surface degrades
+      to the safe no-pushdown reader, and that test catches the lost
+      pruning).
 
     Unknown ⇒ the caller must pick the no-pushdown reader: pruning is an
     optimization (Spark re-applies every filter), a crash is not.
@@ -81,22 +88,26 @@ def _pushdown_enabled() -> bool | None:
     import sys
 
     try:
-        f = sys._getframe(1)
-        while f is not None:
-            if "enable_pushdown" in f.f_locals:
-                return bool(f.f_locals["enable_pushdown"])
-            if f.f_code.co_filename.endswith("data_source_pushdown_filters.py"):
-                return True
-            f = f.f_back
-    except Exception:
-        pass
-    try:
         from pyspark.sql import SparkSession
 
         s = SparkSession.getActiveSession()
         if s is not None:
             v = s.conf.get("spark.sql.python.filterPushdown.enabled", "false")
             return str(v).lower() == "true"
+    except Exception:
+        pass
+    try:
+        f = sys._getframe(1)
+        while f is not None:
+            fname = f.f_code.co_filename
+            if fname.endswith("data_source_pushdown_filters.py"):
+                return True
+            if (
+                fname.endswith("plan_data_source_read.py")
+                and "enable_pushdown" in f.f_locals
+            ):
+                return bool(f.f_locals["enable_pushdown"])
+            f = f.f_back
     except Exception:
         pass
     return None
@@ -188,11 +199,18 @@ def _decode_partition_to_batches(
 
     if pid < 0:
         return
-    dpos = mf.delete_positions(enc_dir, pid, files=delete_files)
-    eq_specs = mf.eq_deletes_by_pid(enc_dir, eq_files).get(pid)
     path = os.path.join(enc_dir, f"part-{pid:05d}.bin")
     with open(path, "rb") as fh:
         payload = fh.read()
+    from .encode_job import partition_file_epoch
+
+    # sidecar staleness is judged against the epoch of the bytes we just
+    # read, so a concurrent in-place rewrite can never make us apply old
+    # ordinals to new data (or new ordinals to old data — that raises)
+    dpos = mf.delete_positions(
+        enc_dir, pid, files=delete_files, file_epoch=partition_file_epoch(payload)
+    )
+    eq_specs = mf.eq_deletes_by_pid(enc_dir, eq_files).get(pid)
     cols = [f["name"] for f in fields]
     want = set(cols) | {p[0] for p in prune}
     blobs = parse_partition_file(payload, want)

@@ -17,7 +17,7 @@ import numpy as np
 from ..core.chunk import chunk_page_index, decode_chunk
 from ..core.columns import to_arrow
 from . import manifest as mf
-from .encode_job import parse_partition_file
+from .encode_job import parse_partition_file, partition_file_epoch
 
 
 def _le_bound(a, b) -> bool:
@@ -558,9 +558,18 @@ def decode_table(
                 want_here = (
                     want | {c for c, _ in eq_specs if c in by_name} if eq_specs else want
                 )
-                blobs = parse_partition_file(content.as_py(), want_here)
+                payload = content.as_py()
+                blobs = parse_partition_file(payload, want_here)
                 dpos = (
-                    mf.delete_positions(enc_dir, bpid, files=del_by_pid[bpid])
+                    mf.delete_positions(
+                        enc_dir,
+                        bpid,
+                        files=del_by_pid[bpid],
+                        # epoch of the bytes THIS task holds: sidecars
+                        # from before an in-place rewrite are skipped
+                        # with proof, never applied to compacted rows
+                        file_epoch=partition_file_epoch(payload),
+                    )
                     if bpid in del_by_pid
                     else None
                 )

@@ -32,13 +32,25 @@ from . import manifest as mf
 
 FILE_MAGIC = b"PGSF"
 
+# Reserved first entry carrying the partition file's rewrite EPOCH — the
+# coordinate-system version positional-delete sidecars are stamped
+# against. It lives INSIDE the data file so it changes atomically with
+# the data bytes (one os.replace): a reader holding the file bytes can
+# always tell which sidecars apply, with no window where a separately
+# committed metadata file could disagree. Epoch 0 (a never-rewritten
+# partition) writes no entry, keeping fresh files byte-stable.
+EPOCH_KEY = "__pgs_epoch__"
 
-def write_partition_file(path: str, named_blobs: list[tuple[str, bytes]]):
+
+def write_partition_file(path: str, named_blobs: list[tuple[str, bytes]], epoch: int = 0):
     tmp = path + f".tmp.{os.getpid()}"
     with open(tmp, "wb") as f:
         f.write(FILE_MAGIC)
-        f.write(uvarint(len(named_blobs)))
-        for name, blob in named_blobs:
+        entries = list(named_blobs)
+        if epoch:
+            entries = [(EPOCH_KEY, bytes(uvarint(int(epoch))))] + entries
+        f.write(uvarint(len(entries)))
+        for name, blob in entries:
             nb = name.encode()
             f.write(uvarint(len(nb)))
             f.write(nb)
@@ -48,7 +60,9 @@ def write_partition_file(path: str, named_blobs: list[tuple[str, bytes]]):
 
 
 def parse_partition_file(buf, columns: set[str] | None = None) -> dict[str, memoryview]:
-    """-> {column: chunk blob}; unselected chunks are seeked past."""
+    """-> {column: chunk blob}; unselected chunks are seeked past.
+    Reserved ``__pgs_*`` entries (the rewrite epoch) never surface as
+    columns."""
     mv = memoryview(buf)
     if bytes(mv[:4]) != FILE_MAGIC:
         raise ValueError("bad partition file magic")
@@ -60,10 +74,41 @@ def parse_partition_file(buf, columns: set[str] | None = None) -> dict[str, memo
         name = bytes(mv[pos : pos + nl]).decode()
         pos += nl
         bl, pos = read_uvarint(mv, pos)
-        if columns is None or name in columns:
+        if (columns is None or name in columns) and not name.startswith("__pgs_"):
             out[name] = mv[pos : pos + bl]
         pos += bl
     return out
+
+
+def partition_file_epoch(buf) -> int:
+    """Rewrite epoch of a partition file's bytes (0 = never rewritten).
+    Reads only the header + first entry name — O(few bytes)."""
+    mv = memoryview(buf)
+    if len(mv) < 5 or bytes(mv[:4]) != FILE_MAGIC:
+        return 0
+    pos = 4
+    n, pos = read_uvarint(mv, pos)
+    if n == 0:
+        return 0
+    nl, pos = read_uvarint(mv, pos)
+    name = bytes(mv[pos : pos + nl])
+    pos += nl
+    if name != EPOCH_KEY.encode():
+        return 0
+    bl, pos = read_uvarint(mv, pos)
+    epoch, _ = read_uvarint(mv, pos)
+    return int(epoch)
+
+
+def partition_file_epoch_path(path: str) -> int:
+    """``partition_file_epoch`` from a path — reads the first 64 bytes
+    only (the reserved entry, when present, is always first)."""
+    try:
+        with open(path, "rb") as f:
+            head = f.read(64)
+    except OSError:
+        return 0
+    return partition_file_epoch(head)
 
 
 def encode_columns_to_partition(
@@ -81,11 +126,16 @@ def encode_columns_to_partition(
     bloom_columns: list[str] | None = None,
     bloom_bits: int = 16,
     bloom_cap: int = 1 << 17,
+    epoch: int = 0,
 ) -> list[dict]:
     """Encode one partition's Arrow table into ``part-<pid>.bin`` +
     atomic manifest commit; returns the manifest rows. Shared by the
     mapInArrow job (``encode_table``) and the ``format("pgs")`` writer
-    (``spark/datasource.py``)."""
+    (``spark/datasource.py``). In-place REWRITES (delete
+    materialization, COW deletes) pass ``epoch`` = old epoch + 1 so
+    positional sidecars stamped against the old row ordinals become
+    provably stale the instant the new data file lands — readers skip
+    them even before the manifest/sidecar cleanup commits."""
     fpath = os.path.join(out_dir, f"part-{pid:05d}.bin")
     named_blobs: list[tuple[str, bytes]] = []
     rows: list[dict] = []
@@ -123,7 +173,7 @@ def encode_columns_to_partition(
                     "length": len(blob),
                 }
             )
-    write_partition_file(fpath, named_blobs)
+    write_partition_file(fpath, named_blobs, epoch=epoch)
     mf.commit_partition(out_dir, pid, rows)
     return rows
 

@@ -200,10 +200,11 @@ def mark_matching_keys(
         pos = np.unique(pdf["pos"].to_numpy(dtype="int64"))
         man = mf.read_partition_manifest(enc_dir, pid)
         base_rows = man[0]["num_rows"] if man else 0
-        already = mf.delete_positions(enc_dir, pid)
+        fepoch = mf._partition_epoch(enc_dir, pid)
+        already = mf.delete_positions(enc_dir, pid, file_epoch=fepoch)
         new = np.setdiff1d(pos, already, assume_unique=True)
         if new.size:
-            mf.write_delete_file(enc_dir, pid, new, base_rows=base_rows)
+            mf.write_delete_file(enc_dir, pid, new, base_rows=base_rows, epoch=fepoch)
         return pd.DataFrame([{"partition": pid, "rows_deleted": int(new.size)}])
 
     rows = (
@@ -252,6 +253,7 @@ def materialize_deletes(
             out = []
             for p in pdf["path"]:
                 pid = _pid_of(p)
+                old_epoch = mf._partition_epoch(enc_dir, pid)
                 batches = list(_decode_partition_to_batches(enc_dir, fields, pid, []))
                 if batches:
                     table = pa.Table.from_batches(batches).combine_chunks()
@@ -269,7 +271,12 @@ def materialize_deletes(
                         "none",
                     )
                     kw.setdefault("compression", codec)
-                encode_columns_to_partition(table, cols, enc_dir, pid, **kw)
+                # epoch bump makes the applied sidecars provably stale
+                # atomically with the data-file replace: a concurrent
+                # reader (or one arriving after a crash before the
+                # driver's sidecar cleanup below) skips them instead of
+                # applying old ordinals to the compacted file
+                encode_columns_to_partition(table, cols, enc_dir, pid, epoch=old_epoch + 1, **kw)
                 out.append({"partition": pid, "rewritten": True})
             yield pd.DataFrame(out)
 
@@ -474,7 +481,14 @@ def delete_where(
                                 "none",
                             )
                             kw.setdefault("compression", codec)
-                        encode_columns_to_partition(kept, cols, enc_dir, pid, **kw)
+                        # bump the file-embedded rewrite epoch: folded-in
+                        # sidecars become provably stale the instant the
+                        # new bytes land (crash-safe — no reader window
+                        # where old ordinals hit the compacted file)
+                        encode_columns_to_partition(
+                            kept, cols, enc_dir, pid,
+                            epoch=mf._partition_epoch(enc_dir, pid) + 1, **kw,
+                        )
                         rewrote = True
                 out.append({"partition": pid, "rows_deleted": deleted, "rewritten": rewrote})
             yield pd.DataFrame(out)
@@ -508,16 +522,21 @@ def delete_where(
                 batch = decode_blobs_to_batch(blobs, pred_cols, nested, logicals, None)
                 deleted = 0
                 if batch is not None and batch.num_rows:
+                    from .encode_job import partition_file_epoch
+
                     match = pc.invert(
                         _not_matching_mask(pa.Table.from_batches([batch]), predicate)
                     )
                     if isinstance(match, pa.ChunkedArray):
                         match = match.combine_chunks()
                     pos = np.flatnonzero(match.to_numpy(zero_copy_only=False)).astype(np.int64)
-                    already = mf.delete_positions(enc_dir, pid)
+                    fepoch = partition_file_epoch(payload)
+                    already = mf.delete_positions(enc_dir, pid, file_epoch=fepoch)
                     new_pos = np.setdiff1d(pos, already, assume_unique=True)
                     if new_pos.size:
-                        mf.write_delete_file(enc_dir, pid, new_pos, base_rows=batch.num_rows)
+                        mf.write_delete_file(
+                            enc_dir, pid, new_pos, base_rows=batch.num_rows, epoch=fepoch
+                        )
                         deleted = int(new_pos.size)
                 out.append({"partition": pid, "rows_deleted": deleted, "rewritten": False})
             yield pd.DataFrame(out)

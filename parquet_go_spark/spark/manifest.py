@@ -109,14 +109,21 @@ def list_delete_files(out_dir: str, pid: int | None = None) -> list[str]:
     return sorted(os.path.basename(p) for p in glob.glob(os.path.join(deletes_dir(out_dir), pat)))
 
 
-def write_delete_file(out_dir: str, pid: int, positions, base_rows: int) -> str:
+def write_delete_file(out_dir: str, pid: int, positions, base_rows: int, epoch: int = 0) -> str:
     """Atomically write one positional-delete sidecar for partition
     ``pid`` (sorted int64 row ordinals within the partition file) and
     return its basename. Sidecars accumulate; readers union them.
-    ``base_rows`` — the partition's manifest row count the ordinals were
-    computed against — is stamped into the file so a later in-place
-    rewrite (which renumbers ordinals) makes the sidecar PROVABLY stale:
-    readers raise instead of silently deleting the wrong rows."""
+    Two staleness stamps ride in the file metadata:
+
+    - ``epoch`` — the partition FILE's rewrite epoch the ordinals were
+      computed against (``encode_job.partition_file_epoch``). A rewrite
+      bumps the file's embedded epoch in the same atomic rename that
+      replaces the data bytes, so readers can IGNORE older-epoch
+      sidecars with proof (the rewrite materialized them) — no window
+      where stale ordinals silently delete the wrong rows, crash or no
+      crash.
+    - ``base_rows`` — the partition's manifest row count, the legacy
+      secondary check (raises on mismatch within the same epoch)."""
     import numpy as np
 
     pos = np.asarray(positions, dtype=np.int64)
@@ -134,7 +141,7 @@ def write_delete_file(out_dir: str, pid: int, positions, base_rows: int) -> str:
     path = os.path.join(deletes_dir(out_dir), name)
     tmp = path + f".tmp.{os.getpid()}"
     table = pa.table({"pos": pa.array(pos, pa.int64())}).replace_schema_metadata(
-        {"base_rows": str(int(base_rows))}
+        {"base_rows": str(int(base_rows)), "epoch": str(int(epoch))}
     )
     pq.write_table(table, tmp)
     os.replace(tmp, path)
@@ -146,26 +153,64 @@ def _sidecar_base_rows(table) -> int:
     return int(meta.get(b"base_rows", b"-1"))
 
 
-def delete_positions(out_dir: str, pid: int, files: list[str] | None = None):
+def _sidecar_epoch(table) -> int:
+    meta = table.schema.metadata or {}
+    return int(meta.get(b"epoch", b"0"))
+
+
+def _partition_epoch(out_dir: str, pid: int) -> int:
+    from .encode_job import partition_file_epoch_path
+
+    return partition_file_epoch_path(os.path.join(out_dir, f"part-{pid:05d}.bin"))
+
+
+def delete_positions(
+    out_dir: str, pid: int, files: list[str] | None = None, file_epoch: int | None = None
+):
     """Union of deleted row ordinals for partition ``pid`` as a sorted
     int64 numpy array. ``files`` restricts to a pinned apply set (time
-    travel); None means every sidecar on disk (current read). Raises if
-    a sidecar's stamped ``base_rows`` disagrees with the partition's
-    current manifest row count — the sidecar predates an in-place
-    rewrite and its ordinals are meaningless (crash window between a
-    COW rewrite and its sidecar cleanup; ``remove_stale_delete_files``
-    repairs, since a completed rewrite already materialized them)."""
+    travel); None means every sidecar on disk (current read).
+
+    ``file_epoch`` is the rewrite epoch embedded in the partition file
+    bytes the CALLER is about to decode (``partition_file_epoch``);
+    None reads it from the file on disk. Sidecars stamped with an OLDER
+    epoch are skipped with proof: the epoch only moves in the same
+    atomic rename that replaces the data bytes, and every rewrite
+    materializes outstanding deletes first — so an older-epoch
+    sidecar's positions are already baked into the file. A NEWER-epoch
+    sidecar (the reader somehow holds pre-rewrite bytes) raises rather
+    than corrupt. Within the same epoch, a ``base_rows`` mismatch vs
+    the manifest still raises (legacy guard for pre-epoch sidecars)."""
     import numpy as np
 
     names = files if files is not None else list_delete_files(out_dir, pid)
     prefix = f"del-{pid:05d}-"
     parts = []
     cur_rows = None
+    fepoch = None
     for name in names:
         if not name.startswith(prefix):
             continue
         path = os.path.join(deletes_dir(out_dir), name)
-        t = pq.read_table(path)
+        try:
+            t = pq.read_table(path)
+        except FileNotFoundError:
+            # cleaned up between planning and apply: only legal when a
+            # rewrite made it stale, i.e. the file epoch moved on — the
+            # epoch check below can't run, but a sidecar removed by
+            # remove_delete_files is always materialized
+            continue
+        ep = _sidecar_epoch(t)
+        if fepoch is None:
+            fepoch = file_epoch if file_epoch is not None else _partition_epoch(out_dir, pid)
+        if ep < fepoch:
+            continue  # provably materialized by a completed rewrite
+        if ep > fepoch:
+            raise ValueError(
+                f"delete sidecar {name} is stamped epoch {ep} but the "
+                f"partition file bytes are epoch {fepoch}: reading "
+                "pre-rewrite data with post-rewrite deletes"
+            )
         base = _sidecar_base_rows(t)
         if base >= 0:
             if cur_rows is None:
@@ -240,18 +285,21 @@ def eq_deletes_by_pid(out_dir: str, names: list[str] | None = None) -> dict:
 
 
 def remove_stale_delete_files(out_dir: str, pid: int) -> list[str]:
-    """Remove sidecars whose ``base_rows`` no longer matches partition
-    ``pid``'s manifest row count. Safe by construction: a mismatch
-    proves a rewrite completed after the sidecar was written, and every
+    """Remove sidecars provably made stale by a completed rewrite:
+    stamped with an older file epoch than the partition file's embedded
+    one, or (legacy pre-epoch stamp) a ``base_rows`` that no longer
+    matches the manifest row count. Safe by construction: every
     completed rewrite decodes live rows (sidecars applied) — the
     positions are already materialized into the data file."""
     man = read_partition_manifest(out_dir, pid)
     cur_rows = man[0]["num_rows"] if man else 0
+    fepoch = _partition_epoch(out_dir, pid)
     removed = []
     for name in list_delete_files(out_dir, pid):
         path = os.path.join(deletes_dir(out_dir), name)
-        base = _sidecar_base_rows(pq.read_table(path))
-        if base >= 0 and base != cur_rows:
+        t = pq.read_table(path)
+        base = _sidecar_base_rows(t)
+        if _sidecar_epoch(t) < fepoch or (base >= 0 and base != cur_rows):
             os.remove(path)
             removed.append(name)
     return removed
