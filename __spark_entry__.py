@@ -881,7 +881,12 @@ def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
-    return ivf_topk(emb, queries, k=10).withColumn("rank", F.col("rank").cast("long"))
+    # production constant-delivery mode: centroids ride a one-row
+    # broadcast frame (O(1) expression tree); the literal-mode oracle
+    # matches bit-for-bit (test_ann_broadcast_constants_match_literals)
+    return ivf_topk(emb, queries, k=10, constants="broadcast").withColumn(
+        "rank", F.col("rank").cast("long")
+    )
 
 
 def _q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -892,7 +897,12 @@ def _q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB — ADC scores are int64, so ranks match bit-for-bit."""
     emb = _load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
-    return pq_topk(emb, queries, k=10).withColumn("rank", F.col("rank").cast("long"))
+    # broadcast constants (codebooks+centroids as DATA): same doubles,
+    # same rounding, bit-identical ranks vs the literal DuckDB oracle —
+    # without the ~2k-literal plan-compile tax
+    return pq_topk(emb, queries, k=10, constants="broadcast").withColumn(
+        "rank", F.col("rank").cast("long")
+    )
 
 
 def _q_parquet_scan_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -32,7 +32,55 @@ __all__ = [
     "pq_code_sql",
     "pq_scores_sql",
     "pq_lut_sql",
+    "train_ivf_kmeans",
+    "train_pq_kmeans",
 ]
+
+
+def _scores_over(src: str, vec_expr: str, bias: bool = False) -> str:
+    """Spark SQL: array of ``round(dot(vec, c_j), 6)`` for every
+    centroid in ``src`` (an ``array<array<double>>`` expression — a
+    nested literal OR a broadcast-carried column; the arithmetic and
+    rounding are identical either way, which is what keeps the two
+    constant-delivery modes rank-for-rank interchangeable).
+
+    ``bias=True`` subtracts ``0.5·||c_j||²`` before rounding, turning
+    argmax into exact nearest-centroid-by-L2 (``argmin ||x-c||² =
+    argmax (x·c - ||c||²/2)``) — required for TRAINED codebooks whose
+    raw k-means means are not unit-norm; for unit-norm constants the
+    bias is a constant shift that cannot change the argmax."""
+    dot = (
+        f"aggregate(zip_with({vec_expr}, cj, (x, y) -> x * y),"
+        " 0D, (acc, x) -> acc + x)"
+    )
+    if bias:
+        nsq = "aggregate(zip_with(cj, cj, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+        return f"transform({src}, cj -> round({dot} - 0.5D * {nsq}, 6))"
+    return f"transform({src}, cj -> round({dot}, 6))"
+
+
+def _const_frame(spark, cents: np.ndarray | None = None, cb: np.ndarray | None = None):
+    """One-row aux DataFrame carrying quantizer constants as DATA:
+    ``__pgs_cents`` = (n_cells)x(dim) centroid lists, ``__pgs_cb`` =
+    (m)x(n_codes)x(sub) codebook lists. Broadcast-cross-joined onto the
+    corpus/query side, it replaces the ~K·dim-literal expression trees
+    whose constant plan-compile cost dominates literal-heavy ANN
+    queries at production scale — the per-row arithmetic is unchanged,
+    the constants just ride a broadcast relation instead of the plan."""
+    vals: list = []
+    schema: list[str] = []
+    if cents is not None:
+        vals.append([[float(x) for x in cents[:, j]] for j in range(cents.shape[1])])
+        schema.append("__pgs_cents array<array<double>>")
+    if cb is not None:
+        vals.append(
+            [
+                [[float(x) for x in cb[i, :, j]] for j in range(cb.shape[2])]
+                for i in range(cb.shape[0])
+            ]
+        )
+        schema.append("__pgs_cb array<array<array<double>>>")
+    return spark.createDataFrame([tuple(vals)], ", ".join(schema))
 
 
 def hyperplanes(dim: int, n_planes: int = 8, seed: int = 7) -> np.ndarray:
@@ -278,6 +326,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     seed: int = 13,
     centroids: np.ndarray | None = None,
+    constants: str = "literal",
 ) -> DataFrame:
     """Approximate cosine top-k via an IVF (inverted-file) index: every
     corpus vector is assigned to its argmax-dot coarse cell in one
@@ -294,7 +343,15 @@ def ivf_topk(
 
     ``centroids`` (a (dim, n_cells) matrix, e.g. from
     :func:`train_ivf_kmeans`) replaces the seeded random quantizer with
-    a trained one — same plan, better recall at scale."""
+    a trained one — same plan, better recall at scale.
+
+    ``constants="broadcast"`` ships the centroid matrix as DATA on a
+    one-row broadcast aux frame instead of a nested literal: identical
+    doubles, identical rounding, identical ranks — but the expression
+    tree stays O(1) in n_cells·dim, eliminating the constant
+    plan-compile cost that dominates literal-heavy plans (the
+    production mode; ``"literal"`` remains the cross-engine oracle
+    fixture mode)."""
     dim = len(queries.select(vec_col).first()[0])
     if centroids is not None:
         cents = np.asarray(centroids, dtype=np.float64)
@@ -303,14 +360,22 @@ def ivf_topk(
         n_cells = cents.shape[1]
     else:
         cents = ivf_centroids(dim, n_cells, seed)
-    ds = cell_scores_sql(cents, "e")
+    if constants == "broadcast":
+        aux = F.broadcast(_const_frame(df.sparkSession, cents=cents))
+        ds = _scores_over("__pgs_cents", "e")
+    else:
+        aux = None
+        ds = cell_scores_sql(cents, "e")
     nrm = "sqrt(aggregate(zip_with(e, e, (x, y) -> x * y), 0D, (acc, x) -> acc + x))"
 
     def base(d: DataFrame) -> DataFrame:
-        return d.select(
+        d = d.select(
             F.col(id_col).alias("vid"),
             F.expr(f"transform({vec_col}, x -> cast(x AS double))").alias("e"),
-        ).select("vid", "e", F.expr(nrm).alias("nrm"), F.expr(ds).alias("ds"))
+        )
+        if aux is not None:
+            d = d.crossJoin(aux)
+        return d.select("vid", "e", F.expr(nrm).alias("nrm"), F.expr(ds).alias("ds"))
 
     v = base(df).select(
         "vid", "e", "nrm", F.expr("array_position(ds, array_max(ds))").cast("int").alias("cell")
@@ -366,12 +431,90 @@ def pq_codebooks(dim: int, m: int = 8, n_codes: int = 16, seed: int = 17) -> np.
     return np.round(cb, 6)
 
 
-def _pq_scores_core(cb: np.ndarray, m_idx: int, vec_expr: str, dot_fn: str | None) -> str:
+def train_pq_kmeans(
+    df: DataFrame,
+    m: int = 8,
+    n_codes: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 17,
+    max_iter: int = 20,
+    sample_rows: int | None = 200_000,
+) -> np.ndarray:
+    """Train product-quantization codebooks the FAISS way: ``m``
+    INDEPENDENT k-means fits, one per subspace, each over that
+    subspace's slice of the L2-normalized vectors (MLlib kmeans||,
+    mirroring :func:`train_ivf_kmeans` for the coarse cells). Trained
+    centers follow the corpus density inside each subspace, so ADC
+    distances approximate true dots far better than the seeded
+    unit-norm codebook — recall rises with zero plan change.
+
+    -> (m, dim//m, n_codes), drop-in for :func:`pq_topk`'s
+    ``codebooks`` parameter. Centers are raw cluster means (NOT
+    re-normalized — they must approximate subvectors, not directions),
+    rounded to 6 decimals for cross-engine parity. If a subspace
+    yields fewer than ``n_codes`` distinct centers, the remainder is
+    padded from the seeded codebook so the shape contract holds.
+
+    Scale shape: ONE bounded sample + cache of the normalized corpus,
+    then m kmeans|| fits over sliced columns of the cached frame — each
+    fit is map-side partial aggregation; the model is m·sub·n_codes
+    doubles on the driver."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    first = df.select(vec_col).first()
+    if first is None:
+        raise ValueError("train_pq_kmeans: empty corpus")
+    dim = len(first[0])
+    if dim % m:
+        raise ValueError(f"pq: dim {dim} not divisible by m {m}")
+    sub = dim // m
+    nrm = (
+        f"sqrt(aggregate(zip_with({vec_col}, {vec_col}, (x, y) ->"
+        " cast(x as double) * y), 0D, (acc, x) -> acc + x))"
+    )
+    en = df.select(
+        F.expr(
+            f"transform({vec_col}, x -> cast(x as double) / nullif({nrm}, 0D))"
+        ).alias("en")
+    ).na.drop()
+    if sample_rows is not None:
+        total = en.count()
+        if total > sample_rows:
+            en = en.sample(fraction=sample_rows / total, seed=seed)
+    en = en.cache()
+    fallback = pq_codebooks(dim, m, n_codes, seed)
+    out = np.empty((m, sub, n_codes), dtype=np.float64)
+    try:
+        for i in range(m):
+            feats = en.select(
+                array_to_vector(F.expr(f"slice(en, {i * sub + 1}, {sub})")).alias(
+                    "features"
+                )
+            )
+            model = KMeans(k=n_codes, seed=seed + i, maxIter=max_iter).fit(feats)
+            cents = np.asarray(model.clusterCenters(), dtype=np.float64).T  # (sub, k)
+            got = cents.shape[1]
+            out[i, :, :got] = cents
+            if got < n_codes:  # degenerate subspace: pad to contract shape
+                out[i, :, got:] = fallback[i, :, got:]
+    finally:
+        en.unpersist()
+    return np.round(out, 6)
+
+
+def _pq_scores_core(
+    cb: np.ndarray, m_idx: int, vec_expr: str, dot_fn: str | None, bias: bool = False
+) -> str:
     """SQL array of round(dot(subvector_m, centroid_j), 6) per code j —
     ONE ``transform`` over a nested array literal of all K centroids
     (one codegen loop) rather than K unrolled fold expressions: the
     arithmetic is identical, the expression tree is ~K× smaller, which
-    is what dominates plan-compile time for literal-heavy ANN queries."""
+    is what dominates plan-compile time for literal-heavy ANN queries.
+
+    ``bias=True`` subtracts ``0.5·||c_j||²`` before rounding (see
+    ``_scores_over``): exact nearest-centroid assignment for TRAINED
+    raw-mean codebooks, a constant shift for unit-norm ones."""
     sub = cb.shape[1]
     start = m_idx * sub
     rows = []
@@ -380,30 +523,37 @@ def _pq_scores_core(cb: np.ndarray, m_idx: int, vec_expr: str, dot_fn: str | Non
         rows.append(f"[{lits}]" if dot_fn else f"array({lits})")
     if dot_fn:  # DuckDB: 1-based inclusive slice, lambda list_transform
         sliced = f"{vec_expr}[{start + 1}:{start + sub}]"
-        return (
-            f"list_transform([{', '.join(rows)}],"
-            f" cbj -> round({dot_fn}({sliced}, cbj), 6))"
-        )
+        body = f"{dot_fn}({sliced}, cbj)"
+        if bias:
+            body = f"{body} - 0.5 * {dot_fn}(cbj, cbj)"
+        return f"list_transform([{', '.join(rows)}], cbj -> round({body}, 6))"
     sliced = f"slice({vec_expr}, {start + 1}, {sub})"
-    return (
-        f"transform(array({', '.join(rows)}),"
-        f" cbj -> round(aggregate(zip_with({sliced}, cbj,"
-        f" (x, y) -> x * y), 0D, (acc, x) -> acc + x), 6))"
+    body = (
+        f"aggregate(zip_with({sliced}, cbj, (x, y) -> x * y),"
+        " 0D, (acc, x) -> acc + x)"
     )
+    if bias:
+        nsq = "aggregate(zip_with(cbj, cbj, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+        body = f"{body} - 0.5D * {nsq}"
+    return f"transform(array({', '.join(rows)}), cbj -> round({body}, 6))"
 
 
-def pq_scores_sql(cb: np.ndarray, m_idx: int, vec_expr: str, dot_fn: str | None = None) -> str:
+def pq_scores_sql(
+    cb: np.ndarray, m_idx: int, vec_expr: str, dot_fn: str | None = None, bias: bool = False
+) -> str:
     """SQL array of subspace ``m_idx``'s rounded centroid dots — staged
     into a column so argmax reads it once instead of inlining the dot
     list twice."""
-    return _pq_scores_core(cb, m_idx, vec_expr, dot_fn)
+    return _pq_scores_core(cb, m_idx, vec_expr, dot_fn, bias=bias)
 
 
 def pq_code_sql(cb: np.ndarray, m_idx: int, vec_expr: str, dot_fn: str | None = None) -> str:
     """SQL for subspace ``m_idx``'s code of the (normalized) vector:
-    1-based argmax-dot centroid index — first-max tie rule is identical
-    in Spark (``array_position``) and DuckDB (``list_position``)."""
-    lst = pq_scores_sql(cb, m_idx, vec_expr, dot_fn)
+    1-based nearest-centroid index via argmax of the L2-corrected dot
+    (``x·c - ||c||²/2``, exact argmin-distance for any codebook norm) —
+    first-max tie rule is identical in Spark (``array_position``) and
+    DuckDB (``list_position``)."""
+    lst = pq_scores_sql(cb, m_idx, vec_expr, dot_fn, bias=True)
     if dot_fn:
         return f"CAST(list_position({lst}, list_max({lst})) AS INT)"
     return f"CAST(array_position({lst}, array_max({lst})) AS INT)"
@@ -433,6 +583,9 @@ def pq_topk(
     vec_col: str = "embedding",
     seed: int = 17,
     cell_seed: int = 13,
+    codebooks: np.ndarray | None = None,
+    centroids: np.ndarray | None = None,
+    constants: str = "literal",
 ) -> DataFrame:
     """Approximate cosine top-k via IVF-ADC (the FAISS IVFADC shape):
     corpus vectors are coarse-quantized to a cell AND product-quantized
@@ -452,26 +605,79 @@ def pq_topk(
     (vs O(dim) float muls), and only the top-k window's survivors
     shuffle. All codebooks/centroids are deterministic literals and the
     ADC scores are integers, so the DuckDB oracle reproduces ranks
-    bit-for-bit (no float summation-order hazard)."""
+    bit-for-bit (no float summation-order hazard).
+
+    ``codebooks`` ((m, dim//m, n_codes), e.g. :func:`train_pq_kmeans`)
+    and ``centroids`` ((dim, n_cells), e.g. :func:`train_ivf_kmeans`)
+    swap the seeded constants for trained ones — same plan, better
+    recall. ``constants="broadcast"`` ships whichever constants are in
+    play as DATA on a one-row broadcast aux frame instead of nested
+    literals: identical doubles and rounding → identical ranks, but the
+    expression tree stays O(1) in the constant count, removing the
+    plan-compile cost that dominates the literal mode (the production
+    path; ``"literal"`` remains the cross-engine oracle fixture)."""
     dim = len(queries.select(vec_col).first()[0])
-    cb = pq_codebooks(dim, m, n_codes, seed)
-    cents = ivf_centroids(dim, n_cells, cell_seed)
-    ds = cell_scores_sql(cents, "e")
+    if codebooks is not None:
+        cb = np.asarray(codebooks, dtype=np.float64)
+        if cb.ndim != 3 or cb.shape[0] * cb.shape[1] != dim:
+            raise ValueError(f"codebooks shape {cb.shape} incompatible with dim {dim}")
+        m, n_codes = cb.shape[0], cb.shape[2]
+    else:
+        cb = pq_codebooks(dim, m, n_codes, seed)
+    if centroids is not None:
+        cents = np.asarray(centroids, dtype=np.float64)
+        if cents.shape[0] != dim:
+            raise ValueError(f"centroids dim {cents.shape[0]} != vectors dim {dim}")
+        n_cells = cents.shape[1]
+    else:
+        cents = ivf_centroids(dim, n_cells, cell_seed)
+    sub = dim // m
+    if constants == "broadcast":
+        aux = F.broadcast(_const_frame(df.sparkSession, cents=cents, cb=cb))
+        ds = _scores_over("__pgs_cents", "e")
+
+        def _cs(i: int) -> str:
+            return _scores_over(
+                f"element_at(__pgs_cb, {i + 1})",
+                f"slice(en, {i * sub + 1}, {sub})",
+                bias=True,
+            )
+
+        def _lut(i: int) -> str:
+            # pure dots (NO assignment bias): ADC sums estimate
+            # dot(q, reconstruction), the L2 correction applies only to
+            # choosing the code
+            scores = _scores_over(
+                f"element_at(__pgs_cb, {i + 1})", f"slice(en, {i * sub + 1}, {sub})"
+            )
+            return f"transform({scores}, d -> CAST(floor(d * 1000000) AS BIGINT))"
+
+    else:
+        aux = None
+        ds = cell_scores_sql(cents, "e")
+
+        def _cs(i: int) -> str:
+            return pq_scores_sql(cb, i, "en", bias=True)
+
+        def _lut(i: int) -> str:
+            return pq_lut_sql(cb, i, "en")
+
     nrm = "sqrt(aggregate(zip_with(e, e, (x, y) -> x * y), 0D, (acc, x) -> acc + x))"
 
     def base(d: DataFrame) -> DataFrame:
-        return (
-            d.select(
-                F.col(id_col).alias("vid"),
-                F.expr(f"transform({vec_col}, x -> cast(x AS double))").alias("e"),
-            )
-            .withColumn("nrm", F.expr(nrm))
-            .withColumn("en", F.expr("transform(e, x -> x / nullif(nrm, 0D))"))
+        d = d.select(
+            F.col(id_col).alias("vid"),
+            F.expr(f"transform({vec_col}, x -> cast(x AS double))").alias("e"),
+        )
+        if aux is not None:
+            d = d.crossJoin(aux)
+        return d.withColumn("nrm", F.expr(nrm)).withColumn(
+            "en", F.expr("transform(e, x -> x / nullif(nrm, 0D))")
         )
 
     v = base(df).withColumn("ds", F.expr(ds))
     for i in range(m):
-        v = v.withColumn(f"cs{i}", F.expr(pq_scores_sql(cb, i, "en")))
+        v = v.withColumn(f"cs{i}", F.expr(_cs(i)))
     v = v.select(
         "vid",
         F.expr("array_position(ds, array_max(ds))").cast("int").alias("cell"),
@@ -487,7 +693,7 @@ def pq_topk(
         base(queries)
         .select(
             F.col("vid").alias("q_id"),
-            F.array(*[F.expr(pq_lut_sql(cb, i, "en")) for i in range(m)]).alias("luts"),
+            F.array(*[F.expr(_lut(i)) for i in range(m)]).alias("luts"),
             F.posexplode(F.expr(ds)).alias("pos", "score"),
         )
         .withColumn("pr", F.row_number().over(qw))
