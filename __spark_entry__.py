@@ -1268,14 +1268,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     variants (each exercising a chunk path already represented, all
     pytest-gated in tests/test_entry_oracle.py across ALL entries) sit
     past slot 50.  Do not append new operator families at the end —
-    insert them in the first block and demote a variant."""
+    insert them in the first block and demote a variant.
+
+    ROTATION (r4, per the round-3 verdict): codec variants that had only
+    ever been replica-gated earn hard driver rows this round —
+    enc_rle_bool_lineitem (E6/E7), enc_delta_length_documents (E13) and
+    enc_delta_bytes_documents (E14) move into the first block in place
+    of roundtrip_documents, roundtrip_nulls and prune_zorder (each
+    all-true for 2+ consecutive driver rounds; their machinery stays
+    driver-exercised via enc_dict/fsst_documents, roundtrip_nested's
+    def levels, and the other two pruning rows). Next rotation: FOR,
+    BSS, zdict."""
     return {
         # --- driver-verified block: one representative per family ----
         # encoding layer: identity round-trips (auto selector)
-        "roundtrip_documents": _rt("documents"),
         "roundtrip_lineitem": _rt("lineitem"),
         "roundtrip_embeddings": _rt_embeddings,  # list<float>: Dremel rep/def levels
-        "roundtrip_nulls": _rt_nulls,
         "roundtrip_nested": _rt_nested,
         "roundtrip_decimals": _rt_decimals,
         "roundtrip_message_schema": _rt_message_schema,
@@ -1288,22 +1296,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # web-text ops
         "html_extract_text": _q_html_extract,
         "url_host_stats": _q_url_host_stats,
-        # codec families: dictionary, delta, FSST, ALP
+        # codec families: dictionary, delta, FSST, ALP, RLE-bool,
+        # DELTA_LENGTH/DELTA_BYTE_ARRAY (rotated in r4)
         "enc_dict_documents": _rt("documents", encoding="rle_dict"),
         "enc_delta_bp_events": _rt("events", cols=["event_id", "ts", "user_id"], encoding="delta_bp"),
         "enc_fsst_documents": _rt("documents", cols=["text", "lang", "source"], encoding="fsst"),
         "enc_alp_lineitem": _rt(
             "lineitem", cols=["l_quantity", "l_extendedprice", "l_discount", "l_tax"], encoding="alp"
         ),
+        "enc_rle_bool_lineitem": lambda spark, sf_dir: roundtrip_df(
+            _load(spark, sf_dir, "lineitem").select((F.col("l_quantity") > 25).alias("flag")),
+            encoding="rle_bool",
+        ),
+        "enc_delta_length_documents": _rt("documents", cols=["text", "lang", "source"], encoding="delta_length"),
+        "enc_delta_bytes_documents": _rt("documents", cols=["text", "lang", "source"], encoding="delta_bytes"),
         # stats collection + dictionary decision
         "chunk_stats_lineitem": lambda spark, sf_dir: table_column_stats(
             _load(spark, sf_dir, "lineitem")
         ),
         "dict_decision_documents": _q_dict_decision,
-        # pruning tiers
+        # pruning tiers (zorder rotated out r4 — replica-gated below)
         "prune_bloom_lookup": _q_bloom_lookup,
         "prune_page_range": _q_page_prune_range,
-        "prune_zorder": _q_zorder_prune,
         # catalyst front door + table format ops
         "datasource_read_write": _q_datasource_rw,
         "compact_rewrite": _q_compact,
@@ -1344,6 +1358,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _load(spark, sf_dir, "embeddings")
         ),
         # --- variants past the driver budget (pytest-gated) ----------
+        "roundtrip_documents": _rt("documents"),
+        "roundtrip_nulls": _rt_nulls,
+        "prune_zorder": _q_zorder_prune,
         "embedding_lsh_topk": _q_lsh_topk,
         "fingerprint_md5": lambda spark, sf_dir: fingerprint(_load(spark, sf_dir, "documents")),
         "dedup_canonical": _q_dedup_canonical,
@@ -1358,15 +1375,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_normalize": _q_url_normalize,
         "enc_plain_lineitem": _rt("lineitem", encoding="plain"),
         "enc_for_bp_events": _rt("events", cols=["event_id", "ts", "user_id"], encoding="for_bp"),
-        "enc_delta_length_documents": _rt("documents", cols=["text", "lang", "source"], encoding="delta_length"),
-        "enc_delta_bytes_documents": _rt("documents", cols=["text", "lang", "source"], encoding="delta_bytes"),
         "enc_zdict_documents": _rt("documents", cols=["text", "lang", "source"], encoding="zdict"),
         "enc_bss_lineitem": _rt(
             "lineitem", cols=["l_quantity", "l_extendedprice", "l_discount", "l_tax"], encoding="bss"
-        ),
-        "enc_rle_bool_lineitem": lambda spark, sf_dir: roundtrip_df(
-            _load(spark, sf_dir, "lineitem").select((F.col("l_quantity") > 25).alias("flag")),
-            encoding="rle_bool",
         ),
         "chunk_stats_documents": lambda spark, sf_dir: table_column_stats(
             _load(spark, sf_dir, "documents")

@@ -132,6 +132,7 @@ def embedding_near_dups(
     mode: str = "lsh",
     n_planes: int = 8,
     seed: int = 7,
+    max_bucket: int = 65536,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >=
     threshold), entirely JVM-side: zip_with/aggregate dot products inside
@@ -146,10 +147,24 @@ def embedding_near_dups(
     reproducible in any engine (see ``signature_sql``).
 
     ``mode="exact"`` is the all-pairs verifier — O(n²), only for small n
-    or as the final scorer over externally generated candidates."""
+    or as the final scorer over externally generated candidates.
+
+    ``max_bucket`` drops signature buckets larger than the cap BEFORE
+    the self-join — the LSH skew bomb (a spike of identical/degenerate
+    embeddings melts one join key into O(bucket²) pairs). The counts
+    frame is at most 2^n_planes rows, so the pre-filter rides a
+    broadcast join: no extra shuffle of the vector stream."""
     if mode == "lsh":
         dim = len(df.select(vec_col).first()[0])
         v = _sig_frame(df, hyperplanes(dim, n_planes, seed), id_col, vec_col)
+        if max_bucket is not None:
+            ok = (
+                v.groupBy("s")
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .filter(F.col("__n") <= max_bucket)
+                .select("s")
+            )
+            v = v.join(F.broadcast(ok), "s")
         join_cond = (F.col("a.s") == F.col("b.s")) & (F.col("a.vid") < F.col("b.vid"))
     else:
         v = df.select(
