@@ -278,7 +278,20 @@ def from_arrow(arr: pa.Array | pa.ChunkedArray) -> "ColumnData | ListData | Stru
         if validity.all():
             data = data_all[offsets[0] : offsets[-1]]
         else:
-            data = gather_segments(data_all, offsets[:-1][validity], lens)
+            # null-strip via Arrow's C++ gather: drop_null rebuilds
+            # compact offsets+data buffers in one native pass — the
+            # python-loop gather_segments here cost ~0.2 s per 120k-row
+            # web-text column, ~25% of single-core chunk encode
+            nn = barr.drop_null()
+            noff = np.frombuffer(
+                nn.buffers()[1], dtype=np.int64, count=len(nn) + 1 + nn.offset
+            )[nn.offset :]
+            ndbuf = nn.buffers()[2]
+            data = (
+                np.frombuffer(ndbuf, dtype=np.uint8, count=len(ndbuf))[noff[0] : noff[-1]]
+                if ndbuf is not None
+                else np.empty(0, np.uint8)
+            )
         return ColumnData(ptype, validity, lengths=lens.astype(np.int64), data=data, logical=logical)
     if pa.types.is_timestamp(arr.type):
         arr = arr.cast(pa.timestamp("us"))
