@@ -146,6 +146,13 @@ def main() -> None:
         os.environ["SPARK_GRAFT_PAGES_DIR"] = pages_dir
     lo, hi, trace = run_levels(n, rows)
     eff = hi["encode_gbps"] / (4 * lo["encode_gbps"])
+    # transparency: the same-rep paired efficiency (both legs back-to-back
+    # in one host window) alongside the headline best-leg aggregate — when
+    # the two disagree, the per-rep canary probes say which windows were
+    # degraded (a dirty 4N leg deflates the aggregate; a dirty N leg
+    # inflates its own rep's pair)
+    for t in trace:
+        t["eff_pair"] = round(t["gbps_4n"] / (4 * t["gbps_n"]), 4)
     result = {
         "reps": trace,
         "rows": rows,
