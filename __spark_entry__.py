@@ -1572,9 +1572,14 @@ SELECT q_id, n_id, rank FROM (
   SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rank FROM c
 ) WHERE rank <= 10
 """
+    # the bucket-size cap mirrors embedding_near_dups' max_bucket=65536
+    # skew guard exactly, so Spark and the oracle stay identical even on
+    # a corpus with a degenerate signature spike
     near_dups_sql = f"""
 WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
-n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm, ({duck_sig}) AS s FROM v)
+n0 AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm, ({duck_sig}) AS s FROM v),
+ok AS (SELECT s FROM n0 GROUP BY s HAVING COUNT(*) <= 65536),
+n AS (SELECT n0.* FROM n0 JOIN ok ON n0.s = ok.s)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
   round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) AS sim
 FROM n a JOIN n b ON a.s = b.s AND a.vec_id < b.vec_id

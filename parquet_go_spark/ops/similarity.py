@@ -277,11 +277,10 @@ def cell_scores_sql(cents: np.ndarray, vec_expr: str, dot_fn: str | None = None)
             f"list_transform([{', '.join(rows)}],"
             f" cj -> round({dot_fn}({vec_expr}, cj), 6))"
         )
-    return (
-        f"transform(array({', '.join(rows)}),"
-        f" cj -> round(aggregate(zip_with({vec_expr}, cj,"
-        f" (x, y) -> x * y), 0D, (acc, x) -> acc + x), 6))"
-    )
+    # Spark form delegates to the SAME body builder the broadcast mode
+    # uses — the literal/broadcast bit-parity is structural, not two
+    # hand-maintained copies that could drift
+    return _scores_over(f"array({', '.join(rows)})", vec_expr)
 
 
 def train_ivf_kmeans(
@@ -313,13 +312,19 @@ def train_ivf_kmeans(
         f"sqrt(aggregate(zip_with({vec_col}, {vec_col}, (x, y) ->"
         " cast(x as double) * y), 0D, (acc, x) -> acc + x))"
     )
-    feats = df.select(
-        array_to_vector(
-            F.expr(
-                f"transform({vec_col}, x -> cast(x as double) / nullif({nrm}, 0D))"
-            )
-        ).alias("features")
-    ).na.drop()
+    # drop zero-norm vectors (failed-encoder rows are a real occurrence
+    # in web-scale embedding tables) BEFORE normalizing: dividing by
+    # nullif(0) yields an array of null ELEMENTS — a non-null value that
+    # na.drop keeps and the KMeans fit then chokes on
+    feats = (
+        df.where(F.col(vec_col).isNotNull())
+        .where(F.expr(nrm) > 0)
+        .select(
+            array_to_vector(
+                F.expr(f"transform({vec_col}, x -> cast(x as double) / {nrm})")
+            ).alias("features")
+        )
+    )
     if sample_rows is not None:
         total = feats.count()
         if total > sample_rows:
@@ -488,11 +493,14 @@ def train_pq_kmeans(
         f"sqrt(aggregate(zip_with({vec_col}, {vec_col}, (x, y) ->"
         " cast(x as double) * y), 0D, (acc, x) -> acc + x))"
     )
-    en = df.select(
-        F.expr(
-            f"transform({vec_col}, x -> cast(x as double) / nullif({nrm}, 0D))"
-        ).alias("en")
-    ).na.drop()
+    # zero-norm vectors filtered BEFORE normalizing (see
+    # train_ivf_kmeans: nullif(0) division yields null ELEMENTS inside a
+    # non-null array, which na.drop keeps and the fit crashes on)
+    en = (
+        df.where(F.col(vec_col).isNotNull())
+        .where(F.expr(nrm) > 0)
+        .select(F.expr(f"transform({vec_col}, x -> cast(x as double) / {nrm})").alias("en"))
+    )
     if sample_rows is not None:
         total = en.count()
         if total > sample_rows:
@@ -542,15 +550,12 @@ def _pq_scores_core(
         if bias:
             body = f"{body} - 0.5 * {dot_fn}(cbj, cbj)"
         return f"list_transform([{', '.join(rows)}], cbj -> round({body}, 6))"
+    # Spark form delegates to the SAME body builder the broadcast mode
+    # uses (see cell_scores_sql): identical fold, rounding, and bias
+    # arithmetic by construction, so literal/broadcast rank parity
+    # cannot drift between two hand-maintained copies
     sliced = f"slice({vec_expr}, {start + 1}, {sub})"
-    body = (
-        f"aggregate(zip_with({sliced}, cbj, (x, y) -> x * y),"
-        " 0D, (acc, x) -> acc + x)"
-    )
-    if bias:
-        nsq = "aggregate(zip_with(cbj, cbj, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
-        body = f"{body} - 0.5D * {nsq}"
-    return f"transform(array({', '.join(rows)}), cbj -> round({body}, 6))"
+    return _scores_over(f"array({', '.join(rows)})", sliced, bias=bias)
 
 
 def pq_scores_sql(

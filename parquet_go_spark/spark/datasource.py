@@ -206,9 +206,16 @@ def _decode_partition_to_batches(
 
     # sidecar staleness is judged against the epoch of the bytes we just
     # read, so a concurrent in-place rewrite can never make us apply old
-    # ordinals to new data (or new ordinals to old data — that raises)
+    # ordinals to new data (or new ordinals to old data — that raises).
+    # A non-None delete_files here IS a time-travel pin: older-epoch or
+    # missing pinned sidecars raise 'invalidated' instead of silently
+    # serving post-rewrite bytes as the old version.
     dpos = mf.delete_positions(
-        enc_dir, pid, files=delete_files, file_epoch=partition_file_epoch(payload)
+        enc_dir,
+        pid,
+        files=delete_files,
+        file_epoch=partition_file_epoch(payload),
+        pinned=delete_files is not None,
     )
     eq_specs = mf.eq_deletes_by_pid(enc_dir, eq_files).get(pid)
     cols = [f["name"] for f in fields]

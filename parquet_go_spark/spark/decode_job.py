@@ -521,6 +521,10 @@ def decode_table(
     del_by_pid: dict[int, list[str]] = {}
     for name in del_names:
         del_by_pid.setdefault(int(name[len("del-") : len("del-") + 5]), []).append(name)
+    # time travel pins the apply set: an older-epoch/missing pinned
+    # sidecar must RAISE 'invalidated' (the rewrite baked in more than
+    # this version's deletes), never silently serve post-rewrite bytes
+    pin_deletes = as_of is not None
     eq_names = (
         mf.snapshot_eq_delete_files(enc_dir, as_of)
         if as_of is not None
@@ -567,8 +571,11 @@ def decode_table(
                         files=del_by_pid[bpid],
                         # epoch of the bytes THIS task holds: sidecars
                         # from before an in-place rewrite are skipped
-                        # with proof, never applied to compacted rows
+                        # with proof, never applied to compacted rows —
+                        # except under time travel, where an older-epoch
+                        # pinned sidecar means the version is gone: raise
                         file_epoch=partition_file_epoch(payload),
+                        pinned=pin_deletes,
                     )
                     if bpid in del_by_pid
                     else None

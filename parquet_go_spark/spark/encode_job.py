@@ -137,6 +137,16 @@ def encode_columns_to_partition(
     provably stale the instant the new data file lands — readers skip
     them even before the manifest/sidecar cleanup commits."""
     fpath = os.path.join(out_dir, f"part-{pid:05d}.bin")
+    # the __pgs_ prefix is reserved for in-file metadata entries (the
+    # rewrite epoch): readers silently skip such names, and one landing
+    # FIRST would even be parsed as the epoch — reject at write time
+    # instead of writing a column no reader will ever serve
+    bad = [c for c in cols if c.startswith("__pgs_")]
+    if bad:
+        raise ValueError(
+            f"column names {bad} use the reserved '__pgs_' prefix "
+            "(in-file metadata namespace); rename them before encoding"
+        )
     named_blobs: list[tuple[str, bytes]] = []
     rows: list[dict] = []
     if table is not None:

@@ -134,6 +134,8 @@ def _scan_key_positions(
         from .decode_job import decode_blobs_to_batch, logical_of_ddl
         from .encode_job import parse_partition_file
 
+        from .encode_job import partition_file_epoch
+
         logicals = {key: logical_of_ddl(ddl)}
         for pdf in it:
             for p in pdf["path"]:
@@ -150,11 +152,16 @@ def _scan_key_positions(
                     {
                         "pid": np.full(n, pid, dtype="int32"),
                         "pos": np.arange(n, dtype="int64"),
+                        # the rewrite epoch of the BYTES these ordinals
+                        # index — carried through the join so the sidecar
+                        # is stamped against the scanned coordinate
+                        # system, not whatever is on disk at write time
+                        "ep": np.full(n, partition_file_epoch(payload), dtype="int64"),
                         "k": batch.column(0).to_pandas(),
                     }
                 )
 
-    return files.mapInPandas(scan, schema=f"pid int, pos bigint, k {ddl}")
+    return files.mapInPandas(scan, schema=f"pid int, pos bigint, ep bigint, k {ddl}")
 
 
 def mark_matching_keys(
@@ -190,7 +197,7 @@ def mark_matching_keys(
         .where(F.col("k").isNotNull())
         .distinct()
     )
-    matched = tk.join(ks, "k", "leftsemi").select("pid", "pos")
+    matched = tk.join(ks, "k", "leftsemi").select("pid", "pos", "ep")
 
     def write_group(pdf):
         import numpy as np
@@ -200,7 +207,20 @@ def mark_matching_keys(
         pos = np.unique(pdf["pos"].to_numpy(dtype="int64"))
         man = mf.read_partition_manifest(enc_dir, pid)
         base_rows = man[0]["num_rows"] if man else 0
-        fepoch = mf._partition_epoch(enc_dir, pid)
+        # stamp the sidecar with the epoch of the bytes the ordinals
+        # were SCANNED from, and refuse to write if the partition was
+        # rewritten mid-job (the ordinals index bytes that no longer
+        # exist — writing them against the new epoch would delete the
+        # wrong rows; writing them against the old would silently drop
+        # the requested deletes). The caller retries after a rewrite.
+        fepoch = int(pdf["ep"].iloc[0])
+        fepoch_now = mf._partition_epoch(enc_dir, pid)
+        if fepoch_now != fepoch:
+            raise ValueError(
+                f"partition {pid} was rewritten (epoch {fepoch} -> "
+                f"{fepoch_now}) while mark_matching_keys was scanning; "
+                "its ordinals are invalid — retry the merge"
+            )
         already = mf.delete_positions(enc_dir, pid, file_epoch=fepoch)
         new = np.setdiff1d(pos, already, assume_unique=True)
         if new.size:

@@ -165,11 +165,15 @@ def _partition_epoch(out_dir: str, pid: int) -> int:
 
 
 def delete_positions(
-    out_dir: str, pid: int, files: list[str] | None = None, file_epoch: int | None = None
+    out_dir: str,
+    pid: int,
+    files: list[str] | None = None,
+    file_epoch: int | None = None,
+    pinned: bool = False,
 ):
     """Union of deleted row ordinals for partition ``pid`` as a sorted
-    int64 numpy array. ``files`` restricts to a pinned apply set (time
-    travel); None means every sidecar on disk (current read).
+    int64 numpy array. ``files`` restricts to an explicit apply set;
+    None means every sidecar on disk (current read).
 
     ``file_epoch`` is the rewrite epoch embedded in the partition file
     bytes the CALLER is about to decode (``partition_file_epoch``);
@@ -180,7 +184,17 @@ def delete_positions(
     sidecar's positions are already baked into the file. A NEWER-epoch
     sidecar (the reader somehow holds pre-rewrite bytes) raises rather
     than corrupt. Within the same epoch, a ``base_rows`` mismatch vs
-    the manifest still raises (legacy guard for pre-epoch sidecars)."""
+    the manifest still raises (legacy guard for pre-epoch sidecars).
+
+    ``pinned=True`` marks a TIME-TRAVEL apply set (a snapshot's pinned
+    sidecars): the skip-with-proof is then WRONG — the rewrite that
+    advanced the epoch baked in every outstanding delete, not just this
+    snapshot's pin, so the post-rewrite bytes do not represent the
+    pinned version. Older-epoch (or missing) pinned sidecars RAISE
+    'invalidated' instead — the same answer the snapshot tombstone
+    gives once the rewrite's cleanup completes (this closes the
+    crash/concurrency window between the rewrite landing and
+    ``invalidate_snapshots`` committing)."""
     import numpy as np
 
     names = files if files is not None else list_delete_files(out_dir, pid)
@@ -195,15 +209,29 @@ def delete_positions(
         try:
             t = pq.read_table(path)
         except FileNotFoundError:
-            # cleaned up between planning and apply: only legal when a
-            # rewrite made it stale, i.e. the file epoch moved on — the
-            # epoch check below can't run, but a sidecar removed by
-            # remove_delete_files is always materialized
+            if pinned:
+                raise ValueError(
+                    f"snapshot invalidated: pinned delete sidecar {name} is "
+                    "missing (an in-place rewrite materialized and removed "
+                    "it, or the deletes/ dir was externally pruned); this "
+                    "version can no longer be reconstructed"
+                )
+            # current read, cleaned up between planning and apply: only
+            # legal when a rewrite made it stale, i.e. the file epoch
+            # moved on — the epoch check below can't run, but a sidecar
+            # removed by remove_delete_files is always materialized
             continue
         ep = _sidecar_epoch(t)
         if fepoch is None:
             fepoch = file_epoch if file_epoch is not None else _partition_epoch(out_dir, pid)
         if ep < fepoch:
+            if pinned:
+                raise ValueError(
+                    f"snapshot invalidated: pinned delete sidecar {name} "
+                    f"(epoch {ep}) predates the partition bytes (epoch "
+                    f"{fepoch}) — a later in-place rewrite baked in deletes "
+                    "beyond this version's pin"
+                )
             continue  # provably materialized by a completed rewrite
         if ep > fepoch:
             raise ValueError(

@@ -148,3 +148,86 @@ def test_second_rewrite_round_applies_only_matching_epoch(spark, tmp_path):
     got = decode_table(spark, d)
     assert got.count() == n0 - gone1 - gone2
     assert got.filter((F.col("seq") <= 20000) | (F.col("seq") >= 80000)).count() == 0
+
+
+def test_pinned_as_of_in_crash_window_raises_invalidated(spark, tmp_path, monkeypatch):
+    """Time travel into the rewrite-crash window must RAISE, never serve
+    post-rewrite bytes as the old version: a snapshot pinning sidecar A
+    is read after a rewrite materialized A *and B* into the data files
+    (cleanup crashed) — the compacted bytes are rows-minus-A-minus-B,
+    which is NOT what the pinned version promises."""
+    from parquet_go_spark.spark import manifest as mf
+    from parquet_go_spark.spark import maintenance
+    from parquet_go_spark.spark.decode_job import decode_table
+
+    df, d = _table(spark, tmp_path)
+    maintenance.delete_where(spark, d, [("seq", "<=", 20000)], mode="mor")
+    s1 = mf.commit_snapshot(d, "delete")["seq"]  # pins sidecar set A
+    n_s1 = decode_table(spark, d, as_of=s1).count()
+    maintenance.delete_where(spark, d, [("seq", ">=", 80000)], mode="mor")
+
+    # crash simulation: rewrite lands, cleanup + tombstoning never run
+    monkeypatch.setattr(mf, "remove_delete_files", lambda *a, **k: [])
+    monkeypatch.setattr(mf, "invalidate_snapshots", lambda *a, **k: 0)
+    maintenance.materialize_deletes(spark, d)
+    monkeypatch.undo()
+
+    # current read stays exact (epoch skip-with-proof)...
+    live = decode_table(spark, d)
+    assert live.filter(F.col("seq") <= 20000).count() == 0
+    assert live.filter(F.col("seq") >= 80000).count() == 0
+    # ...but the pinned version is gone and must say so
+    with pytest.raises(Exception, match="invalidated"):
+        decode_table(spark, d, as_of=s1).count()
+    assert n_s1 > live.count()  # the versions genuinely differed
+
+
+def test_missing_pinned_sidecar_raises(spark, tmp_path):
+    """A pinned apply set whose sidecar file vanished (external prune,
+    partial table copy) cannot be reconstructed — raise, do not quietly
+    resurrect the deleted rows. Current (unpinned) reads keep the
+    skip-with-proof behavior."""
+    from parquet_go_spark.spark import manifest as mf
+
+    _, d = _table(spark, tmp_path)
+    ghost = ["del-00000-0099.parquet"]
+    with pytest.raises(ValueError, match="missing"):
+        mf.delete_positions(d, 0, files=ghost, file_epoch=0, pinned=True)
+    # unpinned: treated as cleaned-up-after-materialization, skipped
+    assert mf.delete_positions(d, 0, files=ghost, file_epoch=0).size == 0
+
+
+def test_mark_matching_keys_guards_mid_scan_rewrite(spark, tmp_path, monkeypatch):
+    """Sidecars are stamped with the epoch of the bytes the ordinals
+    were SCANNED from; if the partition is rewritten mid-job the write
+    stage must refuse (ordinals index bytes that no longer exist)
+    rather than delete wrong rows or silently drop the request."""
+    import pyspark.sql.functions as F2
+
+    from parquet_go_spark.spark import maintenance
+
+    df, d = _table(spark, tmp_path)
+    real_scan = maintenance._scan_key_positions
+
+    def stale_scan(*a, **k):
+        # simulate: the scan saw epoch-7 bytes, the file on disk is 0
+        return real_scan(*a, **k).withColumn("ep", F2.lit(7).cast("bigint"))
+
+    monkeypatch.setattr(maintenance, "_scan_key_positions", stale_scan)
+    src = df.select("seq").limit(50)
+    with pytest.raises(Exception, match="was rewritten"):
+        maintenance.mark_matching_keys(spark, d, "seq", src)
+
+
+def test_reserved_pgs_column_names_rejected_at_encode(spark, tmp_path):
+    """__pgs_* is the in-file metadata namespace (readers skip it; a
+    first entry named __pgs_epoch__ would even be parsed as the rewrite
+    epoch) — encoding such a column must fail loudly, not write bytes
+    no reader will serve."""
+    import pyarrow as pa
+
+    from parquet_go_spark.spark.encode_job import encode_columns_to_partition
+
+    t = pa.table({"__pgs_meta": [1, 2], "ok": ["a", "b"]})
+    with pytest.raises(ValueError, match="__pgs_"):
+        encode_columns_to_partition(t, ["__pgs_meta", "ok"], str(tmp_path), 0)

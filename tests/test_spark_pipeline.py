@@ -467,3 +467,24 @@ def test_boilerplate_strip_plan_broadcasts_host_totals(spark):
     # must have been broadcast, not sort-merged
     assert plan.count("SortMergeJoin") == 1, plan
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan, plan
+
+
+def test_quantizer_training_tolerates_zero_norm_rows(spark):
+    """All-zero embeddings (failed-encoder rows — a real occurrence in
+    web-scale embedding tables) must be FILTERED before normalization:
+    dividing by nullif(0) yields null ELEMENTS inside a non-null array,
+    which na.drop keeps and the MLlib fit then crashes on."""
+    import numpy as np
+
+    from parquet_go_spark.ops.similarity import train_ivf_kmeans, train_pq_kmeans
+
+    rng = np.random.default_rng(11)
+    vecs = [rng.standard_normal(16) for _ in range(60)]
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    rows.append((60, [0.0] * 16))  # zero-norm row
+    rows.append((61, None))  # null embedding
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = train_ivf_kmeans(df, n_cells=4, seed=3)
+    assert cents.shape == (16, 4)
+    cb = train_pq_kmeans(df, m=4, n_codes=8, seed=3, sample_rows=None)
+    assert cb.shape == (4, 4, 8)
