@@ -34,7 +34,85 @@ __all__ = [
     "pq_lut_sql",
     "train_ivf_kmeans",
     "train_pq_kmeans",
+    "save_quantizer",
+    "load_quantizer",
+    "list_quantizers",
 ]
+
+
+def _quantizer_dir(enc_dir: str) -> str:
+    import os
+
+    return os.path.join(enc_dir, "quantizers")
+
+
+def save_quantizer(
+    enc_dir: str,
+    name: str = "default",
+    centroids: np.ndarray | None = None,
+    codebooks: np.ndarray | None = None,
+    meta: dict | None = None,
+) -> str:
+    """Persist trained ANN quantizer constants next to the table, so
+    production queries load them instead of retraining (the FAISS
+    index-file analogue, table-format style: a JSON sidecar under
+    ``<table>/quantizers/<name>.json``, written atomically via
+    tmp+rename like every other commit in this repo).
+
+    ``centroids`` = (dim, n_cells) from :func:`train_ivf_kmeans`;
+    ``codebooks`` = (m, dim/m, n_codes) from :func:`train_pq_kmeans`.
+    Values are stored at the same 6-decimal rounding the query builders
+    use, so a save/load round-trip is bit-identical to passing the
+    in-memory arrays. Returns the file path."""
+    import json
+    import os
+
+    if centroids is None and codebooks is None:
+        raise ValueError("save_quantizer: nothing to save")
+    doc: dict = {"version": 1, "meta": meta or {}}
+    if centroids is not None:
+        c = np.round(np.asarray(centroids, dtype=np.float64), 6)
+        doc["centroids"] = {"shape": list(c.shape), "values": c.reshape(-1).tolist()}
+    if codebooks is not None:
+        b = np.round(np.asarray(codebooks, dtype=np.float64), 6)
+        doc["codebooks"] = {"shape": list(b.shape), "values": b.reshape(-1).tolist()}
+    qdir = _quantizer_dir(enc_dir)
+    os.makedirs(qdir, exist_ok=True)
+    path = os.path.join(qdir, f"{name}.json")
+    tmp = path + f".tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(doc, f)
+    os.replace(tmp, path)
+    return path
+
+
+def load_quantizer(enc_dir: str, name: str = "default") -> dict:
+    """-> {"centroids": np.ndarray | None, "codebooks": np.ndarray |
+    None, "meta": dict} — drop-in kwargs for :func:`ivf_topk` /
+    :func:`pq_topk` (``constants="broadcast"`` recommended at scale)."""
+    import json
+    import os
+
+    path = os.path.join(_quantizer_dir(enc_dir), f"{name}.json")
+    with open(path) as f:
+        doc = json.load(f)
+    out: dict = {"centroids": None, "codebooks": None, "meta": doc.get("meta", {})}
+    for key in ("centroids", "codebooks"):
+        if key in doc:
+            spec = doc[key]
+            out[key] = np.asarray(spec["values"], dtype=np.float64).reshape(spec["shape"])
+    return out
+
+
+def list_quantizers(enc_dir: str) -> list[str]:
+    """Names of saved quantizers for a table, sorted."""
+    import glob
+    import os
+
+    qdir = _quantizer_dir(enc_dir)
+    return sorted(
+        os.path.basename(p)[: -len(".json")] for p in glob.glob(os.path.join(qdir, "*.json"))
+    )
 
 
 def _scores_over(src: str, vec_expr: str, bias: bool = False) -> str:

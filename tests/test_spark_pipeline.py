@@ -488,3 +488,53 @@ def test_quantizer_training_tolerates_zero_norm_rows(spark):
     assert cents.shape == (16, 4)
     cb = train_pq_kmeans(df, m=4, n_codes=8, seed=3, sample_rows=None)
     assert cb.shape == (4, 4, 8)
+
+
+def test_quantizer_save_load_roundtrip_identical_ranks(spark, tmp_path):
+    """Persisted quantizers (the FAISS index-file analogue: a JSON
+    sidecar under <table>/quantizers/) must reproduce the in-memory
+    trained arrays bit-for-bit — same 6-decimal rounding as the query
+    builders — so a production query loading from disk returns the
+    exact ranks the training session saw."""
+    import numpy as np
+
+    from parquet_go_spark.ops.similarity import (
+        list_quantizers,
+        load_quantizer,
+        pq_topk,
+        save_quantizer,
+        train_ivf_kmeans,
+        train_pq_kmeans,
+    )
+
+    rng = np.random.default_rng(19)
+    vecs = rng.standard_normal((150, 16))
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = df.filter("vec_id < 4")
+    cents = train_ivf_kmeans(df, n_cells=4, seed=3)
+    cb = train_pq_kmeans(df, m=4, n_codes=8, seed=3, sample_rows=None)
+
+    d = str(tmp_path / "tbl")
+    save_quantizer(d, "ann", centroids=cents, codebooks=cb, meta={"m": 4})
+    assert list_quantizers(d) == ["ann"]
+    q = load_quantizer(d, "ann")
+    assert np.array_equal(q["centroids"], np.round(cents, 6))
+    assert np.array_equal(q["codebooks"], np.round(cb, 6))
+    assert q["meta"] == {"m": 4}
+
+    def rowset(res):
+        return [tuple(r) for r in res.orderBy("q_id", "rank").collect()]
+
+    mem = rowset(pq_topk(df, queries, k=5, codebooks=cb, centroids=cents))
+    disk = rowset(
+        pq_topk(
+            df,
+            queries,
+            k=5,
+            codebooks=q["codebooks"],
+            centroids=q["centroids"],
+            constants="broadcast",
+        )
+    )
+    assert mem == disk
