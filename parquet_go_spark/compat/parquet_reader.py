@@ -179,8 +179,7 @@ def read_column(buf: bytes, column: str, row_groups: list[int] | None = None):
                 continue
             codec = cmeta[4]
             n_values = cmeta[5]
-            start = cmeta.get(11, cmeta[9])
-            start = min(start, cmeta[9]) if 11 in cmeta else cmeta[9]
+            start = min(cmeta.get(11, cmeta[9]), cmeta[9])
             end = start + cmeta[7]
             mv = memoryview(buf)
             pos = start
@@ -648,7 +647,16 @@ def _leaf_arrow(positions, deflv, values, info) -> pa.Array:
             null_count=int((~mask).sum()),
         )
     np_vals = np.asarray(values)
-    out = np.zeros(len(positions), dtype=np_vals.dtype if np_vals.size else np.float64)
+    # all-null leaf: the placeholder dtype must remain castable to the
+    # logical type (pyarrow rejects double->date32/timestamp); int64
+    # covers every temporal/int converted type, float64 the rest
+    if np_vals.size:
+        empty_dt = np_vals.dtype
+    elif ptype == "int96" or ct in (_CT_DATE, _CT_TS_MICROS, _CT_TS_MILLIS) or ct in _CT_INTS or ct in _CT_UINTS:
+        empty_dt = np.int64 if ptype != "int32" else np.int32
+    else:
+        empty_dt = np.float64
+    out = np.zeros(len(positions), dtype=empty_dt)
     if np_vals.size:
         out[mask] = np_vals[value_idx[positions][mask]]
     if ct == _CT_DECIMAL and ptype in ("int32", "int64"):
@@ -681,23 +689,24 @@ def _split_slots(starts, ends, rep, r):
     additionally starts new ancestors). Returns (child_starts, child_ends,
     counts_per_slot)."""
     bounds = np.flatnonzero(rep <= r)
-    child_starts_all = []
-    counts = np.empty(len(starts), dtype=np.int64)
     lo = np.searchsorted(bounds, starts, side="left")
     hi = np.searchsorted(bounds, ends, side="left")
-    for i in range(len(starts)):
-        counts[i] = hi[i] - lo[i]
-    child_starts = bounds[np.concatenate([np.arange(lo[i], hi[i]) for i in range(len(starts))])] if len(starts) else np.empty(0, np.int64)
-    # child ends: next boundary within the same slot, else the slot end
-    child_ends = np.empty(len(child_starts), dtype=np.int64)
-    k = 0
-    for i in range(len(starts)):
-        n = counts[i]
-        if n:
-            seg = child_starts[k : k + n]
-            child_ends[k : k + n - 1] = seg[1:]
-            child_ends[k + n - 1] = ends[i]
-            k += n
+    counts = (hi - lo).astype(np.int64)
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64), counts
+    # fully vectorized gather (this sits on the Dremel assembly hot
+    # path): element j of slot i maps to bounds[lo[i] + j]
+    run_first = np.cumsum(counts) - counts  # output offset of each slot's run
+    idx = np.arange(total, dtype=np.int64) - np.repeat(run_first, counts) + np.repeat(lo, counts)
+    child_starts = bounds[idx]
+    # child ends: the next boundary within the same slot run, else the
+    # slot end — runs are adjacent, so shifting covers the interior and
+    # each run's LAST position is overwritten with its slot's end
+    child_ends = np.empty(total, dtype=np.int64)
+    child_ends[:-1] = child_starts[1:]
+    nonempty = counts > 0
+    child_ends[np.cumsum(counts)[nonempty] - 1] = np.asarray(ends, dtype=np.int64)[nonempty]
     return child_starts, child_ends, counts
 
 
@@ -1000,7 +1009,6 @@ def _assemble(node: dict, state: dict, consumed: int, streams: dict) -> pa.Array
         and len(node["children"][0].get("children", [])) == 2
     ):
         kv = node["children"][0]
-        lst = _assemble_group_as_struct(kv, state, consumed + 1, streams, kv)
         # kv's list dim: wrap manually so we can emit a MapArray
         r, d_elem, d_present = kv["lists"][consumed]
         leaves = _node_leaves(kv)

@@ -341,6 +341,14 @@ def column_minmax(col: ColumnData) -> tuple[object, object]:
         return lo, hi
     if col.ptype != "bytes":
         v = col.values
+        if col.ptype in ("float", "double"):
+            # Parquet stats convention: NaN never enters min/max (it is
+            # unordered — a 'nan' bound would poison every prune compare);
+            # all-NaN chunks carry no bounds at all
+            finite = v[~np.isnan(v)]
+            if finite.size == 0:
+                return None, None
+            return finite.min().item(), finite.max().item()
         return v.min().item(), v.max().item()
     # bytes: Arrow's C++ lexicographic min_max over a ZERO-COPY
     # large_binary view (offsets from the cumulative lengths, data
@@ -461,17 +469,6 @@ def _page_boundaries(col: ColumnData, max_page: int) -> list[tuple[int, int]]:
         base = est[cut - 1]
         start = cut
     return bounds
-
-
-def _value_slice(col: ColumnData, row_lo: int, row_hi: int, vstart: int):
-    """Slice non-null values for a row range; returns (slice_repr, vend)."""
-    nvals = int(col.validity[row_lo:row_hi].sum())
-    vend = vstart + nvals
-    if col.ptype == "bytes":
-        lens = col.lengths[vstart:vend]
-        dstart = int(col.lengths[:vstart].sum())  # cached below by caller
-        return (lens, None), vend
-    return col.values[vstart:vend], vend
 
 
 _PAGE_STATS_MAX_LEN = 1 << 12  # bounds are <= 64 chars (<= 260 UTF-8 bytes)
@@ -970,7 +967,17 @@ def chunk_page_index(blob) -> list[dict] | None:
         if rows > num_rows or pos + comp_len > len(mv):
             raise ValueError("implausible page header")
         out.append(
-            {"row_lo": cursor, "row_hi": cursor + rows, "min_str": mn, "max_str": mx, "nulls": _pn}
+            {
+                "row_lo": cursor,
+                "row_hi": cursor + rows,
+                "min_str": mn,
+                "max_str": mx,
+                "nulls": _pn,
+                # the bound-ordering family the prune compare must use
+                # (numeric vs lexicographic) is the column's, not the
+                # probe's — carried per page for decode_job._page_excludes
+                "ptype": ptype,
+            }
         )
         cursor += rows
         pos += comp_len
@@ -1106,7 +1113,11 @@ def decode_chunk(blob, logical: str = "", row_sel=None):
             repr_, _ = _decode_values(enc, ptype, payload, ppos, nvals, dict_vals, type_length, codec_dict)
         except ValueError:
             raise
-        except (IndexError, KeyError, OverflowError, EOFError) as e:
+        except (IndexError, KeyError, OverflowError, EOFError, TypeError) as e:
+            # TypeError included: a forged header claiming rle_dict with
+            # the dict-page flag CLEAR leaves dict_vals=None, and the
+            # kernels then unpack/index None — still corrupt bytes, still
+            # the documented ValueError contract
             raise ValueError(f"corrupt page {page_i} payload: {e}") from e
         if mask is not None:
             vmask = mask[validity]  # selected positions among non-null values

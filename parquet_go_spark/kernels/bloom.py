@@ -134,10 +134,20 @@ def hash_scalar(value, ptype: str) -> int | None:
         except (TypeError, ValueError):
             return None
         return int(_hash_objects(arr)[0])
-    if ptype in ("bytes", "flba"):
+    if ptype == "bytes":
         if isinstance(value, str) or isinstance(value, (bytes, bytearray)):
             obj = np.empty(1, dtype=object)
             obj[0] = bytes(value) if isinstance(value, bytearray) else value
+            return int(_hash_objects(obj)[0])
+        return None
+    if ptype == "flba":
+        # flba blooms hash RAW storage bytes (big-endian unscaled
+        # decimals / fixed binary); a str/number probe hashes something
+        # else entirely and would "prove" absence of a present value —
+        # only an exact-width bytes probe is comparable
+        if isinstance(value, (bytes, bytearray)):
+            obj = np.empty(1, dtype=object)
+            obj[0] = bytes(value)
             return int(_hash_objects(obj)[0])
         return None
     return None

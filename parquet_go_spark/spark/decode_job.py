@@ -20,20 +20,59 @@ from . import manifest as mf
 from .encode_job import parse_partition_file, partition_file_epoch
 
 
-def _le_bound(a, b) -> bool:
-    """Conservative bound compare shared by partition- and page-level
-    pruning: numeric when both sides parse as numbers, else string."""
-    try:
-        return float(a) <= float(b)
-    except (TypeError, ValueError):
-        return str(a) <= str(b)
+_NUM_PTYPES = {"int32", "int64", "float", "double"}
 
 
-def _bounds_exclude_eq(value, mn, mx) -> bool:
-    """[mn, mx] provably excludes ``== value`` (None bound never excludes)."""
-    if mn is not None and not _le_bound(mn, value):
+def _bound_kind(ptype: str | None) -> str:
+    """Ordering family a column's string bounds were WRITTEN with
+    (``core.chunk.column_minmax`` + ``bound_str``): numeric ptypes and
+    flba (decimal/int carrier keys) compare numerically, bytes and bool
+    compare as strings. Unknown ptype -> "none" (no ordering proof —
+    the pre-fix code guessed numerically whenever both sides parsed as
+    floats, which inverted pruning on string columns holding
+    numeric-looking values: lexicographic bounds '100'..'99' read as
+    the numeric interval [100, 99], provably 'excluding' the value '5'
+    that the partition actually contains)."""
+    if ptype in _NUM_PTYPES or ptype == "flba":
+        return "num"
+    if ptype in ("bytes", "bool"):
+        return "str"
+    return "none"
+
+
+def _le_bound(a, b, kind: str = "num"):
+    """Conservative ordered compare shared by partition- and page-level
+    pruning: True/False when the ordering is PROVEN, None when no proof
+    is possible (NaN bounds, unparseable or cross-type operands, or an
+    unknown column kind) — callers must treat None as 'cannot
+    exclude'. NaN matters: ``float('nan') <= x`` is False for every x,
+    and the pre-fix code read that False as proof of exclusion, so one
+    NaN in a float column silently pruned partitions containing real
+    matches (the sibling compat/page_index.py guard, mirrored here)."""
+    if kind == "num":
+        try:
+            fa, fb = float(a), float(b)
+        except (TypeError, ValueError):
+            return None
+        if fa != fa or fb != fb:  # NaN bound or probe: no ordering proof
+            return None
+        return fa <= fb
+    if kind == "str":
+        try:
+            sa = a.decode("utf-8") if isinstance(a, bytes) else str(a)
+            sb = b.decode("utf-8") if isinstance(b, bytes) else str(b)
+        except UnicodeDecodeError:
+            return None
+        return sa <= sb
+    return None
+
+
+def _bounds_exclude_eq(value, mn, mx, kind: str = "num") -> bool:
+    """[mn, mx] provably excludes ``== value`` (None bound or unprovable
+    ordering never excludes)."""
+    if mn is not None and _le_bound(mn, value, kind) is False:
         return True
-    if mx is not None and not _le_bound(value, mx):
+    if mx is not None and _le_bound(value, mx, kind) is False:
         return True
     return False
 
@@ -42,14 +81,15 @@ def _page_excludes(op: str, value, page: dict) -> bool:
     """True when a page's stats provably exclude the predicate
     (None bound = unknown, never excludes)."""
     mn, mx = page["min_str"], page["max_str"]
+    kind = _bound_kind(page.get("ptype"))
     if op == "==":
-        return _bounds_exclude_eq(value, mn, mx)
+        return _bounds_exclude_eq(value, mn, mx, kind)
     if op == "in":
-        return all(_bounds_exclude_eq(v, mn, mx) for v in value)
+        return all(_bounds_exclude_eq(v, mn, mx, kind) for v in value)
     if op == "<=":
-        return mn is not None and not _le_bound(mn, value)
+        return mn is not None and _le_bound(mn, value, kind) is False
     if op == ">=":
-        return mx is not None and not _le_bound(value, mx)
+        return mx is not None and _le_bound(value, mx, kind) is False
     if op == "notnull":
         # every row of the page is null ⇒ no non-null value can match
         return page.get("nulls", 0) >= page["row_hi"] - page["row_lo"]
@@ -73,10 +113,18 @@ def _intersect_ranges(a: list[tuple], b: list[tuple]) -> list[tuple]:
 
 def _dict_key(v, ptype: str):
     """Normalize a predicate value to the form ``chunk_dict_values``
-    emits; None = not comparable (never excludes)."""
+    emits; None = not comparable (never excludes). flba dictionaries
+    hold RAW storage bytes (big-endian unscaled decimals / fixed
+    binary): only a bytes probe can match them — ``bytes(5)`` is five
+    NUL bytes, not the number 5, so a numeric probe must yield NO proof
+    rather than a guaranteed miss that falsely excludes the chunk."""
     try:
-        if ptype in ("bytes", "flba"):
-            return v.encode() if isinstance(v, str) else bytes(v)
+        if ptype == "bytes":
+            if isinstance(v, str):
+                return v.encode()
+            return bytes(v) if isinstance(v, (bytes, bytearray, memoryview)) else None
+        if ptype == "flba":
+            return bytes(v) if isinstance(v, (bytes, bytearray, memoryview)) else None
         if ptype in ("int32", "int64"):
             return int(v)
         if ptype == "float":
@@ -130,7 +178,7 @@ def surviving_partitions(
 
     def _excludes_point(r: dict, v, pid: int, col: str) -> bool:
         """min/max + bloom + dict proof that ``v`` is absent from chunk ``r``."""
-        if _bounds_exclude_eq(v, r["min_str"], r["max_str"]):
+        if _bounds_exclude_eq(v, r["min_str"], r["max_str"], _bound_kind(r["ptype"])):
             return True
         # bloom probe: min/max rarely excludes a point lookup on
         # high-cardinality keys (every partition spans the range); the
@@ -166,15 +214,16 @@ def surviving_partitions(
             if r is None:
                 continue  # no stats -> cannot prune
             mn, mx = r["min_str"], r["max_str"]  # each may be None (inexact)
+            kind = _bound_kind(r["ptype"])
             if op == "==":
                 if _excludes_point(r, value, pid, col_name):
                     return False
             elif op == "in":
                 if all(_excludes_point(r, v, pid, col_name) for v in value):
                     return False
-            elif op == "<=" and mn is not None and not _le(mn, value):
+            elif op == "<=" and mn is not None and _le(mn, value, kind) is False:
                 return False
-            elif op == ">=" and mx is not None and not _le(value, mx):
+            elif op == ">=" and mx is not None and _le(value, mx, kind) is False:
                 return False
             elif op == "notnull" and r["null_count"] >= r["num_rows"]:
                 return False  # all-null chunk: no non-null value to match
@@ -601,7 +650,11 @@ def decode_table(
                     crc_of = {
                         r["column"]: r["crc32"] for r in mf.read_partition_manifest(enc_dir, pid)
                     }
-                    for c in sorted(want & set(blobs)):
+                    # every decoded chunk validates — including eq-delete
+                    # key columns that ride along beyond the selection
+                    # (want_here): a bit-flipped key chunk would delete
+                    # the wrong rows, the exact class this flag catches
+                    for c in sorted(want_here & set(blobs)):
                         if c not in crc_of:
                             raise ValueError(
                                 f"manifest for {name} has no CRC row for column {c}: "
