@@ -1766,7 +1766,7 @@ WHERE round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) >= 0.35
             " n_word_tokens FROM ("
             "SELECT doc_id, LENGTH(text) AS n_chars,"
             " LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS n_tokens,"
-            " len(regexp_extract_all(text, '[a-z0-9]+')) AS n_word_tokens FROM documents)"
+            " len(regexp_extract_all(text, '[a-zA-Z0-9]+')) AS n_word_tokens FROM documents)"
         ),
         "text_quality": (
             "SELECT doc_id, n_tokens, n_types, ttr, punct_ratio, stop_ratio,"

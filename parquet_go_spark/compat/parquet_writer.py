@@ -179,6 +179,38 @@ def _statistics_struct(col: ColumnData, distinct: int):
     return st
 
 
+_ENC_NAMES = {
+    E_PLAIN: "plain",
+    E_RLE_DICT: "rle_dict",
+    E_DELTA_BP: "delta_bp",
+    E_DELTA_LEN: "delta_length",
+    E_DELTA_BA: "delta_bytes",
+}
+
+
+def _write_dict_page(
+    out: bytearray, uniques, dict_size: int, ptype: str, compression: str, crc: bool
+) -> tuple[int, int, int]:
+    """Emit one DICTIONARY_PAGE (shared by the flat and nested chunk
+    writers — previously two hand-maintained copies); returns
+    (dict_offset, raw_bytes_added, comp_bytes_added)."""
+    payload = _encode_dict_values(uniques, ptype)
+    comp = _compress(payload, compression)
+    dict_hdr = {
+        1: ("i32", 2),  # DICTIONARY_PAGE
+        2: ("i32", len(payload)),
+        3: ("i32", len(comp)),
+        7: ("struct", {1: ("i32", dict_size), 2: ("i32", E_PLAIN)}),
+    }
+    if crc:  # page_dict.go:124-128
+        c = zlib.crc32(comp)
+        dict_hdr[4] = ("i32", c - (1 << 32) if c >= 1 << 31 else c)
+    hdr = write_struct(dict_hdr)
+    dict_offset = len(out)
+    out += hdr + comp
+    return dict_offset, len(payload) + len(hdr), len(comp) + len(hdr)
+
+
 def _write_chunk(out: bytearray, col: ColumnData, name: str, enc_name: str | None, compression: str, codec: int, max_page: int, page_version: int = 1, crc: bool = False, pidx: list | None = None, as_int96: bool = False):
     """Write one column chunk (dict page + data pages) into ``out``;
     returns (col_chunk_struct, meta_row). ``as_int96`` writes an INT64-
@@ -199,22 +231,11 @@ def _write_chunk(out: bytearray, col: ColumnData, name: str, enc_name: str | Non
     encodings_used = {E_RLE}
     total_raw = total_comp = 0
     if enc == E_RLE_DICT and dict_size:
-        payload = _encode_dict_values(uniques, col.ptype)
-        comp = _compress(payload, compression)
-        dict_hdr = {
-            1: ("i32", 2),  # DICTIONARY_PAGE
-            2: ("i32", len(payload)),
-            3: ("i32", len(comp)),
-            7: ("struct", {1: ("i32", dict_size), 2: ("i32", E_PLAIN)}),
-        }
-        if crc:  # page_dict.go:124-128
-            c = zlib.crc32(comp)
-            dict_hdr[4] = ("i32", c - (1 << 32) if c >= 1 << 31 else c)
-        hdr = write_struct(dict_hdr)
-        dict_offset = len(out)
-        out += hdr + comp
-        total_raw += len(payload) + len(hdr)
-        total_comp += len(comp) + len(hdr)
+        dict_offset, raw_add, comp_add = _write_dict_page(
+            out, uniques, dict_size, col.ptype, compression, crc
+        )
+        total_raw += raw_add
+        total_comp += comp_add
         encodings_used.add(E_PLAIN)
     data_offset = len(out)
     encodings_used.add(enc)
@@ -326,13 +347,7 @@ def _write_chunk(out: bytearray, col: ColumnData, name: str, enc_name: str | Non
     meta_row = {
         "column": name,
         "ptype": "int96" if as_int96 else col.ptype,
-        "encoding": {
-            E_PLAIN: "plain",
-            E_RLE_DICT: "rle_dict",
-            E_DELTA_BP: "delta_bp",
-            E_DELTA_LEN: "delta_length",
-            E_DELTA_BA: "delta_bytes",
-        }[enc],
+        "encoding": _ENC_NAMES[enc],
         "num_rows": col.num_rows,
         "null_count": col.num_rows - col.num_values,
         "raw_bytes": col.raw_bytes,
@@ -362,6 +377,10 @@ def _leaf_schema_elem(name: str, t: pa.DataType, optional: bool, as_int96: bool 
         el[6] = ("i32", 0)  # UTF8
     elif pa.types.is_timestamp(t):
         el[6] = ("i32", 10)  # TIMESTAMP_MICROS
+    elif pa.types.is_date32(t):
+        # DATE rides physical INT32; omitting the annotation silently
+        # read the column back as plain int32 in every engine
+        el[6] = ("i32", 6)  # DATE
     return el
 
 
@@ -401,10 +420,14 @@ def _write_chunk_nested(
     max_page: int,
     crc: bool,
     pidx: list | None = None,
+    page_version: int = 1,
 ):
-    """Write one NESTED leaf chunk (V1 pages: size-prefixed rep + def
-    hybrid streams at their true bit widths, then values); pages cut on
-    row boundaries so every page starts at rep == 0."""
+    """Write one NESTED leaf chunk; pages cut on row boundaries so every
+    page starts at rep == 0. V1 pages carry size-prefixed rep + def
+    hybrid streams inside the compressed body; ``page_version=2`` puts
+    the (unprefixed) level streams OUTSIDE the compressed region with
+    their byte lengths in the header — previously V2 was silently
+    downgraded to V1 for nested columns."""
     from .shred import shred_leaf
 
     rep, deflv, leaf, row_counts, has = shred_leaf(arr, spec)
@@ -422,22 +445,11 @@ def _write_chunk_nested(
     encodings_used = {E_RLE, enc}
     total_raw = total_comp = 0
     if enc == E_RLE_DICT and dict_size:
-        payload = _encode_dict_values(uniques, col.ptype)
-        comp = _compress(payload, compression)
-        dict_hdr = {
-            1: ("i32", 2),
-            2: ("i32", len(payload)),
-            3: ("i32", len(comp)),
-            7: ("struct", {1: ("i32", dict_size), 2: ("i32", E_PLAIN)}),
-        }
-        if crc:
-            c = zlib.crc32(comp)
-            dict_hdr[4] = ("i32", c - (1 << 32) if c >= 1 << 31 else c)
-        hdr = write_struct(dict_hdr)
-        dict_offset = len(out)
-        out += hdr + comp
-        total_raw += len(payload) + len(hdr)
-        total_comp += len(comp) + len(hdr)
+        dict_offset, raw_add, comp_add = _write_dict_page(
+            out, uniques, dict_size, col.ptype, compression, crc
+        )
+        total_raw += raw_add
+        total_comp += comp_add
         encodings_used.add(E_PLAIN)
     data_offset = len(out)
     n_data_pages = 0
@@ -470,52 +482,89 @@ def _write_chunk_nested(
         vlo, vhi = int(has_cum[plo]), int(has_cum[phi])
         dlo, dhi = (int(vcum[vlo]), int(vcum[vhi])) if vcum is not None else (0, 0)
         vals = _encode_page_values(enc, col, vlo, vhi, dlo, dhi, codes, dict_size)
-        lvl = b""
-        if max_rep > 0:
-            lvl += hybrid.with_size_prefix(
-                hybrid.encode_auto(rep[plo:phi].astype(np.uint64), max_rep.bit_length()),
-                max_rep.bit_length(),
+        if page_version == 2:
+            # V2: raw (unprefixed) rep then def streams OUTSIDE the
+            # compressed region, byte lengths in header fields 6/5
+            rep_lvl = (
+                hybrid.encode_auto(rep[plo:phi].astype(np.uint64), max_rep.bit_length())
+                if max_rep > 0
+                else b""
             )
-        if max_def > 0:
-            lvl += hybrid.with_size_prefix(
-                hybrid.encode_auto(deflv[plo:phi].astype(np.uint64), max_def.bit_length()),
-                max_def.bit_length(),
+            def_lvl = (
+                hybrid.encode_auto(deflv[plo:phi].astype(np.uint64), max_def.bit_length())
+                if max_def > 0
+                else b""
             )
-        body = lvl + vals
-        comp = _compress(body, compression)
-        hdr_fields = {
-            1: ("i32", 0),  # DATA_PAGE
-            2: ("i32", len(body)),
-            3: ("i32", len(comp)),
-            5: (
-                "struct",
-                {
-                    1: ("i32", phi - plo),  # num_values = level positions
-                    2: ("i32", enc),
-                    3: ("i32", E_RLE),
-                    4: ("i32", E_RLE),
-                },
-            ),
-        }
+            comp = _compress(vals, compression)
+            page_bytes = bytes(rep_lvl) + bytes(def_lvl) + comp
+            hdr_fields = {
+                1: ("i32", 3),  # DATA_PAGE_V2
+                2: ("i32", len(rep_lvl) + len(def_lvl) + len(vals)),
+                3: ("i32", len(page_bytes)),
+                8: (
+                    "struct",
+                    {
+                        1: ("i32", phi - plo),  # num_values = level positions
+                        2: ("i32", (phi - plo) - (vhi - vlo)),
+                        3: ("i32", hi_row - lo_row),  # top-level rows
+                        4: ("i32", enc),
+                        5: ("i32", len(def_lvl)),
+                        6: ("i32", len(rep_lvl)),
+                        7: ("bool", compression != "none"),
+                    },
+                ),
+            }
+            raw_add = len(rep_lvl) + len(def_lvl) + len(vals)
+        else:
+            lvl = b""
+            if max_rep > 0:
+                lvl += hybrid.with_size_prefix(
+                    hybrid.encode_auto(rep[plo:phi].astype(np.uint64), max_rep.bit_length()),
+                    max_rep.bit_length(),
+                )
+            if max_def > 0:
+                lvl += hybrid.with_size_prefix(
+                    hybrid.encode_auto(deflv[plo:phi].astype(np.uint64), max_def.bit_length()),
+                    max_def.bit_length(),
+                )
+            body = lvl + vals
+            page_bytes = _compress(body, compression)
+            hdr_fields = {
+                1: ("i32", 0),  # DATA_PAGE
+                2: ("i32", len(body)),
+                3: ("i32", len(page_bytes)),
+                5: (
+                    "struct",
+                    {
+                        1: ("i32", phi - plo),  # num_values = level positions
+                        2: ("i32", enc),
+                        3: ("i32", E_RLE),
+                        4: ("i32", E_RLE),
+                    },
+                ),
+            }
+            raw_add = len(body)
         if crc:
-            c = zlib.crc32(comp)
+            c = zlib.crc32(page_bytes)
             hdr_fields[4] = ("i32", c - (1 << 32) if c >= 1 << 31 else c)
         hdr = write_struct(hdr_fields)
         # null_count counts NULL LEAF SLOTS (level positions below
         # max_def), not null rows — phi-plo positions, vhi-vlo present
         _record_page(
-            pidx, col, len(out), len(hdr) + len(comp),
+            pidx, col, len(out), len(hdr) + len(page_bytes),
             lo_row, phi - plo, vlo, vhi, dlo, dhi,
         )
-        out += hdr + comp
-        total_raw += len(body) + len(hdr)
-        total_comp += len(comp) + len(hdr)
+        out += hdr + page_bytes
+        total_raw += raw_add + len(hdr)
+        total_comp += len(page_bytes) + len(hdr)
         n_data_pages += 1
     n_positions = int(pos_edges[-1])
     enc_stats = []
     if dict_offset is not None:
         enc_stats.append({1: ("i32", 2), 2: ("i32", E_PLAIN), 3: ("i32", 1)})
-    enc_stats.append({1: ("i32", 0), 2: ("i32", enc), 3: ("i32", n_data_pages)})
+    enc_stats.append(
+        {1: ("i32", 3 if page_version == 2 else 0), 2: ("i32", enc), 3: ("i32", n_data_pages)}
+    )
     meta = {
         1: ("i32", _PQ_TYPE[col.ptype]),
         2: ("list", ("i32", sorted(encodings_used))),
@@ -534,13 +583,7 @@ def _write_chunk_nested(
     meta_row = {
         "column": ".".join(spec["path"]),
         "ptype": col.ptype,
-        "encoding": {
-            E_PLAIN: "plain",
-            E_RLE_DICT: "rle_dict",
-            E_DELTA_BP: "delta_bp",
-            E_DELTA_LEN: "delta_length",
-            E_DELTA_BA: "delta_bytes",
-        }[enc],
+        "encoding": _ENC_NAMES[enc],
         "num_rows": len(arr),
         "null_count": n_positions - len(leaf),
         "raw_bytes": total_raw,
@@ -658,7 +701,7 @@ def write_parquet(
                     pidx: list | None = [] if page_index else None
                     cc, mrow = _write_chunk_nested(
                         out, arr, spec, (encodings or {}).get(name), compression, codec,
-                        max_page, crc, pidx,
+                        max_page, crc, pidx, page_version=page_version,
                     )
                     if page_index:
                         chunk_pages.append((cc, pidx))
@@ -690,7 +733,11 @@ def write_parquet(
         row_groups.append(
             {
                 1: ("list", ("struct", col_chunks)),
-                2: ("i64", sum(c[3][1][7][1] for c in col_chunks)),
+                # spec: total_byte_size is the UNCOMPRESSED total
+                # (ColumnMetaData field 6) — engines budget memory and
+                # splits from it; the compressed sum only matched by
+                # accident when compression='none'
+                2: ("i64", sum(c[3][1][6][1] for c in col_chunks)),
                 3: ("i64", part.num_rows),
             }
         )

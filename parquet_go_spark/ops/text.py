@@ -23,8 +23,10 @@ def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         n_chars.cast("long").alias("n_chars"),
         n_tokens.cast("long").alias("n_tokens"),
         ((n_chars - n_tokens + 1).cast("double") / n_tokens.cast("double")).alias("avg_token_len"),
-        # BPE-ish regex word tokens (alnum runs), engine-portable pattern
-        F.size(F.expr(f"regexp_extract_all({text_col}, '[a-z0-9]+', 0)"))
+        # BPE-ish regex word tokens (alnum runs), engine-portable pattern;
+        # the class covers BOTH cases — '[a-z0-9]+' on raw text treated
+        # uppercase letters as separators ('HELLO' counted 0 tokens)
+        F.size(F.expr(f"regexp_extract_all({text_col}, '[a-zA-Z0-9]+', 0)"))
         .cast("long")
         .alias("n_word_tokens"),
     )
@@ -195,7 +197,16 @@ def repetition_signals(df: DataFrame, text_col: str = "text", id_col: str = "doc
     3-gram duplication and one word covering a large share of tokens;
     clean prose sits near zero on both."""
     t = F.col(text_col)
-    words = F.expr(f"filter(split({text_col}, ' '), w -> w <> '')")
+    # Stage the filtered word array ONCE: inlining filter(split(text))
+    # inside the gram transform re-evaluated it 3x PER GRAM INDEX (Spark
+    # does not hoist loop-invariant subexpressions out of higher-order-
+    # function lambdas), turning a linear projection quadratic on long
+    # documents. CollapseProject keeps a multiply-referenced non-cheap
+    # alias staged, so __w materializes once per row.
+    base = df.filter(t.isNotNull()).select(
+        F.col(id_col), F.expr(f"filter(split({text_col}, ' '), w -> w <> '')").alias("__w")
+    )
+    words = F.col("__w")
     n_words = F.size(words)
     # Guarded gram construction: sequence(1, 0) in Spark yields the
     # DESCENDING [1, 0] (not empty), so an unguarded transform indexes
@@ -206,10 +217,8 @@ def repetition_signals(df: DataFrame, text_col: str = "text", id_col: str = "doc
     grams = F.when(
         n_words >= 3,
         F.expr(
-            f"transform(sequence(1, size(filter(split({text_col}, ' '), w -> w <> '')) - 2),"
-            f" i -> concat_ws(' ', filter(split({text_col}, ' '), w -> w <> '')[i - 1],"
-            f" filter(split({text_col}, ' '), w -> w <> '')[i],"
-            f" filter(split({text_col}, ' '), w -> w <> '')[i + 1]))"
+            "transform(sequence(1, size(__w) - 2),"
+            " i -> concat_ws(' ', __w[i - 1], __w[i], __w[i + 1]))"
         ),
     ).otherwise(F.expr("cast(array() as array<string>)"))
     n_grams = F.size(grams)
@@ -222,9 +231,9 @@ def repetition_signals(df: DataFrame, text_col: str = "text", id_col: str = "doc
     top_word_cov = F.when(
         n_words > 0,
         F.expr(
-            f"""
+            """
             aggregate(
-              array_sort(filter(split({text_col}, ' '), w -> w <> '')),
+              array_sort(__w),
               named_struct('prev', cast(null as string), 'run', 0L, 'best', 0L),
               (acc, w) -> named_struct(
                 'prev', w,
@@ -238,13 +247,10 @@ def repetition_signals(df: DataFrame, text_col: str = "text", id_col: str = "doc
     ).otherwise(F.lit(0.0))
     mean_word_len = F.when(
         n_words > 0,
-        F.expr(
-            f"aggregate(filter(split({text_col}, ' '), w -> w <> ''),"
-            " 0L, (acc, w) -> acc + length(w))"
-        ).cast("double")
+        F.expr("aggregate(__w, 0L, (acc, w) -> acc + length(w))").cast("double")
         / n_words.cast("double"),
     ).otherwise(F.lit(0.0))
-    return df.filter(t.isNotNull()).select(
+    return base.select(
         F.col(id_col),
         n_words.cast("long").alias("n_words"),
         F.round(dup_gram_frac, 6).alias("dup_3gram_frac"),

@@ -167,9 +167,9 @@ def contamination(
     benchmark never re-scans the corpus."""
     from pyspark.sql import functions as F
 
-    cfps = winnowing_fingerprints(corpus, text_col=text_col, id_col=id_col)
+    cfps = winnowing_fingerprints(corpus, text_col=text_col, id_col=id_col, k=k, w=w)
     bfps = (
-        winnowing_fingerprints(benchmark, text_col=text_col, id_col=bench_id_col)
+        winnowing_fingerprints(benchmark, text_col=text_col, id_col=bench_id_col, k=k, w=w)
         .select(F.col(bench_id_col).alias("bench_id"), "fp")
         .distinct()
     )

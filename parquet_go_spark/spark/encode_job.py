@@ -216,15 +216,22 @@ def _zorder_expr(df: DataFrame, keys: list[str]):
             # normalize to epoch seconds via TIMESTAMP -> LONG
             e = e.cast("timestamp").cast("long")
         exprs.append(e.cast("double"))
+    # NaN-proof extremes: NaN sorts greatest in Spark, so a single NaN
+    # key value would make max() (hence span) NaN and floor(NaN)=0 would
+    # silently collapse the whole dimension to one z-slab — mask NaN out
+    # of the extremes and let the NaN rows clamp into the top bucket
+    def _finite(e):
+        return F.when(~F.isnan(e), e)
+
     row = df.agg(
-        *[F.min(e).alias(f"mn{i}") for i, e in enumerate(exprs)],
-        *[F.max(e).alias(f"mx{i}") for i, e in enumerate(exprs)],
+        *[F.min(_finite(e)).alias(f"mn{i}") for i, e in enumerate(exprs)],
+        *[F.max(_finite(e)).alias(f"mx{i}") for i, e in enumerate(exprs)],
     ).first()
     z = F.lit(0).cast("long")
     for i, e in enumerate(exprs):
         mn, mx = row[f"mn{i}"], row[f"mx{i}"]
-        if mn is None:
-            continue  # all-null key contributes nothing
+        if mn is None or mn != mn or mx != mx:
+            continue  # all-null/all-NaN key contributes nothing
         span = float(mx) - float(mn) or 1.0
         s = F.floor((e - F.lit(float(mn))) / F.lit(span) * F.lit(float(1 << bits)))
         s = F.least(F.greatest(s, F.lit(0)), F.lit((1 << bits) - 1))

@@ -133,19 +133,30 @@ def write_delete_file(out_dir: str, pid: int, positions, base_rows: int, epoch: 
     if pos[0] < 0 or pos[-1] >= base_rows:
         raise ValueError(f"delete positions out of range [0, {base_rows})")
     os.makedirs(deletes_dir(out_dir), exist_ok=True)
-    k = 0
-    existing = list_delete_files(out_dir, pid)
-    if existing:
-        k = int(existing[-1][len("del-") + 6 : -len(".parquet")]) + 1
-    name = delete_file_name(pid, k)
-    path = os.path.join(deletes_dir(out_dir), name)
-    tmp = path + f".tmp.{os.getpid()}"
     table = pa.table({"pos": pa.array(pos, pa.int64())}).replace_schema_metadata(
         {"base_rows": str(int(base_rows)), "epoch": str(int(epoch))}
     )
+    # claim the next index by ATOMIC os.link create-if-absent (the same
+    # CAS commit_snapshot uses): list-then-replace let two concurrent
+    # delete committers compute the same k and silently clobber each
+    # other's sidecar — the loser's rows came back to life
+    tmp = os.path.join(deletes_dir(out_dir), f".del.tmp.{os.getpid()}")
     pq.write_table(table, tmp)
-    os.replace(tmp, path)
-    return name
+    try:
+        k = 0
+        existing = list_delete_files(out_dir, pid)
+        if existing:
+            k = int(existing[-1][len("del-") + 6 : -len(".parquet")]) + 1
+        while True:
+            name = delete_file_name(pid, k)
+            path = os.path.join(deletes_dir(out_dir), name)
+            try:
+                os.link(tmp, path)  # atomic create-if-absent: the CAS
+                return name
+            except FileExistsError:
+                k += 1  # raced: another committer claimed this index
+    finally:
+        os.unlink(tmp)
 
 
 def _sidecar_base_rows(table) -> int:
@@ -279,15 +290,24 @@ def write_eq_delete_file(out_dir: str, column: str, values, applies_to) -> str:
     os.makedirs(deletes_dir(out_dir), exist_ok=True)
     existing = list_eq_delete_files(out_dir)
     k = int(existing[-1][len("eq-") : -len(".parquet")]) + 1 if existing else 0
-    name = f"eq-{k:04d}.parquet"
-    path = os.path.join(deletes_dir(out_dir), name)
-    tmp = path + f".tmp.{os.getpid()}"
     table = pa.table({"value": pa.array(vals)}).replace_schema_metadata(
         {"column": column, "applies_to": json.dumps(sorted(int(p) for p in applies_to))}
     )
+    # same os.link CAS as write_delete_file: concurrent committers must
+    # never clobber each other's sidecar by claiming the same index
+    tmp = os.path.join(deletes_dir(out_dir), f".eq.tmp.{os.getpid()}")
     pq.write_table(table, tmp)
-    os.replace(tmp, path)
-    return name
+    try:
+        while True:
+            name = f"eq-{k:04d}.parquet"
+            path = os.path.join(deletes_dir(out_dir), name)
+            try:
+                os.link(tmp, path)
+                return name
+            except FileExistsError:
+                k += 1
+    finally:
+        os.unlink(tmp)
 
 
 def read_eq_delete_file(out_dir: str, name: str) -> dict:
@@ -391,16 +411,17 @@ def commit_snapshot(
     total_raw = total_enc = n_rows = 0
     encodings: dict[str, int] = {}
     pids = committed_partitions(out_dir)
-    first_col = None
     for pid in sorted(pids):
+        # a partition's row count is ANY of its columns' num_rows (all
+        # equal by construction) — counting only a global first column
+        # under-reported evolved-schema partitions that legally omit it
+        pid_rows = 0
         for r in read_partition_manifest(out_dir, pid):
             total_raw += r["raw_bytes"]
             total_enc += r["encoded_bytes"]
             encodings[r["encoding"]] = encodings.get(r["encoding"], 0) + 1
-            if first_col is None:
-                first_col = r["column"]
-            if r["column"] == first_col:
-                n_rows += r["num_rows"]
+            pid_rows = max(pid_rows, r["num_rows"])
+        n_rows += pid_rows
     # merge-on-read deletes: live row count subtracts the deleted
     # positions; the sidecar basenames are pinned so time travel applies
     # exactly the deletes this version saw (and none committed later)
