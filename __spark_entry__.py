@@ -1741,8 +1741,11 @@ WHERE round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) >= 0.35
             " WHERE doc_id BETWEEN 300 AND 500"
         ),
         "dedup_exact": (
+            # null-text docs are singletons, never one mega-group
             "SELECT md5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups"
-            " FROM documents GROUP BY text"
+            " FROM documents WHERE text IS NOT NULL GROUP BY text"
+            " UNION ALL SELECT CAST(NULL AS VARCHAR) AS fp, doc_id AS keep_id,"
+            " CAST(1 AS BIGINT) AS n_dups FROM documents WHERE text IS NULL"
         ),
         "boilerplate_strip": _BOILERPLATE_DUCK,
         "corpus_curation": (

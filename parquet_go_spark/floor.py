@@ -57,8 +57,13 @@ def _parquet_name(f: dataclasses.Field) -> str:
 
 def _spark_type(hint) -> tuple[T.DataType, bool]:
     """Resolve a type hint to (DataType, nullable)."""
+    import types as _types
+
     origin = typing.get_origin(hint)
-    if origin is typing.Union:
+    # typing.Optional[X] AND the PEP 604 spelling `X | None` (origin is
+    # types.UnionType, not typing.Union) — modern dataclasses use the
+    # latter and previously raised FloorTypeError
+    if origin is typing.Union or origin is _types.UnionType:
         args = [a for a in typing.get_args(hint) if a is not type(None)]
         if len(args) != 1:
             raise FloorTypeError(f"unsupported union type {hint!r}")
@@ -126,10 +131,12 @@ def _from_row(d: dict, cls):
 
 
 def _unmarshal_value(v, hint):
+    import types as _types
+
     if v is None:
         return None
     origin = typing.get_origin(hint)
-    if origin is typing.Union:
+    if origin is typing.Union or origin is _types.UnionType:  # incl. PEP 604 X | None
         args = [a for a in typing.get_args(hint) if a is not type(None)]
         return _unmarshal_value(v, args[0])
     if origin in (list, tuple):

@@ -50,9 +50,18 @@ def dup_clusters(
         .distinct()
         .localCheckpoint()
     )
-    labels = docs.select(
-        F.col(id_col).alias("id"), F.col(id_col).alias("lab")
-    ).localCheckpoint()
+    doc_ids = docs.select(F.col(id_col).alias("id"))
+    # seed EVERY vertex — docs AND pair endpoints: an edge id absent
+    # from docs previously had no label row, so round 1 dropped its
+    # edges, the changed-check (an inner join on the OLD id set) could
+    # not see it, and a component bridged only by such a vertex was
+    # silently returned split
+    labels = (
+        doc_ids.unionByName(edges.select(F.col("src").alias("id")))
+        .distinct()
+        .select("id", F.col("id").alias("lab"))
+        .localCheckpoint()
+    )
     for _ in range(max_iter):
         relayed = (
             edges.join(labels, edges.src == labels.id)
@@ -77,6 +86,10 @@ def dup_clusters(
             .limit(1)
             .count()
         )
+        # release the previous round's state promptly (best-effort: for
+        # localCheckpoint blocks the ContextCleaner frees on driver GC;
+        # dropping our reference right here is what enables that)
+        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
@@ -86,7 +99,11 @@ def dup_clusters(
             "diameter exceeds the cap; raise max_iter or switch to "
             "large-star/small-star for deep-path graphs"
         )
-    return labels.select(F.col("id").alias(id_col), F.col("lab").alias("cluster_id"))
+    # output contract: one row per DOC (edge-only vertices served as
+    # connectivity bridges, not corpus members)
+    return labels.join(doc_ids, "id").select(
+        F.col("id").alias(id_col), F.col("lab").alias("cluster_id")
+    )
 
 
 def canonical_docs(

@@ -45,12 +45,23 @@ def strip_boilerplate(
     by line index, so the result is deterministic in any engine (the
     DuckDB oracle matches exactly).
     """
-    lines = df.select(
+    # docs with NULL host or NULL text cannot participate in per-host
+    # frequency analysis (NULL never equi-joins; posexplode of NULL
+    # emits zero rows) — previously they VANISHED from the output; they
+    # pass through unstripped instead, preserving the every-doc contract
+    analyzable = df.where(F.col(host_col).isNotNull() & F.col(text_col).isNotNull())
+    passthrough = df.where(F.col(host_col).isNull() | F.col(text_col).isNull()).select(
+        F.col(id_col),
+        F.col(host_col),
+        F.coalesce(F.col(text_col), F.lit("")).alias("clean_text"),
+        F.lit(0).cast("long").alias("n_lines_removed"),
+    )
+    lines = analyzable.select(
         F.col(id_col).alias("id"),
         F.col(host_col).alias("host"),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("idx", "line"),
     )
-    host_docs = df.groupBy(F.col(host_col).alias("host")).agg(
+    host_docs = analyzable.groupBy(F.col(host_col).alias("host")).agg(
         F.countDistinct(F.col(id_col)).alias("n_docs")
     )
     # Per-(host, line) distinct-doc counts as a separate aggregate
@@ -91,6 +102,7 @@ def strip_boilerplate(
             "clean_text",
             "n_lines_removed",
         )
+        .unionByName(passthrough)
     )
 
 

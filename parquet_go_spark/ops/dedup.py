@@ -25,11 +25,24 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     aggregation collapses local duplicates before the exchange.
     (Collision probability over 128 bits is negligible below ~2^64
     documents; a verify pass comparing texts within fingerprint groups
-    can be layered on for forensic settings.)"""
-    return df.groupBy(F.md5(F.col(text_col)).alias("fp")).agg(
-        F.min(id_col).alias("keep_id"),
-        F.count(F.lit(1)).alias("n_dups"),
+    can be layered on for forensic settings.)
+
+    NULL text never forms a group: md5(NULL) is NULL and groupBy keeps
+    NULL as a key, so a corpus with many failed-fetch documents would
+    collapse them all into ONE 'duplicate group' and a downstream
+    canonical-keep would drop every one but the min id. Null-text docs
+    pass through as singletons (fp NULL, n_dups 1) instead."""
+    grouped = (
+        df.where(F.col(text_col).isNotNull())
+        .groupBy(F.md5(F.col(text_col)).alias("fp"))
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
     )
+    nulls = df.where(F.col(text_col).isNull()).select(
+        F.lit(None).cast("string").alias("fp"),
+        F.col(id_col).alias("keep_id"),
+        F.lit(1).cast("long").alias("n_dups"),
+    )
+    return grouped.unionByName(nulls)
 
 
 def _shingles_df(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:

@@ -592,7 +592,10 @@ def _print_field(out: list[str], f: Field, indent: int) -> None:
     pad = " " * indent
     if f.is_group:
         ann = f" ({f.annotation})" if f.annotation else ""
-        out.append(f"{pad}{f.repetition} group {f.name}{ann} {{")
+        # groups carry field ids too — dropping them broke the
+        # parse(dumps(m)) fixed point for .schema files using ids
+        gid = f" = {f.field_id}" if f.field_id is not None else ""
+        out.append(f"{pad}{f.repetition} group {f.name}{ann}{gid} {{")
         for c in f.children:
             _print_field(out, c, indent + 2)
         out.append(f"{pad}}}")
@@ -730,7 +733,14 @@ def message_from_spark(schema: T.StructType, name: str = "spark_schema") -> Mess
 def _decimal_flba_width(precision: int) -> int:
     # Minimal FLBA width holding `precision` decimal digits, signed —
     # matches the engine's minimal-width big-endian DECIMAL carrier.
-    return max(1, (precision * 10 + 2 + 23) // 24)  # ceil((prec*log2(10)+1)/8)
+    # EXACT loop the engine's DECIMAL carrier uses (core.columns.
+    # decimal_width): the closed-form (p*10+2+23)//24 under-sized
+    # precisions 7 and 19 (3 bytes can't hold 9,999,999; 8 bytes can't
+    # hold 10^19-1), emitting schemas the module's own validator
+    # rejected on re-parse.
+    from .core.columns import decimal_width
+
+    return decimal_width(precision)
 
 
 def _field_from_spark(name: str, dt: T.DataType, nullable: bool) -> Field:

@@ -53,7 +53,12 @@ def sessionize(events: DataFrame, gap_seconds: int = 1800, ts_col: str = "ts") -
                     closed.append((user_id, s, last, n, sv))
                     s, last, n, sv = t, t, 1, float(v)
                 else:
-                    last, n, sv = t, n + 1, sv + float(v)
+                    # late (cross-batch out-of-order) events extend the
+                    # session but must never move its bounds BACKWARD:
+                    # last=t could emit session_end < session_start and
+                    # falsely split the next in-order event off
+                    last, n, sv = max(last, t), n + 1, sv + float(v)
+                    s = min(s, t)
             state.update((s, last, n, sv))
             state.setTimeoutDuration(gap_seconds * 1000)
         if closed:

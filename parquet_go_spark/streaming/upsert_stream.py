@@ -41,15 +41,44 @@ from ..spark.maintenance import delete_keys, mark_matching_keys
 __all__ = ["upsert_stream", "last_upsert_batch"]
 
 
-def last_upsert_batch(enc_dir: str) -> int:
+def last_upsert_batch(enc_dir: str, txn_id: str | None = None) -> int:
     """Highest stream_batch_id recorded in the snapshot log (-1 if
-    none) — the replay guard."""
+    none) — the replay guard. ``txn_id`` scopes the guard to ONE
+    streaming query's batch-id numbering (Delta's txnAppId pattern):
+    batch ids restart at 0 whenever the checkpoint is recreated, so an
+    unscoped max would silently discard every batch of a restarted
+    query until it outran the previous run's counter. Snapshots written
+    before txn scoping (no stream_txn recorded) match any txn for
+    backward compatibility."""
     last = -1
     for snap in mf.read_snapshots(enc_dir):
-        bid = snap.get("config", {}).get("stream_batch_id")
-        if bid is not None:
-            last = max(last, int(bid))
+        cfg = snap.get("config", {})
+        bid = cfg.get("stream_batch_id")
+        if bid is None:
+            continue
+        snap_txn = cfg.get("stream_txn")
+        if txn_id is not None and snap_txn is not None and snap_txn != txn_id:
+            continue
+        last = max(last, int(bid))
     return last
+
+
+def _checkpoint_txn_id(checkpoint: str) -> str:
+    """Stable identity of ONE streaming query run-series: the engine's
+    own query id from ``<checkpoint>/metadata`` (written at query start,
+    REGENERATED when the checkpoint is recreated — exactly the event
+    that resets batch-id numbering). Falls back to the checkpoint path
+    before the engine has written it."""
+    import json
+
+    try:
+        with open(os.path.join(checkpoint, "metadata")) as f:
+            qid = json.load(f).get("id")
+        if qid:
+            return str(qid)
+    except (OSError, ValueError):
+        pass
+    return os.path.abspath(checkpoint)
 
 
 def upsert_stream(
@@ -77,16 +106,27 @@ def upsert_stream(
     snapshot guard, and the mark's dedup against on-disk sidecars)."""
     if not os.path.exists(os.path.join(enc_dir, "_schema.json")):
         raise ValueError(f"{enc_dir} is not an encoded table (bootstrap with encode_table)")
+    ckpt = checkpoint or os.path.join(enc_dir, "_upsert_checkpoint")
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_id <= last_upsert_batch(enc_dir):
-            return  # replayed batch: already fully applied
-        src = batch_df.dropDuplicates([key])
-        src_keys = src.select(key).where(src[key].isNotNull()).distinct()
+        txn = _checkpoint_txn_id(ckpt)
+        if batch_id <= last_upsert_batch(enc_dir, txn):
+            return  # replayed batch: already fully applied BY THIS QUERY
+        # dedup KEYED rows only: dropDuplicates treats NULL keys as
+        # equal, which would silently keep one unkeyed row per batch
+        keyed = batch_df.where(batch_df[key].isNotNull()).dropDuplicates([key])
+        unkeyed = batch_df.where(batch_df[key].isNull())
+        src = keyed.unionByName(unkeyed)
+        src_keys = keyed.select(key).distinct()
         n_keys = src_keys.count()
+        n_rows = src.count()
         snaps = mf.read_snapshots(enc_dir)
         base_pids = set(snaps[-1]["partition_ids"]) if snaps else set()
-        if n_keys:
+        marker = {"stream_batch_id": int(batch_id), "stream_txn": txn}
+        if n_rows:
+            # unkeyed rows are pure inserts (nothing to match); a batch
+            # of ONLY unkeyed rows previously vanished — appended, then
+            # the marker advanced as if applied
             encode_table(
                 src,
                 enc_dir,
@@ -96,35 +136,33 @@ def upsert_stream(
                 resume=True,
                 **encode_kwargs,
             ).collect()
-            if n_keys <= key_guard:
-                keys = [r[0] for r in src_keys.collect()]
-                delete_keys(
-                    enc_dir,
-                    key,
-                    keys,
-                    within=base_pids,
-                    extra_config={"stream_batch_id": int(batch_id)},
-                )
-            else:
-                spark = src.sparkSession
-                marked = mark_matching_keys(spark, enc_dir, key, src_keys, within=base_pids)
-                mf.commit_snapshot(
-                    enc_dir,
-                    "merge",
-                    {
-                        "stream_batch_id": int(batch_id),
-                        "mode": "mor",
-                        "src_keys": n_keys,
-                        "rows_replaced": marked["rows_deleted"],
-                    },
-                )
-        else:  # empty batch: just advance the marker
-            mf.commit_snapshot(enc_dir, "merge", {"stream_batch_id": int(batch_id)})
+        if n_keys and n_keys <= key_guard:
+            keys = [r[0] for r in src_keys.collect()]
+            delete_keys(
+                enc_dir,
+                key,
+                keys,
+                within=base_pids,
+                extra_config=marker,
+            )
+        elif n_keys:
+            spark = src.sparkSession
+            marked = mark_matching_keys(spark, enc_dir, key, src_keys, within=base_pids)
+            mf.commit_snapshot(
+                enc_dir,
+                "merge",
+                {
+                    **marker,
+                    "mode": "mor",
+                    "src_keys": n_keys,
+                    "rows_replaced": marked["rows_deleted"],
+                },
+            )
+        else:  # empty or unkeyed-only batch: advance the marker
+            mf.commit_snapshot(enc_dir, "merge", marker)
 
     writer = stream_df.writeStream.foreachBatch(sink).outputMode("append")
-    writer = writer.option(
-        "checkpointLocation", checkpoint or os.path.join(enc_dir, "_upsert_checkpoint")
-    )
+    writer = writer.option("checkpointLocation", ckpt)
     if trigger_seconds is not None:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
