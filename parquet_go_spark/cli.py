@@ -152,7 +152,7 @@ def cmd_encode(args) -> int:
         json.dumps(
             {
                 "partitions": len({r["partition"] for r in man}),
-                "rows": sum(r["num_rows"] for r in man if r["column"] == man[0]["column"]),
+                "rows": sum(r["num_rows"] for r in man if man and r["column"] == man[0]["column"]),
                 "raw_bytes": raw,
                 "encoded_bytes": enc,
                 "ratio": round(raw / max(enc, 1), 4),
@@ -163,12 +163,21 @@ def cmd_encode(args) -> int:
     return 0
 
 
+_WHERE_OPS = ("==", "<=", ">=", "in", "notnull")
+
+
 def _parse_where(wheres: list[str]) -> list[tuple]:
     """col:op:value triples -> prune predicates; values parse as
-    int/float when possible."""
+    int/float when possible. Unknown ops are REJECTED here: the prune
+    tiers would accept them while the exact re-apply silently fell back
+    to lit(True), returning unfiltered extra rows."""
     predicate = []
     for w in wheres:
         col, op, raw = w.split(":", 2)
+        if op not in _WHERE_OPS:
+            raise SystemExit(
+                f"--where op {op!r} not supported (use one of {', '.join(_WHERE_OPS)})"
+            )
         val: object = raw
         try:
             val = int(raw)
@@ -227,9 +236,19 @@ def _load_table(spark, args):
         )
     for col, op, val in prune or []:
         c = F.col(col)
-        df = df.where(
-            {"==": c == val, "<=": c <= val, ">=": c >= val}.get(op, F.lit(True))
-        )
+        cond = {
+            "==": c == val,
+            "<=": c <= val,
+            ">=": c >= val,
+            "in": c.isin(list(val) if isinstance(val, (list, tuple)) else [val]),
+            "notnull": c.isNotNull(),
+        }.get(op)
+        if cond is None:
+            # pruning is conservative, the re-apply is the EXACT filter:
+            # silently skipping it (the old lit(True) fallback) returned
+            # unfiltered extra rows for any op outside the map
+            raise SystemExit(f"--where op {op!r} has no exact re-apply")
+        df = df.where(cond)
     return df
 
 
@@ -942,7 +961,7 @@ def main(argv=None) -> int:
         "--input-format", dest="input_format", choices=["pgs", "parquet"], default="pgs"
     )
     dc.add_argument("--columns", default=None)
-    dc.add_argument("--where", default=None)
+    dc.add_argument("--where", action="append", default=None)
     dc.add_argument("--as-of", dest="as_of", type=int, default=None)
     dc.add_argument("--text-col", default="text")
     dc.add_argument("--id-col", default="doc_id")
@@ -958,7 +977,7 @@ def main(argv=None) -> int:
         "--input-format", dest="input_format", choices=["pgs", "parquet"], default="pgs"
     )
     cu.add_argument("--columns", default=None)
-    cu.add_argument("--where", default=None, help="pre-filter, fed to the prune tiers")
+    cu.add_argument("--where", action="append", default=None, help="pre-filter, fed to the prune tiers (repeatable)")
     cu.add_argument("--as-of", dest="as_of", type=int, default=None)
     cu.add_argument("--text-col", default="text")
     cu.add_argument("--id-col", default="doc_id")

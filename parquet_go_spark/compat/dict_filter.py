@@ -76,7 +76,16 @@ def decode_dict_page(region: bytes, cmeta: dict):
 def _contains(decoded, value, ptype: str) -> bool:
     if ptype == "bytes":
         lens, data = decoded
-        raw = value.encode() if isinstance(value, str) else bytes(value)
+        # only str/bytes probes compare against a byte_array dictionary:
+        # bytes(123) is 123 NUL bytes (a guaranteed miss = FALSE
+        # exclusion of present rows) and bytes(1.5) raises — both mean
+        # 'no proof', keep the chunk
+        if isinstance(value, str):
+            raw = value.encode()
+        elif isinstance(value, (bytes, bytearray, memoryview)):
+            raw = bytes(value)
+        else:
+            return True  # incomparable probe: inconclusive, keep
         starts = np.zeros(len(lens) + 1, dtype=np.int64)
         np.cumsum(lens, out=starts[1:])
         want = np.flatnonzero(lens == len(raw))

@@ -77,16 +77,22 @@ def decode_stat(raw: bytes | None, ptype: int):
     mean 'unknown' — callers must keep the page/row group."""
     if raw is None or len(raw) == 0:
         return None
-    if ptype == 0:
-        return bool(raw[0])
-    if ptype == 1:
-        return _s.unpack("<i", raw)[0]
-    if ptype == 2:
-        return _s.unpack("<q", raw)[0]
-    if ptype == 4:
-        return _s.unpack("<f", raw)[0]
-    if ptype == 5:
-        return _s.unpack("<d", raw)[0]
+    try:
+        if ptype == 0:
+            return bool(raw[0])
+        if ptype == 1:
+            return _s.unpack("<i", raw)[0]
+        if ptype == 2:
+            return _s.unpack("<q", raw)[0]
+        if ptype == 4:
+            return _s.unpack("<f", raw)[0]
+        if ptype == 5:
+            return _s.unpack("<d", raw)[0]
+    except _s.error:
+        # malformed/forged bound of the wrong byte length (foreign
+        # files): 'unknown — keep', per the contract above, never a
+        # task-killing struct.error
+        return None
     if ptype == 6:
         try:
             return raw.decode()

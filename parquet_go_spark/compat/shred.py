@@ -108,18 +108,20 @@ def _list_parts(arr: pa.Array):
     """(validity, sizes int64, flattened elements of non-null lists)."""
     valid = _valid_mask(arr)
     if pa.types.is_map(arr.type):
+        # rebuild the list WITH the map's validity: a null map slot may
+        # carry non-degenerate offsets (legal Arrow), and flattening
+        # without the mask leaked its key/value entries into the leaf
+        # and level streams while counts said 0 — corrupted shredding
         st = pa.ListArray.from_arrays(
             arr.offsets,
             pa.StructArray.from_arrays(
                 [arr.keys, arr.items], names=["key", "value"]
             ),
+            mask=pa.array(~valid),
         )
-        # MapArray.offsets has no null info; reapply validity
         sizes = np.diff(np.asarray(arr.offsets, dtype=np.int64))
         sizes = np.where(valid, sizes, 0)
-        flat = st.flatten()
-        # flatten() on the rebuilt list ignores validity; slice by hand
-        return valid, sizes, flat
+        return valid, sizes, st.flatten()
     sizes = np.asarray(pc.fill_null(pc.list_value_length(arr), 0), dtype=np.int64)
     return valid, sizes, arr.flatten()
 

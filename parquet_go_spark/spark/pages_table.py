@@ -77,8 +77,7 @@ def _gen_block(ids: np.ndarray) -> pd.DataFrame:
     """Rows for the given global row ids (pure function of id, seed 42)."""
     n = len(ids)
     out = {}
-    # one independent stream per row id -> parallelism-invariant rows
-    rng = np.random.default_rng(42)
+    # rows are PURE integer arithmetic on ids -> parallelism-invariant
     # domain: Zipf-ish over ~1000 domains; top domain ~20% (skew for salting)
     z = (ids * 2654435761 % 2**32) / 2**32  # deterministic uniform per id
     dom = np.minimum((1.0 / np.maximum(z, 1e-9)) ** 0.6, 1000).astype(np.int64) % 1000
