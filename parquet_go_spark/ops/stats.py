@@ -1,32 +1,58 @@
 """Column-statistics operator: the engine's stats collection (reference
 O13, ``stats.go`` + ``chunk_writer.go:283-290``) exposed as a DataFrame
 op. ``table_column_stats`` computes per-column (num_rows, null_count,
-n_distinct) by running the chunk encoder's own stat path over the table
-as one chunk — the semantics the manifest records per partition chunk.
+n_distinct) the way the manifest does at scale: every partition emits a
+partial — additive counts plus a mergeable KMV distinct sketch
+(``kernels/kmv.py``) — and one tiny groupBy(col_name) merges them.
 
-At scale, stats stay per-chunk in the manifest (additive counts sum;
-distinct needs a sketch) — the single-chunk mode here exists so the
-numbers are exactly SQL-checkable.
+No stage ever funnels the table through a single task: the partial pass
+runs over the scan's natural partitioning (num_partitions tasks, each
+touching only its own rows), and the merge shuffles ONE ROW PER
+(partition, column) — at 100 TB that is thousands of sketch rows, not
+the data. Distinct counts are exact while every partition's sketch is
+untruncated (k = 2^18 distinct hashes — every sf0.01 oracle table sits
+far below it, so `COUNT(DISTINCT c)` rows stay bit-exact) and switch to
+the KMV estimator (~0.2% error) beyond, which is the only sound distinct
+semantics across chunks: per-chunk exact counts do not sum
+(``stats.go:9-225`` records them per chunk for exactly that reason).
 """
 
 from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 from pyspark.sql import DataFrame
 
-from ..core.chunk import _factorize
 from ..core.columns import from_arrow
+from ..kernels.kmv import (
+    KMV_K_DEFAULT,
+    hash_column_values,
+    kmv_count,
+    kmv_deserialize,
+    kmv_from_hashes,
+    kmv_merge,
+    kmv_serialize,
+)
 
-__all__ = ["table_column_stats", "table_numeric_minmax"]
+__all__ = ["table_column_stats", "table_numeric_minmax", "table_stats_from_manifest"]
+
+_PARTIAL_SCHEMA = "col_name string, num_rows long, null_count long, sketch binary"
+_STATS_SCHEMA = "col_name string, num_rows long, null_count long, n_distinct long"
+_MM_SCHEMA = "col_name string, min_v double, max_v double"
+# has_vals keeps None (empty partition) distinguishable from NaN after
+# the Spark->pandas hop, where both land as NaN in a float64 column
+_MM_PARTIAL_SCHEMA = _MM_SCHEMA + ", has_vals boolean"
 
 
-def table_column_stats(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+def table_column_stats(
+    df: DataFrame, columns: list[str] | None = None, k: int = KMV_K_DEFAULT
+) -> DataFrame:
     cols = columns or df.columns
 
-    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         tables = [pa.Table.from_pandas(b, preserve_index=False) for b in batches]
         if not tables:
             return
@@ -35,28 +61,49 @@ def table_column_stats(df: DataFrame, columns: list[str] | None = None) -> DataF
         for name in cols:
             cd = from_arrow(table.column(name))
             if cd.num_values:
-                _, _, distinct = _factorize(cd)
+                state, trunc = kmv_from_hashes(hash_column_values(cd), k)
             else:
-                distinct = 0
+                state, trunc = np.empty(0, np.uint64), False
             rows.append(
                 {
                     "col_name": name,
                     "num_rows": cd.num_rows,
                     "null_count": cd.num_rows - cd.num_values,
-                    "n_distinct": distinct,
+                    "sketch": kmv_serialize(state, trunc),
                 }
             )
         yield pd.DataFrame(rows)
 
-    return df.coalesce(1).mapInPandas(
-        stats, schema="col_name string, num_rows long, null_count long, n_distinct long"
-    )
+    def merge(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        states, flags = [], []
+        for blob in pdf["sketch"]:
+            s, t = kmv_deserialize(bytes(blob))
+            states.append(s)
+            flags.append(t)
+        state, trunc = kmv_merge(states, flags, k)
+        return pd.DataFrame(
+            [
+                {
+                    "col_name": key[0],
+                    "num_rows": int(pdf["num_rows"].sum()),
+                    "null_count": int(pdf["null_count"].sum()),
+                    "n_distinct": kmv_count(state, trunc, k),
+                }
+            ]
+        )
+
+    partial = df.mapInPandas(partials, schema=_PARTIAL_SCHEMA)
+    return partial.groupBy("col_name").applyInPandas(merge, schema=_STATS_SCHEMA)
 
 
 def table_numeric_minmax(df: DataFrame, columns: list[str]) -> DataFrame:
-    """Per-column min/max (as double) via the encoder's stat path."""
+    """Per-column min/max (as double) via the encoder's stat path —
+    per-partition partial extremes merged by a one-row-per-partition
+    groupBy. Semantics identical to the pre-r5 single-chunk path: the
+    Arrow conversion maps NaN to null before the extreme scan, so NaN
+    never participates (pinned in test_stats_distributed.py)."""
 
-    def mm(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         tables = [pa.Table.from_pandas(b, preserve_index=False) for b in batches]
         if not tables:
             return
@@ -70,8 +117,65 @@ def table_numeric_minmax(df: DataFrame, columns: list[str]) -> DataFrame:
                     "col_name": name,
                     "min_v": float(v.min()) if len(v) else None,
                     "max_v": float(v.max()) if len(v) else None,
+                    "has_vals": bool(len(v)),
                 }
             )
         yield pd.DataFrame(rows)
 
-    return df.coalesce(1).mapInPandas(mm, schema="col_name string, min_v double, max_v double")
+    def merge(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        has = pdf["has_vals"].to_numpy(dtype=bool)
+        mn = pdf["min_v"].to_numpy(dtype=np.float64)[has]
+        mx = pdf["max_v"].to_numpy(dtype=np.float64)[has]
+        return pd.DataFrame(
+            [
+                {
+                    "col_name": key[0],
+                    "min_v": float(np.min(mn)) if len(mn) else None,
+                    "max_v": float(np.max(mx)) if len(mx) else None,
+                }
+            ]
+        )
+
+    partial = df.mapInPandas(partials, schema=_MM_PARTIAL_SCHEMA)
+    return partial.groupBy("col_name").applyInPandas(merge, schema=_MM_SCHEMA)
+
+
+def table_stats_from_manifest(spark, out_dir: str, k: int = 1 << 14) -> DataFrame:
+    """Table-level column stats from manifests ALONE — zero data pages
+    read. Counts sum across chunk rows; ``n_distinct`` merges the
+    per-chunk KMV sketches written by ``encode_table(kmv_columns=...)``
+    (NULL when any chunk of the column lacks a sketch: a partial union
+    would silently under-count). At 100 TB the input here is one tiny
+    row per (partition, column) — the stats job never touches data.
+
+    Counts reflect the base data files; MOR delete sidecars are not
+    subtracted (same contract as the manifest's own num_rows)."""
+    from ..spark import manifest as mf
+
+    man = mf.read_manifest(spark, out_dir).select(
+        "column", "num_rows", "null_count", "kmv"
+    )
+
+    def merge(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        # zero-row chunks carry no values, hence legitimately no sketch
+        has_vals = (pdf["num_rows"] - pdf["null_count"]) > 0
+        blobs = pdf["kmv"][has_vals]
+        if blobs.isna().any():
+            nd = None
+        elif not len(blobs):
+            nd = 0
+        else:
+            states, flags = zip(*(kmv_deserialize(bytes(b)) for b in blobs))
+            nd = kmv_count(*kmv_merge(list(states), list(flags), k), k)
+        return pd.DataFrame(
+            [
+                {
+                    "col_name": key[0],
+                    "num_rows": int(pdf["num_rows"].sum()),
+                    "null_count": int(pdf["null_count"].sum()),
+                    "n_distinct": nd,
+                }
+            ]
+        )
+
+    return man.groupBy("column").applyInPandas(merge, schema=_STATS_SCHEMA)

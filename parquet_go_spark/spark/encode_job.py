@@ -26,7 +26,7 @@ from pyspark import TaskContext
 from pyspark.sql import DataFrame, functions as F
 
 from ..core.chunk import encode_chunk
-from ..core.columns import from_arrow
+from ..core.columns import ColumnData, from_arrow
 from ..kernels.varint import read_uvarint, uvarint
 from . import manifest as mf
 
@@ -126,6 +126,8 @@ def encode_columns_to_partition(
     bloom_columns: list[str] | None = None,
     bloom_bits: int = 16,
     bloom_cap: int = 1 << 17,
+    kmv_columns: list[str] | None = None,
+    kmv_k: int = 1 << 14,
     epoch: int = 0,
 ) -> list[dict]:
     """Encode one partition's Arrow table into ``part-<pid>.bin`` +
@@ -172,12 +174,28 @@ def encode_columns_to_partition(
                     d = meta.as_dict()["distinct"]
                     ndv = d if d and d > 0 else len(hashes)
                     bloom = bloom_build(hashes, ndv, bloom_bits, bloom_cap)
+            kmv = None
+            if (
+                kmv_columns
+                and name in kmv_columns
+                and isinstance(col, ColumnData)  # flat leaves only
+                and col.num_values
+            ):
+                # mergeable distinct sketch per chunk (stats.go:9-225
+                # records exact per-chunk distinct, which cannot sum
+                # across chunks; the KMV union can — ops/stats.py
+                # table_stats_from_manifest answers table-level distinct
+                # from manifests alone, no data scan)
+                from ..kernels.kmv import hash_column_values, kmv_from_hashes, kmv_serialize
+
+                kmv = kmv_serialize(*kmv_from_hashes(hash_column_values(col), kmv_k))
             rows.append(
                 {
                     "partition": pid,
                     "column": name,
                     **meta.as_dict(),
                     "bloom": bloom,
+                    "kmv": kmv,
                     "file": fpath,
                     "offset": -1,
                     "length": len(blob),
@@ -263,6 +281,8 @@ def encode_table(
     bloom_columns: list[str] | None = None,
     bloom_bits: int = 16,
     bloom_cap: int = 1 << 17,
+    kmv_columns: list[str] | None = None,
+    kmv_k: int = 1 << 14,
     message_schema: str | None = None,
 ) -> DataFrame:
     """Encode ``df`` into ``out_dir``; returns the manifest DataFrame.
@@ -493,6 +513,8 @@ def encode_table(
             bloom_columns=bloom_columns,
             bloom_bits=bloom_bits,
             bloom_cap=bloom_cap,
+            kmv_columns=kmv_columns,
+            kmv_k=kmv_k,
         )
         if rows:
             yield _manifest_batch(rows)

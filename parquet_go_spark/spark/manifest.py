@@ -32,6 +32,7 @@ MANIFEST_SCHEMA = pa.schema(
         ("min_str", pa.string()),
         ("max_str", pa.string()),
         ("bloom", pa.binary()),
+        ("kmv", pa.binary()),
         ("file", pa.string()),
         ("offset", pa.int64()),
         ("length", pa.int64()),
@@ -42,7 +43,8 @@ MANIFEST_DDL = (
     "partition int, column string, ptype string, encoding string, "
     "compression string, num_rows long, null_count long, distinct long, "
     "raw_bytes long, encoded_bytes long, num_pages int, crc32 long, "
-    "min_str string, max_str string, bloom binary, file string, offset long, length long"
+    "min_str string, max_str string, bloom binary, kmv binary, "
+    "file string, offset long, length long"
 )
 
 
