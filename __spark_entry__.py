@@ -1277,8 +1277,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     of roundtrip_documents, roundtrip_nulls and prune_zorder (each
     all-true for 2+ consecutive driver rounds; their machinery stays
     driver-exercised via enc_dict/fsst_documents, roundtrip_nested's
-    def levels, and the other two pruning rows). Next rotation: FOR,
-    BSS, zdict."""
+    def levels, and the other two pruning rows).
+
+    ROTATION (r5, per the round-4 verdict): the last never-driver-
+    verified codecs earn hard rows — enc_for_bp_events (FOR+BP),
+    enc_bss_lineitem (BYTE_STREAM_SPLIT) and enc_zdict_documents
+    (zdict entropy stream) replace enc_dict_documents,
+    enc_delta_bp_events and enc_alp_lineitem (each driver-green 2+
+    rounds, and each codec still driver-exercised through the auto
+    selector inside first-block roundtrips: rle_dict on 6 lineitem +
+    2 document columns, delta_bp on roundtrip_embeddings' vec_id,
+    alp on roundtrip_lineitem's l_extendedprice — verified against
+    choose_encoding at sf0.01 — plus dict_decision_documents)."""
     return {
         # --- driver-verified block: one representative per family ----
         # encoding layer: identity round-trips (auto selector)
@@ -1296,14 +1306,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # web-text ops
         "html_extract_text": _q_html_extract,
         "url_host_stats": _q_url_host_stats,
-        # codec families: dictionary, delta, FSST, ALP, RLE-bool,
-        # DELTA_LENGTH/DELTA_BYTE_ARRAY (rotated in r4)
-        "enc_dict_documents": _rt("documents", encoding="rle_dict"),
-        "enc_delta_bp_events": _rt("events", cols=["event_id", "ts", "user_id"], encoding="delta_bp"),
+        # codec families: FSST, RLE-bool, DELTA_LENGTH/DELTA_BYTE_ARRAY
+        # (rotated in r4), FOR+BP / BYTE_STREAM_SPLIT / zdict (rotated
+        # in r5; dict/delta_bp/alp demoted — still selector-exercised
+        # inside the roundtrip rows above)
         "enc_fsst_documents": _rt("documents", cols=["text", "lang", "source"], encoding="fsst"),
-        "enc_alp_lineitem": _rt(
-            "lineitem", cols=["l_quantity", "l_extendedprice", "l_discount", "l_tax"], encoding="alp"
+        "enc_for_bp_events": _rt("events", cols=["event_id", "ts", "user_id"], encoding="for_bp"),
+        "enc_bss_lineitem": _rt(
+            "lineitem", cols=["l_quantity", "l_extendedprice", "l_discount", "l_tax"], encoding="bss"
         ),
+        "enc_zdict_documents": _rt("documents", cols=["text", "lang", "source"], encoding="zdict"),
         "enc_rle_bool_lineitem": lambda spark, sf_dir: roundtrip_df(
             _load(spark, sf_dir, "lineitem").select((F.col("l_quantity") > 25).alias("flag")),
             encoding="rle_bool",
@@ -1374,10 +1386,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_stats": _q_html_stats,
         "url_normalize": _q_url_normalize,
         "enc_plain_lineitem": _rt("lineitem", encoding="plain"),
-        "enc_for_bp_events": _rt("events", cols=["event_id", "ts", "user_id"], encoding="for_bp"),
-        "enc_zdict_documents": _rt("documents", cols=["text", "lang", "source"], encoding="zdict"),
-        "enc_bss_lineitem": _rt(
-            "lineitem", cols=["l_quantity", "l_extendedprice", "l_discount", "l_tax"], encoding="bss"
+        "enc_dict_documents": _rt("documents", encoding="rle_dict"),
+        "enc_delta_bp_events": _rt("events", cols=["event_id", "ts", "user_id"], encoding="delta_bp"),
+        "enc_alp_lineitem": _rt(
+            "lineitem", cols=["l_quantity", "l_extendedprice", "l_discount", "l_tax"], encoding="alp"
         ),
         "chunk_stats_documents": lambda spark, sf_dir: table_column_stats(
             _load(spark, sf_dir, "documents")
