@@ -34,6 +34,10 @@ __all__ = [
     "pq_lut_sql",
     "train_ivf_kmeans",
     "train_pq_kmeans",
+    "train_pq_sample",
+    "train_ivf_sample",
+    "pq_sample_spark",
+    "pq_sample_parquet",
     "save_quantizer",
     "load_quantizer",
     "list_quantizers",
@@ -601,6 +605,140 @@ def train_pq_kmeans(
                 out[i, :, got:] = fallback[i, :, got:]
     finally:
         en.unpersist()
+    return np.round(out, 6)
+
+
+def pq_sample_spark(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_ids: int = 256,
+) -> np.ndarray:
+    """Bounded, id-defined PQ training sample via Spark: the rows whose
+    id is below ``sample_ids``, sorted by id — a deterministic set the
+    oracle side (:func:`pq_sample_parquet`) reproduces byte-for-byte
+    from the same table. The collect is bounded by construction
+    (|sample| rows of one vector column — the FAISS ``train()`` shape:
+    quantizers train on an in-memory sample, never the corpus).
+    -> (n, dim) float64 (float32 parquet values widen exactly)."""
+    rows = (
+        df.where(F.col(id_col) < sample_ids)
+        .where(F.col(vec_col).isNotNull())
+        .select(id_col, vec_col)
+        .collect()
+    )
+    rows.sort(key=lambda r: r[0])
+    return np.asarray([list(r[1]) for r in rows], dtype=np.float64)
+
+
+def pq_sample_parquet(
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_ids: int = 256,
+) -> np.ndarray:
+    """The engine-free twin of :func:`pq_sample_spark`: read the same
+    id-defined sample straight from a parquet file with pyarrow, for
+    oracle-side training without a SparkSession. Identical float64
+    matrix (same rows, same order, same exact float32→float64
+    widening)."""
+    import pyarrow.parquet as pq_
+
+    t = pq_.read_table(path, columns=[id_col, vec_col])
+    pdf = t.to_pandas()
+    pdf = pdf[pdf[id_col] < sample_ids]
+    pdf = pdf[pdf[vec_col].notna()].sort_values(id_col)
+    return np.asarray([list(v) for v in pdf[vec_col]], dtype=np.float64)
+
+
+def train_pq_sample(
+    vectors: np.ndarray,
+    m: int = 8,
+    n_codes: int = 16,
+    seed: int = 17,
+    iters: int = 10,
+) -> np.ndarray:
+    """Deterministic in-memory PQ training: ``m`` independent Lloyd
+    k-means fits over the L2-normalized sample's subspace slices, pure
+    numpy with seeded-choice init and fixed iteration count — so the
+    SAME codebooks come out of the Spark query side and the DuckDB
+    oracle side when both feed it the same sample (the reproducibility
+    :func:`train_pq_kmeans`'s MLlib kmeans|| cannot give across
+    engines: its init depends on partitioning). Ties in assignment
+    break to the lowest code (argmin), empty clusters keep their
+    previous center; centers are raw means (NOT re-normalized — they
+    approximate subvectors, not directions), rounded to 6 decimals for
+    cross-engine literal parity. -> (m, dim//m, n_codes), drop-in for
+    :func:`pq_topk`'s ``codebooks``."""
+    v = np.asarray(vectors, dtype=np.float64)
+    if v.ndim != 2 or not len(v):
+        raise ValueError("train_pq_sample: need a non-empty (n, dim) sample")
+    dim = v.shape[1]
+    if dim % m:
+        raise ValueError(f"pq: dim {dim} not divisible by m {m}")
+    sub = dim // m
+    nrm = np.sqrt((v * v).sum(axis=1))
+    v = v[nrm > 0] / nrm[nrm > 0, None]
+    if not len(v):
+        raise ValueError("train_pq_sample: all-zero sample")
+    fallback = pq_codebooks(dim, m, n_codes, seed)
+    out = np.empty((m, sub, n_codes), dtype=np.float64)
+    for i in range(m):
+        x = v[:, i * sub : (i + 1) * sub]  # (n, sub)
+        rng = np.random.default_rng(seed + i)
+        k = min(n_codes, len(x))
+        cents = x[np.sort(rng.choice(len(x), k, replace=False))].copy()  # (k, sub)
+        for _ in range(iters):
+            # argmin ||x-c||^2 == argmax (x·c - ||c||^2/2); ties -> lowest code
+            d2 = (x * x).sum(1)[:, None] - 2.0 * (x @ cents.T) + (cents * cents).sum(1)[None, :]
+            assign = d2.argmin(axis=1)
+            for j in range(k):
+                sel = assign == j
+                if sel.any():
+                    cents[j] = x[sel].mean(axis=0)
+        out[i, :, :k] = cents.T
+        if k < n_codes:  # sample smaller than the codebook: pad to contract shape
+            out[i, :, k:] = fallback[i, :, k:]
+    return np.round(out, 6)
+
+
+def train_ivf_sample(
+    vectors: np.ndarray,
+    n_cells: int = 16,
+    seed: int = 13,
+    iters: int = 20,
+) -> np.ndarray:
+    """Deterministic in-memory IVF coarse-quantizer training: spherical
+    k-means in pure numpy (normalize → seeded-choice init → argmax-dot
+    assignment with ties to the lowest cell → mean + renormalize), the
+    engine-reproducible twin of :func:`train_ivf_kmeans` exactly as
+    :func:`train_pq_sample` twins ``train_pq_kmeans``. Unit-norm
+    centers keep ``ivf_topk``/``pq_topk``'s argmax-dot cell assignment
+    = nearest-by-cosine. -> (dim, n_cells), rounded to 6 decimals."""
+    v = np.asarray(vectors, dtype=np.float64)
+    if v.ndim != 2 or not len(v):
+        raise ValueError("train_ivf_sample: need a non-empty (n, dim) sample")
+    nrm = np.sqrt((v * v).sum(axis=1))
+    v = v[nrm > 0] / nrm[nrm > 0, None]
+    if not len(v):
+        raise ValueError("train_ivf_sample: all-zero sample")
+    dim = v.shape[1]
+    rng = np.random.default_rng(seed)
+    k = min(n_cells, len(v))
+    cents = v[np.sort(rng.choice(len(v), k, replace=False))].copy()  # (k, dim)
+    for _ in range(iters):
+        assign = (v @ cents.T).argmax(axis=1)  # ties -> lowest cell
+        for j in range(k):
+            sel = assign == j
+            if sel.any():
+                c = v[sel].mean(axis=0)
+                n = np.linalg.norm(c)
+                if n > 0:
+                    cents[j] = c / n
+    out = np.empty((dim, n_cells), dtype=np.float64)
+    out[:, :k] = cents.T
+    if k < n_cells:  # sample smaller than the cell count: pad seeded
+        out[:, k:] = ivf_centroids(dim, n_cells, seed)[:, k:]
     return np.round(out, 6)
 
 

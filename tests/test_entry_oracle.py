@@ -19,6 +19,10 @@ pytestmark = pytest.mark.spark
 import os
 
 SF_DIR = os.environ.get("ENTRY_TEST_SF_DIR", "/root/testdata/sf0.001")
+# data-derived oracle constants (embedding_pq_trained trains its
+# codebooks from the table) must come from the SAME sf dir the queries
+# run at; oracle_sql() reads this env var (driver default: sf0.01)
+os.environ["ENTRY_TEST_SF_DIR"] = SF_DIR
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
