@@ -39,9 +39,10 @@ OP_QUERIES = [
     "langid_ngram",
     "embedding_cosine_topk",
     "embedding_ivf_topk",
-    "embedding_pq_topk",
+    "embedding_pq_trained",
     "parquet_scan_distributed",
     "parquet_scan_page_prune",
+    "chunk_stats_lineitem",
 ]
 
 
@@ -208,31 +209,47 @@ def main() -> None:
             # scaling runs (BENCH_ONLY=encode) only consume encode_gbps +
             # compression_ratio; skip the decode and size-gate passes there
             dec_walls: list[float] = []
+            dec_steals: list[float] = []
             for r in range(4):
+                rs0, rt0 = _steal_jiffies()
                 t0 = time.perf_counter()
                 _force(decode_table(spark, enc_dir))
                 dec_walls.append(time.perf_counter() - t0)
+                rs1, rt1 = _steal_jiffies()
+                dec_steals.append(round(100 * (rs1 - rs0) / max(rt1 - rt0, 1), 2))
                 if r >= 1:
                     a, b = sorted(dec_walls)[:2]
                     if b <= a * 1.12:
                         break
             q["decode_pages"] = round(min(dec_walls), 3)
             extras["decode_rep_walls"] = [round(w, 2) for w in dec_walls]
+            extras["decode_best_rep_steal_pct"] = dec_steals[dec_walls.index(min(dec_walls))]
             extras["decode_gbps"] = round(raw / 1e9 / q["decode_pages"], 4)
 
             # size gate: identical data through the reference's exact
             # encoding decision (dict-or-plain, chunk_writer.go:174-227) —
-            # our auto selector must come in at or under it
-            t0 = time.perf_counter()
-            man_ref = encode_table(
-                src,
-                f"{tmp}/enc_ref",
-                key_col="url",
-                partitions=enc_parts,
-                profile="reference",
-                compression="snappy",
-            ).collect()
-            q["encode_pages_reference"] = round(time.perf_counter() - t0, 3)
+            # our auto selector must come in at or under it. Best-of-2
+            # with per-rep steal stamps (VERDICT r4 #2: the single-shot
+            # leg manufactured a phantom 1.81->3.33 s regression)
+            ref_walls: list[float] = []
+            ref_steals: list[float] = []
+            for r in range(2):
+                rs0, rt0 = _steal_jiffies()
+                t0 = time.perf_counter()
+                man_ref = encode_table(
+                    src,
+                    f"{tmp}/enc_ref{r}",
+                    key_col="url",
+                    partitions=enc_parts,
+                    profile="reference",
+                    compression="snappy",
+                ).collect()
+                ref_walls.append(time.perf_counter() - t0)
+                rs1, rt1 = _steal_jiffies()
+                ref_steals.append(round(100 * (rs1 - rs0) / max(rt1 - rt0, 1), 2))
+            q["encode_pages_reference"] = round(min(ref_walls), 3)
+            extras["encode_ref_rep_walls"] = [round(w, 2) for w in ref_walls]
+            extras["encode_ref_best_steal_pct"] = ref_steals[ref_walls.index(min(ref_walls))]
             ref_b = sum(r["encoded_bytes"] for r in man_ref)
             extras["bytes_auto"] = enc_b
             extras["bytes_reference_profile"] = ref_b
@@ -242,18 +259,38 @@ def main() -> None:
 
     if os.environ.get("SPARK_GRAFT_BENCH_ONLY") != "encode":
         queries = entry_mod.queries()
+        q_steal: dict[str, float] = {}
+        q_reps: dict[str, list[float]] = {}
         for name in OP_QUERIES:
-            # best-of-2, same rationale as the encode/decode legs: the
-            # first run pays one-time whole-stage-codegen + exchange
-            # setup (langid: ~12 s cold vs ~3 s steady-state), and the
-            # steady-state number is what a long-running job sees
-            best = None
-            for _ in range(2):
+            # best-of-2 (the first run pays one-time whole-stage-codegen
+            # + exchange setup; steady-state is what a long job sees),
+            # escalating to 4 reps while the two best disagree >25% —
+            # and every rep carries its own steal interval so BENCH
+            # deltas distinguish plan changes from window noise
+            # (VERDICT r4 #2: a phantom +15-40% band across unchanged
+            # plans was unprovable from single-shot legs)
+            walls: list[float] = []
+            steals: list[float] = []
+            while True:
+                rs0, rt0 = _steal_jiffies()
                 t0 = time.perf_counter()
                 _force(queries[name](spark, sf_dir))
-                dt = time.perf_counter() - t0
-                best = dt if best is None else min(best, dt)
-            q[name] = round(best, 3)
+                walls.append(time.perf_counter() - t0)
+                rs1, rt1 = _steal_jiffies()
+                steals.append(round(100 * (rs1 - rs0) / max(rt1 - rt0, 1), 2))
+                if len(walls) >= 2:
+                    a, b = sorted(walls)[:2]
+                    if b <= a * 1.25 or len(walls) >= 4 or sum(walls) > 60:
+                        break
+            best_i = walls.index(min(walls))
+            q[name] = round(walls[best_i], 3)
+            q_steal[name] = steals[best_i]
+            q_reps[name] = [round(w, 2) for w in walls]
+        # bulky per-rep walls ride an EARLIER stdout line (tail-budget
+        # discipline, see the scaling/envelope emit below); the final
+        # line keeps the compact best-rep steal stamps
+        print(json.dumps({"detail": "op_query_reps", "walls": q_reps, "steals": q_steal}))
+        extras["q_steal"] = q_steal
 
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf"))
