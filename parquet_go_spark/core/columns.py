@@ -263,10 +263,19 @@ def from_arrow(arr: pa.Array | pa.ChunkedArray) -> "ColumnData | ListData | Stru
             data = np.ascontiguousarray(raw.reshape(n, w)[validity]).reshape(-1)
         return ColumnData("flba", validity, data=data, type_length=w, logical=logical)
     if ptype == "bytes":
-        # normalize to large_binary for 64-bit offsets, then strip nulls
-        target = pa.large_binary()
-        barr = arr.cast(target)
-        offsets = np.frombuffer(barr.buffers()[1], dtype=np.int64, count=n + 1 + barr.offset)[
+        # read the offsets buffer at its NATIVE width (int32 for
+        # binary/string, int64 for large_*) — the old normalizing
+        # cast(large_binary) rewrote offsets AND data of every bytes
+        # column (~0.44 s of a 1.8 s single-core 120k-row pages encode,
+        # the marshaling share NOTES_r4 §9 flagged); exotic layouts
+        # (binary_view, dictionary-nested) still take the cast fallback
+        if pa.types.is_binary(arr.type) or pa.types.is_string(arr.type):
+            barr, odt = arr, np.int32
+        elif pa.types.is_large_binary(arr.type) or pa.types.is_large_string(arr.type):
+            barr, odt = arr, np.int64
+        else:
+            barr, odt = arr.cast(pa.large_binary()), np.int64
+        offsets = np.frombuffer(barr.buffers()[1], dtype=odt, count=n + 1 + barr.offset)[
             barr.offset :
         ]
         dbuf = barr.buffers()[2]
@@ -275,16 +284,23 @@ def from_arrow(arr: pa.Array | pa.ChunkedArray) -> "ColumnData | ListData | Stru
         )
         lens_all = np.diff(offsets)
         lens = lens_all[validity]
-        if validity.all():
+        if validity.all() or not lens_all[~validity].any():
+            # zero-copy view: with no nulls the buffer IS the value
+            # stream; with zero-LENGTH null slots (how parquet readers
+            # and Spark's Arrow batches always materialize them) the
+            # uncompacted buffer is byte-identical to the compacted one
+            # — skipping drop_null's full-buffer gather saved 0.45 s on
+            # a 323 MB html column with 2% nulls (pure DRAM traffic)
             data = data_all[offsets[0] : offsets[-1]]
         else:
-            # null-strip via Arrow's C++ gather: drop_null rebuilds
-            # compact offsets+data buffers in one native pass — the
-            # python-loop gather_segments here cost ~0.2 s per 120k-row
-            # web-text column, ~25% of single-core chunk encode
+            # null slots carry stale bytes (hand-built buffers): strip
+            # via Arrow's C++ gather — drop_null rebuilds compact
+            # offsets+data in one native pass — the python-loop
+            # gather_segments here cost ~0.2 s per 120k-row web-text
+            # column, ~25% of single-core chunk encode
             nn = barr.drop_null()
             noff = np.frombuffer(
-                nn.buffers()[1], dtype=np.int64, count=len(nn) + 1 + nn.offset
+                nn.buffers()[1], dtype=odt, count=len(nn) + 1 + nn.offset
             )[nn.offset :]
             ndbuf = nn.buffers()[2]
             data = (
@@ -305,7 +321,10 @@ def from_arrow(arr: pa.Array | pa.ChunkedArray) -> "ColumnData | ListData | Stru
     else:
         vals = arr.to_numpy(zero_copy_only=False)
     vals = np.asarray(vals).astype(_NUMPY_OF[ptype], copy=False)
-    values = np.ascontiguousarray(vals[validity])
+    # a boolean-mask index copies even when the mask is all-true; on a
+    # null-free fixed-width column the Arrow buffer view itself is the
+    # value stream (kernels never mutate ColumnData arrays in place)
+    values = vals if validity.all() else np.ascontiguousarray(vals[validity])
     return ColumnData(ptype, validity, values=values, logical=logical)
 
 
@@ -365,20 +384,29 @@ def to_arrow(col: "ColumnData | ListData | StructData") -> pa.Array:
         lens_all = np.zeros(n, dtype=np.int64)
         lens_all[col.validity] = col.lengths
         offsets = np.concatenate([[0], np.cumsum(lens_all)])
-        arr = pa.LargeBinaryArray.from_buffers(
-            pa.large_binary(),
+        # build the TARGET type straight from buffers instead of the old
+        # large_binary -> cast -> cast chain: each cast rewrote offsets
+        # and re-validated UTF-8 over the whole data buffer — redundant
+        # work on bytes this engine itself encoded (decode hot path)
+        small = int(offsets[-1]) <= 0x7FFFFFFF
+        if col.logical == "string" and small:
+            pa_t, odt = pa.string(), np.int32
+        elif col.logical == "binary" and small:
+            pa_t, odt = pa.binary(), np.int32
+        elif col.logical in ("string", "large_string"):
+            pa_t, odt = pa.large_string(), np.int64
+        else:
+            pa_t, odt = pa.large_binary(), np.int64
+        return pa.Array.from_buffers(
+            pa_t,
             n,
             [
                 pa.py_buffer(np.packbits(col.validity, bitorder="little")),
-                pa.py_buffer(offsets.astype(np.int64)),
+                pa.py_buffer(offsets.astype(odt, copy=False)),
                 pa.py_buffer(np.ascontiguousarray(col.data)),
             ],
+            null_count=int(mask.sum()),
         )
-        if col.logical in ("string", "large_string"):
-            return arr.cast(pa.large_string()).cast(pa.string() if col.logical == "string" else pa.large_string())
-        if col.logical == "binary":
-            return arr.cast(pa.binary())
-        return arr
     vals_all = np.zeros(n, dtype=_NUMPY_OF[col.ptype])
     vals_all[col.validity] = col.values
     if col.logical.startswith("timestamp"):
