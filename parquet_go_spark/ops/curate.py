@@ -23,6 +23,7 @@ def strip_boilerplate(
     id_col: str = "doc_id",
     max_ratio: float = 0.3,
     min_docs: int = 2,
+    broadcast_flagged: bool = True,
 ) -> DataFrame:
     """CCNet-style per-host frequent-line removal: a line that appears
     in more than ``max_ratio`` of a host's documents (and at least
@@ -38,12 +39,25 @@ def strip_boilerplate(
     so per-group state is one counter — NOT the full doc-id set a
     ``collect_set`` window would buffer; a universal line on a
     mega-host (empty line, shared footer) stays O(1) memory per
-    group] -> join the counts back onto the exploded stream on
-    ``(host, line)`` -> join the tiny per-host doc-count aggregate
-    (AQE broadcasts it) -> ONE exchange on the doc id to reassemble
-    surviving lines in order. Counts are integers and reassembly sorts
-    by line index, so the result is deterministic in any engine (the
-    DuckDB oracle matches exactly).
+    group] -> REDUCE the counts to only the flagged boilerplate keys
+    (counts join the tiny broadcast per-host totals and the
+    ``min_docs``/``max_ratio`` gates apply BEFORE any join back, so
+    the join-back side is the boilerplate set itself, not every
+    distinct line) -> mark the exploded stream by a broadcast left
+    join on ``(host, line)`` -> ONE full-stream exchange on the doc id
+    to reassemble surviving lines in order. The full line stream
+    crosses the wire exactly once; the r4 shape sort-merge-joined it a
+    second time against ALL distinct-line counts. Counts are integers
+    and reassembly sorts by line index, so the result is deterministic
+    in any engine (the DuckDB oracle matches exactly).
+
+    ``broadcast_flagged=True`` (default) ships the flagged set as an
+    explicit broadcast — right for any realistic boilerplate density
+    (the set is bounded by lines that repeat across >=``max_ratio`` of
+    a host's docs). On a corpus whose flagged set could outgrow the
+    driver (extreme host cardinality x per-host boilerplate), pass
+    False: the join falls back to a shuffle that AQE still converts to
+    a broadcast at runtime when the set turns out small.
     """
     # docs with NULL host or NULL text cannot participate in per-host
     # frequency analysis (NULL never equi-joins; posexplode of NULL
@@ -71,14 +85,21 @@ def strip_boilerplate(
     # frames (executor-memory hazard at 100x scale). countDistinct
     # plans as a bounded two-stage dedup+count.
     line_docs = lines.groupBy("host", "line").agg(F.countDistinct("id").alias("line_docs"))
-    freq = lines.join(line_docs, ["host", "line"])
-    # explicit broadcast: without it Catalyst picks a SortMergeJoin and
-    # re-shuffles the whole exploded line stream on `host` — the totals
-    # side is one tiny row per host (doc-level aggregate)
-    flagged = freq.join(F.broadcast(host_docs), "host").withColumn(
-        "is_bp",
-        (F.col("line_docs") >= min_docs)
-        & (F.col("line_docs").cast("double") > F.col("n_docs").cast("double") * max_ratio),
+    # explicit broadcast: the totals side is one tiny row per host
+    # (doc-level aggregate); the gates then shrink the counts to the
+    # boilerplate keys alone BEFORE anything joins the line stream
+    bp_keys = (
+        line_docs.join(F.broadcast(host_docs), "host")
+        .where(
+            (F.col("line_docs") >= min_docs)
+            & (F.col("line_docs").cast("double") > F.col("n_docs").cast("double") * max_ratio)
+        )
+        .select("host", "line", F.lit(True).alias("is_bp"))
+    )
+    if broadcast_flagged:
+        bp_keys = F.broadcast(bp_keys)
+    flagged = lines.join(bp_keys, ["host", "line"], "left").withColumn(
+        "is_bp", F.coalesce(F.col("is_bp"), F.lit(False))
     )
     return (
         flagged.groupBy("id", "host")

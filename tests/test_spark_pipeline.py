@@ -432,12 +432,14 @@ def test_ann_broadcast_constants_match_literals(spark):
 
 def test_boilerplate_strip_plan_broadcasts_host_totals(spark):
     """strip_boilerplate: the full LINE stream crosses the wire exactly
-    twice — the (host, line) counts join and the doc-id reassembly.
-    The bounded-state countDistinct side aggregate costs two more
-    LINE-DISTINCT exchanges (dedup on (host,line,id), count on
-    (host,line)) — the price of not buffering per-line doc-id sets the
-    old collect_set window held — and the per-host totals add two
-    doc-level ones. The totals join itself must be a broadcast, and NO
+    ONCE — the doc-id reassembly. The bounded-state countDistinct side
+    aggregate costs two LINE-DISTINCT exchanges (dedup on
+    (host,line,id), count on (host,line)) — the price of not buffering
+    per-line doc-id sets the old collect_set window held — and the
+    per-host totals add two doc-level ones. Both the totals join and
+    the flagged-keys mark join must be broadcasts (r5: the flagged set
+    is gated BEFORE joining back, so no SortMergeJoin re-shuffles the
+    exploded stream on (host,line) as the r4 shape did), and NO
     exchange may repartition the exploded stream on host alone (the
     pre-broadcast regression)."""
     import re
@@ -448,24 +450,23 @@ def test_boilerplate_strip_plan_broadcasts_host_totals(spark):
     df = spark.createDataFrame(rows, "doc_id string, host string, text string")
     res = strip_boilerplate(df, "host", "text", "doc_id")
     plan = res._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("BroadcastHashJoin") == 2, plan
     keys = [
         [c.split("#")[0] for c in m.split(", ")[:-1]]  # drop numPartitions
         for m in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
     ]
-    assert len(keys) == 6, plan
-    # exactly two full-stream exchanges: the (host, line) counts join
-    # and the (id, host) reassembly
+    assert len(keys) == 5, plan
+    # exactly ONE full-stream line exchange remains: the (host, line)
+    # distinct-count aggregate over the deduped (host,line,id) stream
     assert sorted(k for k in keys if "line" in k and "id" not in k) == [
-        ["host", "line"],
         ["host", "line"],
     ], keys
     # no full-stream host-only repartition: the lone host-keyed exchange
     # is the doc-level totals aggregate
     assert [k for k in keys if k == ["host"]] == [["host"]], keys
-    # exactly one SortMergeJoin — the line-counts join; the totals join
-    # must have been broadcast, not sort-merged
-    assert plan.count("SortMergeJoin") == 1, plan
+    # no SortMergeJoin anywhere: counts shrink to flagged keys before
+    # any join back, so both joins broadcast
+    assert plan.count("SortMergeJoin") == 0, plan
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan, plan
 
 
