@@ -2,12 +2,14 @@
 ``binary`` columns with typed metadata, processed by Arrow-batched UDFs.
 
 The Spark-side plumbing — schemas, batch shapes, partition sizing, UDF
-signatures — is real and tested. The codec step itself (JPEG decode,
-resample, frame extraction) is stubbed: the sandbox has no image/audio
-libraries, so each transform calls a ``_codec_*`` hook that either uses
-the real library if importable or a clearly-marked deterministic fake
-whose output shape matches the real one. Swapping in Pillow/torchaudio/
-PyAV is a one-function change per modality.
+signatures — is real and tested. Decode is REAL for the container
+formats pure numpy can parse — WAV (RIFF PCM 8/16-bit + float32), BMP
+(24/32-bit uncompressed) and PPM/PGM binary — sniffed by magic bytes
+(``decode_wav`` / ``decode_bmp`` / ``decode_ppm``). Compressed codecs
+(JPEG, MP3, H.264) need libraries the sandbox lacks, so unknown payloads
+fall back to a clearly-marked deterministic fake whose output shape
+matches a real decoder's; swapping in Pillow/torchaudio/PyAV is a
+one-function change per modality.
 
 Scale notes: payloads dominate row size, so jobs repartition by byte
 budget (``repartition_by_bytes``) rather than row count before the UDF;
@@ -17,6 +19,7 @@ inputs, so downstream stages shuffle features, never payloads.
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import numpy as np
@@ -29,6 +32,9 @@ __all__ = [
     "image_features",
     "audio_features",
     "video_frame_sample",
+    "decode_wav",
+    "decode_bmp",
+    "decode_ppm",
 ]
 
 # (content, metadata) convention for media tables
@@ -48,12 +54,112 @@ def repartition_by_bytes(df: DataFrame, content_col: str, target_bytes: int = 12
 
 
 # --------------------------------------------------------------- codecs
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """Real RIFF/WAVE decode, pure numpy: walk the chunk list, parse the
+    ``fmt `` chunk, and convert the ``data`` chunk's PCM to mono float32
+    in [-1, 1] (multi-channel mixes by mean). Supports integer PCM
+    (format 1) at 8/16/32 bits and IEEE float32 (format 3).
+    -> (samples float32, sample_rate)."""
+    mv = memoryview(payload)
+    if len(mv) < 12 or bytes(mv[0:4]) != b"RIFF" or bytes(mv[8:12]) != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    fmt = data = None
+    pos = 12
+    while pos + 8 <= len(mv):
+        cid = bytes(mv[pos : pos + 4])
+        size = int.from_bytes(mv[pos + 4 : pos + 8], "little")
+        body = mv[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = bytes(body)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAVE missing fmt/data chunk")
+    audio_format, n_ch, rate, _, _, bits = struct.unpack_from("<HHIIHH", fmt, 0)
+    if audio_format == 3 and bits == 32:
+        x = np.frombuffer(data, "<f4").astype(np.float32)
+    elif audio_format == 1 and bits == 16:
+        x = np.frombuffer(data, "<i2").astype(np.float32) / 32768.0
+    elif audio_format == 1 and bits == 32:
+        x = np.frombuffer(data, "<i4").astype(np.float32) / 2147483648.0
+    elif audio_format == 1 and bits == 8:
+        x = (np.frombuffer(data, np.uint8).astype(np.float32) - 128.0) / 128.0
+    else:
+        raise ValueError(f"unsupported WAVE format {audio_format}/{bits}-bit")
+    if n_ch > 1:
+        x = x[: len(x) // n_ch * n_ch].reshape(-1, n_ch).mean(axis=1).astype(np.float32)
+    return x, int(rate)
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Real BMP decode, pure numpy: BITMAPFILEHEADER + BITMAPINFOHEADER,
+    uncompressed 24/32-bit, bottom-up or top-down rows, 4-byte row
+    alignment, BGR(A) -> RGB. -> (height, width, 3) uint8."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    w, h = struct.unpack_from("<ii", payload, 18)
+    bpp, comp = struct.unpack_from("<HI", payload, 28)
+    if comp != 0 or bpp not in (24, 32):
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={comp})")
+    bottom_up, h = h > 0, abs(h)
+    nb = bpp // 8
+    stride = (w * nb + 3) & ~3
+    raw = np.frombuffer(payload, np.uint8, stride * h, data_off).reshape(h, stride)
+    px = raw[:, : w * nb].reshape(h, w, nb)
+    if bottom_up:
+        px = px[::-1]
+    return np.ascontiguousarray(px[..., 2::-1])  # BGR(A) -> RGB
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Real binary-PPM/PGM decode, pure numpy: P6 -> (h, w, 3), P5 ->
+    (h, w, 1); whitespace/#-comment header, maxval <= 255."""
+    if payload[:2] not in (b"P6", b"P5"):
+        raise ValueError("not a binary PPM/PGM payload")
+    nums: list[int] = []
+    pos = 2
+    while len(nums) < 3:
+        if pos >= len(payload):
+            raise ValueError("truncated PPM/PGM header")
+        c = payload[pos : pos + 1]
+        if c == b"#":  # comment to end-of-line
+            pos = payload.index(b"\n", pos) + 1
+        elif c.isspace():
+            pos += 1
+        else:
+            end = pos
+            while end < len(payload) and not payload[end : end + 1].isspace():
+                end += 1
+            nums.append(int(payload[pos:end]))
+            pos = end
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = nums
+    if maxval > 255:
+        raise ValueError("16-bit PPM not supported")
+    ch = 3 if payload[:2] == b"P6" else 1
+    return np.frombuffer(payload, np.uint8, h * w * ch, pos).reshape(h, w, ch)
+
+
 def _codec_image_decode(payload: bytes, width: int, height: int, channels: int) -> np.ndarray:
     """Decode an image payload to (height, width, channels) uint8.
 
-    STUB: no imaging library in this environment. Deterministic fake:
-    tile the payload bytes into the metadata-declared shape — same dtype,
-    shape, and value range a real decoder produces."""
+    REAL for BMP and binary PPM/PGM (sniffed by magic bytes, pure
+    numpy); compressed codecs fall back to Pillow when importable, else
+    to the deterministic fake: tile the payload bytes into the
+    metadata-declared shape — same dtype, shape, and value range a real
+    decoder produces."""
+    head = payload[:2]
+    if head in (b"BM", b"P6", b"P5"):
+        # Sniff-then-verify: arbitrary bytes (e.g. text docs in mixed
+        # tables) can START with a magic pair without being a container;
+        # a parse failure falls through to the fake instead of killing
+        # the whole job over one payload.
+        try:
+            return decode_bmp(payload) if head == b"BM" else decode_ppm(payload)
+        except Exception:
+            pass
     try:  # pragma: no cover - real path when Pillow exists
         import io
 
@@ -68,7 +174,15 @@ def _codec_image_decode(payload: bytes, width: int, height: int, channels: int) 
 
 
 def _codec_audio_decode(payload: bytes, sample_rate: int, duration_ms: int) -> np.ndarray:
-    """Decode audio to float32 PCM in [-1, 1]. STUB (same contract)."""
+    """Decode audio to float32 PCM in [-1, 1]. REAL for RIFF/WAVE PCM
+    (pure numpy, sniffed by magic); other codecs take the deterministic
+    fake with the same contract."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        try:
+            return decode_wav(payload)[0]
+        except Exception:
+            pass  # magic-byte false positive / truncated chunk list
+
     n = max(1, sample_rate * duration_ms // 1000)
     raw = np.frombuffer(payload, dtype=np.uint8)
     reps = n // max(len(raw), 1) + 1
