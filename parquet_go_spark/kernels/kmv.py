@@ -70,18 +70,28 @@ def kmv_deserialize(blob: bytes) -> tuple[np.ndarray, bool]:
 def kmv_merge(
     states: list[np.ndarray], truncated_flags: list[bool], k: int = KMV_K_DEFAULT
 ) -> tuple[np.ndarray, bool]:
-    """Union partial sketches. Result is exact iff every input was."""
+    """Union partial sketches. Result is exact iff every input was.
+
+    A truncated input's effective k IS its retained length — every hash
+    above its own k-th minimum was discarded at build time, so the union
+    is a valid KMV state only up to the SMALLEST such threshold.  Sketches
+    built at different k therefore merge correctly (clipped to the
+    tightest), instead of the caller's k silently inflating the estimator
+    window past hashes the inputs never kept."""
     if not states:
         return np.empty(0, np.uint64), False
+    eff_k = min(
+        [k] + [len(s) for s, t in zip(states, truncated_flags) if t and len(s)]
+    )
     uq = np.unique(np.concatenate([np.asarray(s, dtype=np.uint64) for s in states]))
     truncated = any(truncated_flags)
     if truncated:
-        # once in estimate mode only the k smallest are meaningful
-        uq = uq[:k]
+        # once in estimate mode only the eff_k smallest are meaningful
+        uq = uq[:eff_k]
     elif len(uq) > k:
         # all inputs exact: the union is still the complete hash set —
-        # keep it exact for THIS merge, but mark truncated state for any
-        # further serialization at k
+        # keep it exact for THIS merge; callers that re-serialize bounded
+        # state cap it themselves (see ops/stats tree merge)
         return uq, False
     return uq, truncated
 

@@ -25,6 +25,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from ..core.columns import from_arrow
 from ..kernels.kmv import (
@@ -40,6 +41,8 @@ from ..kernels.kmv import (
 __all__ = ["table_column_stats", "table_numeric_minmax", "table_stats_from_manifest"]
 
 _PARTIAL_SCHEMA = "col_name string, num_rows long, null_count long, sketch binary"
+# max sketches any single merge task may hold (tree fan-in)
+_MERGE_FANOUT = 64
 _STATS_SCHEMA = "col_name string, num_rows long, null_count long, n_distinct long"
 _MM_SCHEMA = "col_name string, min_v double, max_v double"
 # has_vals keeps None (empty partition) distinguishable from NaN after
@@ -74,13 +77,34 @@ def table_column_stats(
             )
         yield pd.DataFrame(rows)
 
-    def merge(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+    def _merge_blobs(blobs) -> tuple[np.ndarray, bool]:
         states, flags = [], []
-        for blob in pdf["sketch"]:
+        for blob in blobs:
             s, t = kmv_deserialize(bytes(blob))
             states.append(s)
             flags.append(t)
-        state, trunc = kmv_merge(states, flags, k)
+        return kmv_merge(states, flags, k)
+
+    def combine(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        # intermediate tree level: re-serialize BOUNDED state — an exact
+        # union past k must degrade to a truncated sketch here, or a
+        # unique-id column would ship its full hash set up the tree
+        state, trunc = _merge_blobs(pdf["sketch"])
+        if len(state) > k:
+            state, trunc = state[:k], True
+        return pd.DataFrame(
+            [
+                {
+                    "col_name": key[0],
+                    "num_rows": int(pdf["num_rows"].sum()),
+                    "null_count": int(pdf["null_count"].sum()),
+                    "sketch": kmv_serialize(state, trunc),
+                }
+            ]
+        )
+
+    def merge(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        state, trunc = _merge_blobs(pdf["sketch"])
         return pd.DataFrame(
             [
                 {
@@ -93,6 +117,22 @@ def table_column_stats(
         )
 
     partial = df.mapInPandas(partials, schema=_PARTIAL_SCHEMA)
+    # Tree merge: the final per-column task must never hold one sketch per
+    # input partition (P x up-to-2MiB exact sketches is an OOM at 100 TB).
+    # A salted intermediate level caps any single task's fan-in at
+    # ~P/fanout sketches and the final level at fanout sketches. Skipped
+    # when P <= fanout — the final task then holds at most fanout blobs
+    # anyway and the extra exchange would be pure latency.
+    if df.rdd.getNumPartitions() > _MERGE_FANOUT:
+        partial = (
+            partial.withColumn(
+                "salt", F.spark_partition_id() % F.lit(_MERGE_FANOUT)
+            )
+            .groupBy("col_name", "salt")
+            .applyInPandas(
+                lambda key, pdf: combine((key[0],), pdf), schema=_PARTIAL_SCHEMA
+            )
+        )
     return partial.groupBy("col_name").applyInPandas(merge, schema=_STATS_SCHEMA)
 
 
@@ -156,6 +196,33 @@ def table_stats_from_manifest(spark, out_dir: str, k: int = 1 << 14) -> DataFram
         "column", "num_rows", "null_count", "kmv"
     )
 
+    def combine(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        # intermediate tree level (same fan-in bound as table_column_stats):
+        # a NULL output sketch means either "no valued chunks in this
+        # group" (the final level excludes it via the count sums) or "a
+        # valued chunk lacked a sketch" (poisons the final to NULL) — the
+        # two are distinguishable downstream by num_rows - null_count.
+        has_vals = (pdf["num_rows"] - pdf["null_count"]) > 0
+        blobs = pdf["kmv"][has_vals]
+        if blobs.isna().any() or not len(blobs):
+            sk = None
+        else:
+            states, flags = zip(*(kmv_deserialize(bytes(b)) for b in blobs))
+            state, trunc = kmv_merge(list(states), list(flags), k)
+            if len(state) > k:
+                state, trunc = state[:k], True
+            sk = kmv_serialize(state, trunc)
+        return pd.DataFrame(
+            [
+                {
+                    "column": key[0],
+                    "num_rows": int(pdf["num_rows"].sum()),
+                    "null_count": int(pdf["null_count"].sum()),
+                    "kmv": sk,
+                }
+            ]
+        )
+
     def merge(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         # zero-row chunks carry no values, hence legitimately no sketch
         has_vals = (pdf["num_rows"] - pdf["null_count"]) > 0
@@ -178,4 +245,17 @@ def table_stats_from_manifest(spark, out_dir: str, k: int = 1 << 14) -> DataFram
             ]
         )
 
-    return man.groupBy("column").applyInPandas(merge, schema=_STATS_SCHEMA)
+    # manifest row counts per column are unbounded at scale (one per
+    # chunk), so the salted tree level is unconditional here — the extra
+    # exchange moves a handful of sketch rows
+    combined = (
+        man.withColumn(
+            "salt", F.monotonically_increasing_id() % F.lit(_MERGE_FANOUT)
+        )
+        .groupBy("column", "salt")
+        .applyInPandas(
+            lambda key, pdf: combine((key[0],), pdf),
+            schema="column string, num_rows long, null_count long, kmv binary",
+        )
+    )
+    return combined.groupBy("column").applyInPandas(merge, schema=_STATS_SCHEMA)

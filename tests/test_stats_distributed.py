@@ -73,6 +73,26 @@ def test_kmv_estimate_accuracy():
     assert abs(est - true) / true < 0.05  # 1/sqrt(k) ~ 1.6%
 
 
+def test_kmv_merge_mixed_k_clips_to_tightest():
+    # r5 review finding: merging a truncated sketch built at a SMALL k
+    # under a caller's LARGER k must clip the union to the tight input's
+    # retained window — the input discarded every hash above its own
+    # k-th minimum, so positions beyond it in the union are not the
+    # "smallest m hashes of the stream" and the estimator collapses
+    # (250x undercount in the failure scenario) without the clip.
+    rng = np.random.default_rng(3)
+    big = np.unique(rng.integers(0, 1 << 64, 300_000, dtype=np.uint64))
+    small = np.unique(rng.integers(1 << 63, 1 << 64, 600, dtype=np.uint64))
+    a, ta = kmv_from_hashes(big, k=1024)  # truncated at 1024
+    b, tb = kmv_from_hashes(small, k=1 << 14)  # exact, but hashes are LARGE
+    assert ta and not tb
+    state, trunc = kmv_merge([a, b], [ta, tb], k=1 << 14)
+    assert trunc and len(state) <= 1024
+    true = len(np.unique(np.concatenate([big, small])))
+    est = kmv_count(state, trunc, k=1 << 14)
+    assert abs(est - true) / true < 0.15, (est, true)
+
+
 def test_hash_column_values_float_bits():
     from parquet_go_spark.core.columns import ColumnData
 
@@ -128,6 +148,43 @@ def test_stats_exercises_multiple_tasks(spark):
     assert got.loc["v", "n_distinct"] == 97
     assert got.loc["id", "n_distinct"] == 10_000
     assert got.loc["id", "num_rows"] == 10_000
+
+
+def test_stats_tree_merge_above_fanout(spark):
+    # r5 review finding: with P partitions the final per-column merge
+    # held P sketches (bytes-funnel OOM at 100 TB). Above _MERGE_FANOUT
+    # a salted combine level must appear (two FlatMapGroupsInPandas in
+    # the plan) and results must stay exact below k.
+    from parquet_go_spark.ops.stats import _MERGE_FANOUT, table_column_stats
+
+    df = spark.range(0, 20_000, 1, _MERGE_FANOUT + 16).selectExpr(
+        "id % 397 AS v", "id"
+    )
+    op = table_column_stats(df)
+    plan = op._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FlatMapGroupsInPandas") == 2, plan
+    got = op.toPandas().set_index("col_name")
+    assert got.loc["v", "n_distinct"] == 397
+    assert got.loc["id", "n_distinct"] == 20_000
+    assert got.loc["id", "num_rows"] == 20_000
+
+    # below the fanout the extra exchange must NOT appear
+    few = spark.range(0, 1000, 1, 4).selectExpr("id")
+    plan2 = (
+        table_column_stats(few)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan2.count("FlatMapGroupsInPandas") == 1, plan2
+
+
+def test_stats_tree_merge_estimate_above_k(spark):
+    # overflow unions degrade to bounded truncated state at the combine
+    # level instead of shipping full hash sets up the tree
+    from parquet_go_spark.ops.stats import _MERGE_FANOUT, table_column_stats
+
+    df = spark.range(0, 60_000, 1, _MERGE_FANOUT + 8).selectExpr("id")
+    got = table_column_stats(df, k=2048).toPandas().set_index("col_name")
+    est = got.loc["id", "n_distinct"]
+    assert abs(est - 60_000) / 60_000 < 0.15, est
 
 
 def test_stats_estimate_mode_kicks_in(spark):
