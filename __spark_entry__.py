@@ -18,6 +18,7 @@ SQL-checkable form:
 
 from __future__ import annotations
 
+import functools
 import os
 from collections.abc import Callable
 
@@ -1468,6 +1469,20 @@ def _mh_expr_duck(band: int) -> str:
     return f"list_min(list_transform({sh}, s -> md5('b{band}|' || s))) AS mh_{band}"
 
 
+@functools.lru_cache(maxsize=4)
+def _trained_quantizers(sf_dir: str):
+    """(PQ codebooks, IVF centroids) trained from the sf fixture's
+    embeddings sample, or None when the fixture file is absent.
+    Memoized per directory so repeated oracle_sql() calls pay the
+    parquet read + k-means once, and guarded so a machine without the
+    fixture can still fetch every other oracle string."""
+    path = f"{sf_dir}/embeddings.parquet"
+    if not os.path.exists(path):
+        return None
+    sample = pq_sample_parquet(path)
+    return train_pq_sample(sample), train_ivf_sample(sample)
+
+
 def oracle_sql() -> dict[str, str]:
     mh_sql = _MINHASH_DUCK.format(exprs=", ".join(_mh_expr_duck(b) for b in range(4)))
     lsh_cte = f"""
@@ -1608,12 +1623,15 @@ SELECT q_id, n_id, rank FROM (
     # rounding, so the literal codebooks/centroids here ARE the ones
     # the query broadcasts. The sf dir follows the harness:
     # ENTRY_TEST_SF_DIR (set by the replica) or the driver's sf0.01
-    # contract.
+    # contract. Loading+training is memoized per sf dir, and a missing
+    # fixture drops only the trained row instead of crashing every
+    # caller that needs an unrelated SQL string.
     _oracle_sf = os.environ.get("ENTRY_TEST_SF_DIR", "/root/testdata/sf0.01")
-    _tr_sample = pq_sample_parquet(f"{_oracle_sf}/embeddings.parquet")
-    pq_trained_sql = _pq_sql(
-        train_pq_sample(_tr_sample),
-        cell_scores_sql(train_ivf_sample(_tr_sample), "e", dot_fn="list_dot_product"),
+    _tq = _trained_quantizers(_oracle_sf)
+    pq_trained_sql = (
+        _pq_sql(_tq[0], cell_scores_sql(_tq[1], "e", dot_fn="list_dot_product"))
+        if _tq is not None
+        else None
     )
     lsh_topk_sql = f"""
 WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
@@ -1641,7 +1659,7 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
 FROM n a JOIN n b ON a.s = b.s AND a.vec_id < b.vec_id
 WHERE round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) >= 0.35
 """
-    return {
+    out = {
         "roundtrip_documents": _ident_sql("documents"),
         "roundtrip_lineitem": _ident_sql("lineitem"),
         "roundtrip_orders": _ident_sql("orders"),
@@ -1857,7 +1875,6 @@ WHERE round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) >= 0.35
         "embedding_lsh_topk": lsh_topk_sql,
         "embedding_ivf_topk": ivf_topk_sql,
         "embedding_pq_topk": pq_topk_sql,
-        "embedding_pq_trained": pq_trained_sql,
         "embedding_near_dups": near_dups_sql,
         "simhash64": _simhash_duck_sql(),
         "langid_ngram": _langid_duck_sql(),
@@ -1892,6 +1909,9 @@ SELECT g.doc_id, CAST(n AS BIGINT) AS n_words,
 FROM g LEFT JOIN tw ON g.doc_id = tw.doc_id
 """,
     }
+    if pq_trained_sql is not None:
+        out["embedding_pq_trained"] = pq_trained_sql
+    return out
 
 
 def _langid_duck_sql(top_ngrams: int = 40, profile_docs: int = 2000) -> str:

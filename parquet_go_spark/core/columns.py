@@ -386,8 +386,7 @@ def to_arrow(col: "ColumnData | ListData | StructData") -> pa.Array:
         offsets = np.concatenate([[0], np.cumsum(lens_all)])
         # build the TARGET type straight from buffers instead of the old
         # large_binary -> cast -> cast chain: each cast rewrote offsets
-        # and re-validated UTF-8 over the whole data buffer — redundant
-        # work on bytes this engine itself encoded (decode hot path)
+        # and data — redundant copies on the decode hot path
         small = int(offsets[-1]) <= 0x7FFFFFFF
         if col.logical == "string" and small:
             pa_t, odt = pa.string(), np.int32
@@ -397,7 +396,7 @@ def to_arrow(col: "ColumnData | ListData | StructData") -> pa.Array:
             pa_t, odt = pa.large_string(), np.int64
         else:
             pa_t, odt = pa.large_binary(), np.int64
-        return pa.Array.from_buffers(
+        arr = pa.Array.from_buffers(
             pa_t,
             n,
             [
@@ -407,6 +406,13 @@ def to_arrow(col: "ColumnData | ListData | StructData") -> pa.Array:
             ],
             null_count=int(mask.sum()),
         )
+        if pa.types.is_string(pa_t) or pa.types.is_large_string(pa_t):
+            # the cast chain validated UTF-8 as a side effect; from_buffers
+            # does not, and invalid bytes from a corrupt page or codec bug
+            # must fail HERE, not deep inside a downstream shuffle. One
+            # validation scan (~2.6 GB/s), zero buffer rewrites.
+            arr.validate(full=True)
+        return arr
     vals_all = np.zeros(n, dtype=_NUMPY_OF[col.ptype])
     vals_all[col.validity] = col.values
     if col.logical.startswith("timestamp"):

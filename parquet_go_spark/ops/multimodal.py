@@ -142,8 +142,32 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     return np.frombuffer(payload, np.uint8, h * w * ch, pos).reshape(h, w, ch)
 
 
+def _to_channels(img: np.ndarray, channels: int) -> np.ndarray:
+    """Normalize a decoded (h, w, c) array to the metadata-declared
+    channel count so feature vectors stay ONE size across a table that
+    mixes containers (P5 gray, P6/BMP color): gray replicates, extra
+    channels slice off, single-channel takes the uint8 channel mean,
+    missing alpha pads opaque. A falsy/invalid declared count trusts
+    the container."""
+    c = img.shape[-1]
+    if not channels or channels < 1 or c == channels:
+        return img
+    if c == 1:
+        return np.repeat(img, channels, axis=-1)
+    if channels == 1:
+        return img.mean(axis=-1, dtype=np.float64).astype(np.uint8)[..., None]
+    if c > channels:
+        return np.ascontiguousarray(img[..., :channels])
+    pad = np.full((*img.shape[:-1], channels - c), 255, np.uint8)
+    return np.concatenate([img, pad], axis=-1)
+
+
 def _codec_image_decode(payload: bytes, width: int, height: int, channels: int) -> np.ndarray:
-    """Decode an image payload to (height, width, channels) uint8.
+    """Decode an image payload to (height, width, channels) uint8 — the
+    channel count ALWAYS honors the declared metadata (container shapes
+    are channel-normalized via ``_to_channels``), so one media table
+    yields one feature dimension; spatial dims come from the container
+    on real decodes and from the metadata on the fake.
 
     REAL for BMP and binary PPM/PGM (sniffed by magic bytes, pure
     numpy); compressed codecs fall back to Pillow when importable, else
@@ -157,7 +181,8 @@ def _codec_image_decode(payload: bytes, width: int, height: int, channels: int) 
         # a parse failure falls through to the fake instead of killing
         # the whole job over one payload.
         try:
-            return decode_bmp(payload) if head == b"BM" else decode_ppm(payload)
+            img = decode_bmp(payload) if head == b"BM" else decode_ppm(payload)
+            return _to_channels(img, channels)
         except Exception:
             pass
     try:  # pragma: no cover - real path when Pillow exists
@@ -165,11 +190,15 @@ def _codec_image_decode(payload: bytes, width: int, height: int, channels: int) 
 
         from PIL import Image  # noqa
 
-        return np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
+        return _to_channels(
+            np.asarray(Image.open(io.BytesIO(payload)).convert("RGB")), channels
+        )
     except Exception:
         n = height * width * channels
         raw = np.frombuffer(payload, dtype=np.uint8)
-        reps = n // max(len(raw), 1) + 1
+        if not len(raw):  # zero-byte payload: tile() stays empty, reshape dies
+            raw = np.zeros(1, np.uint8)
+        reps = n // len(raw) + 1
         return np.tile(raw, reps)[:n].reshape(height, width, channels)
 
 

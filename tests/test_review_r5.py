@@ -1,0 +1,185 @@
+"""Round-5 review batch: pinned regressions for the self-review findings
+over the round's diff (same discipline as test_review_r4{c,d,e}.py —
+every fix lands with the test that would have caught it).
+
+Covered here: oracle_sql() must stay crash-free without the embeddings
+fixture (#2), image decode must honor the declared channel count so one
+table yields one feature dimension (#4), the from_buffers string fast
+path must still reject invalid UTF-8 at decode (#5), and a zero-byte
+image payload must not kill the featurizer job (#6). The KMV merge-k
+and stats tree-merge findings (#1, #3) are pinned in
+test_stats_distributed.py."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from parquet_go_spark.core.columns import ColumnData, to_arrow
+from parquet_go_spark.ops.multimodal import _codec_image_decode, _to_channels
+
+from test_media_codecs import write_bmp, write_ppm
+
+
+# ---------------------------------------------------- #2: lazy trained oracle
+def test_oracle_sql_survives_missing_embeddings_fixture(monkeypatch):
+    # oracle_sql() used to read embeddings.parquet and run PQ/IVF
+    # training unconditionally at call time: a missing fixture crashed
+    # every caller, even one fetching an unrelated SQL string.
+    import __spark_entry__ as entry
+
+    monkeypatch.setenv("ENTRY_TEST_SF_DIR", "/nonexistent/sfdir-r5")
+    d = entry.oracle_sql()
+    assert "embedding_pq_topk" in d and "roundtrip_lineitem" in d
+    assert "embedding_pq_trained" not in d  # dropped, not a crash
+
+    monkeypatch.setenv("ENTRY_TEST_SF_DIR", "/root/testdata/sf0.001")
+    d2 = entry.oracle_sql()
+    assert "embedding_pq_trained" in d2
+
+
+def test_trained_quantizers_memoized():
+    from __spark_entry__ import _trained_quantizers
+
+    a = _trained_quantizers("/root/testdata/sf0.001")
+    b = _trained_quantizers("/root/testdata/sf0.001")
+    assert a is b  # lru_cache: one parquet read + k-means per dir
+    assert _trained_quantizers("/nonexistent/sfdir-r5") is None
+
+
+# ------------------------------------------------- #4: uniform feature shape
+def test_image_decode_honors_declared_channels():
+    rng = np.random.default_rng(11)
+    gray = rng.integers(0, 256, (6, 5, 1), np.uint8)
+    rgb = rng.integers(0, 256, (6, 5, 3), np.uint8)
+    # P5 gray container + declared channels=3 -> replicated to 3
+    out = _codec_image_decode(write_ppm(gray), 5, 6, 3)
+    assert out.shape == (6, 5, 3)
+    assert np.array_equal(out[..., 0], gray[..., 0])
+    assert np.array_equal(out[..., 1], gray[..., 0])
+    # BMP RGB container + declared channels=1 -> channel mean
+    out1 = _codec_image_decode(write_bmp(rgb), 5, 6, 1)
+    assert out1.shape == (6, 5, 1)
+    assert np.array_equal(
+        out1[..., 0], rgb.mean(axis=-1, dtype=np.float64).astype(np.uint8)
+    )
+    # matching declared count passes through untouched
+    same = _codec_image_decode(write_bmp(rgb), 5, 6, 3)
+    assert same.shape == (6, 5, 3) and np.array_equal(same, rgb)
+    # invalid declared count trusts the container
+    assert _codec_image_decode(write_ppm(gray), 5, 6, 0).shape == (6, 5, 1)
+
+
+def test_to_channels_pads_alpha_opaque():
+    rgb = np.arange(24, dtype=np.uint8).reshape(2, 4, 3)
+    rgba = _to_channels(rgb, 4)
+    assert rgba.shape == (2, 4, 4)
+    assert (rgba[..., 3] == 255).all() and np.array_equal(rgba[..., :3], rgb)
+    assert _to_channels(rgba, 3).shape == (2, 4, 3)
+
+
+def test_image_features_one_dimension_across_mixed_containers(spark):
+    # the user-visible symptom: P5 + P6 + fake payloads in ONE table must
+    # yield ONE feature length (bins * declared channels)
+    import pandas as pd
+
+    rng = np.random.default_rng(12)
+    rows = []
+    payloads = [
+        write_ppm(rng.integers(0, 256, (8, 8, 1), np.uint8)),  # gray P5
+        write_ppm(rng.integers(0, 256, (8, 8, 3), np.uint8)),  # rgb P6
+        rng.integers(0, 256, 300, dtype=np.uint8).tobytes(),  # fake path
+    ]
+    for i, p in enumerate(payloads):
+        rows.append(
+            {
+                "media_id": i,
+                "kind": "image",
+                "content": p,
+                "meta": {
+                    "width": 8,
+                    "height": 8,
+                    "channels": 3,
+                    "sample_rate": 0,
+                    "duration_ms": 0,
+                    "codec": "mixed",
+                },
+            }
+        )
+    from parquet_go_spark.ops.multimodal import MEDIA_SCHEMA, image_features
+
+    df = spark.createDataFrame(pd.DataFrame(rows), schema=MEDIA_SCHEMA)
+    feats = image_features(df, bins=16).toPandas()
+    assert sorted(len(f) for f in feats["feature"]) == [48, 48, 48]
+
+
+# --------------------------------------------------- #6: empty payload guard
+def test_image_decode_empty_payload_yields_zeros_not_crash():
+    out = _codec_image_decode(b"", 4, 3, 3)
+    assert out.shape == (3, 4, 3) and (out == 0).all()
+
+
+def test_image_features_survive_empty_blob(spark):
+    import pandas as pd
+
+    from parquet_go_spark.ops.multimodal import MEDIA_SCHEMA, image_features
+
+    rows = [
+        {
+            "media_id": 0,
+            "kind": "image",
+            "content": b"",
+            "meta": {
+                "width": 4,
+                "height": 4,
+                "channels": 3,
+                "sample_rate": 0,
+                "duration_ms": 0,
+                "codec": "x",
+            },
+        }
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows), schema=MEDIA_SCHEMA)
+    got = image_features(df).toPandas()
+    assert len(got) == 1 and len(got["feature"].iloc[0]) == 48
+
+
+# ------------------------------------------- #5: UTF-8 validation at decode
+def test_to_arrow_rejects_invalid_utf8_strings():
+    # the from_buffers fast path must keep the cast chain's fail-fast
+    # UTF-8 check: corrupt bytes surface at decode, not inside a
+    # downstream shuffle
+    bad = b"ok\xff\xfeoops"
+    col = ColumnData(
+        "bytes",
+        np.ones(2, bool),
+        lengths=np.array([2, 6], np.int64),
+        data=np.frombuffer(bad, np.uint8),
+        logical="string",
+    )
+    with pytest.raises(pa.lib.ArrowInvalid):
+        to_arrow(col)
+    # identical bytes as BINARY are legitimate and must pass
+    col_bin = ColumnData(
+        "bytes",
+        np.ones(2, bool),
+        lengths=np.array([2, 6], np.int64),
+        data=np.frombuffer(bad, np.uint8),
+        logical="binary",
+    )
+    arr = to_arrow(col_bin)
+    assert arr.type == pa.binary() and arr[1].as_py() == b"\xff\xfeoops"
+
+
+def test_to_arrow_validates_large_string_too():
+    big = b"\xc3\x28" + b"a" * 10  # invalid 2-byte sequence up front
+    col = ColumnData(
+        "bytes",
+        np.ones(1, bool),
+        lengths=np.array([len(big)], np.int64),
+        data=np.frombuffer(big, np.uint8),
+        logical="large_string",
+    )
+    with pytest.raises(pa.lib.ArrowInvalid):
+        to_arrow(col)
