@@ -1469,17 +1469,23 @@ def _mh_expr_duck(band: int) -> str:
     return f"list_min(list_transform({sh}, s -> md5('b{band}|' || s))) AS mh_{band}"
 
 
-@functools.lru_cache(maxsize=4)
 def _trained_quantizers(sf_dir: str):
     """(PQ codebooks, IVF centroids) trained from the sf fixture's
     embeddings sample, or None when the fixture file is absent.
     Memoized per directory so repeated oracle_sql() calls pay the
     parquet read + k-means once, and guarded so a machine without the
-    fixture can still fetch every other oracle string."""
-    path = f"{sf_dir}/embeddings.parquet"
-    if not os.path.exists(path):
+    fixture can still fetch every other oracle string. The existence
+    check runs OUTSIDE the cache: a fixture generated after the first
+    call must be picked up, never a process-lifetime cached None
+    (r5 review finding)."""
+    if not os.path.exists(f"{sf_dir}/embeddings.parquet"):
         return None
-    sample = pq_sample_parquet(path)
+    return _trained_quantizers_cached(sf_dir)
+
+
+@functools.lru_cache(maxsize=4)
+def _trained_quantizers_cached(sf_dir: str):
+    sample = pq_sample_parquet(f"{sf_dir}/embeddings.parquet")
     return train_pq_sample(sample), train_ivf_sample(sample)
 
 

@@ -145,15 +145,19 @@ def decode_ppm(payload: bytes) -> np.ndarray:
 def _to_channels(img: np.ndarray, channels: int) -> np.ndarray:
     """Normalize a decoded (h, w, c) array to the metadata-declared
     channel count so feature vectors stay ONE size across a table that
-    mixes containers (P5 gray, P6/BMP color): gray replicates, extra
-    channels slice off, single-channel takes the uint8 channel mean,
-    missing alpha pads opaque. A falsy/invalid declared count trusts
-    the container."""
+    mixes containers (P5 gray, P6/BMP color): gray replicates into the
+    COLOR channels only, extra channels slice off, single-channel takes
+    the uint8 channel mean, missing alpha pads opaque 255 (gray -> RGBA
+    must not put luminance in alpha). A falsy/invalid declared count
+    trusts the container."""
     c = img.shape[-1]
     if not channels or channels < 1 or c == channels:
         return img
-    if c == 1:
-        return np.repeat(img, channels, axis=-1)
+    if c == 1 and channels > 1:
+        img = np.repeat(img, min(channels, 3), axis=-1)
+        c = img.shape[-1]
+        if c == channels:
+            return img
     if channels == 1:
         return img.mean(axis=-1, dtype=np.float64).astype(np.uint8)[..., None]
     if c > channels:
@@ -173,7 +177,16 @@ def _codec_image_decode(payload: bytes, width: int, height: int, channels: int) 
     numpy); compressed codecs fall back to Pillow when importable, else
     to the deterministic fake: tile the payload bytes into the
     metadata-declared shape — same dtype, shape, and value range a real
-    decoder produces."""
+    decoder produces.
+
+    Metadata is DATA and may be wrong: NULL or non-positive declared
+    dims coerce to safe defaults (channels -> 3, the RGB convention;
+    width/height -> 32) instead of a TypeError killing the task — and
+    the coercion happens before BOTH the real and fake paths, so a
+    NULL-channels table still yields one feature dimension."""
+    channels = int(channels) if channels and channels >= 1 else 3
+    width = int(width) if width and width >= 1 else 32
+    height = int(height) if height and height >= 1 else 32
     head = payload[:2]
     if head in (b"BM", b"P6", b"P5"):
         # Sniff-then-verify: arbitrary bytes (e.g. text docs in mixed

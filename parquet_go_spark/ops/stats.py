@@ -7,14 +7,21 @@ partial — additive counts plus a mergeable KMV distinct sketch
 
 No stage ever funnels the table through a single task: the partial pass
 runs over the scan's natural partitioning (num_partitions tasks, each
-touching only its own rows), and the merge shuffles ONE ROW PER
-(partition, column) — at 100 TB that is thousands of sketch rows, not
-the data. Distinct counts are exact while every partition's sketch is
-untruncated (k = 2^18 distinct hashes — every sf0.01 oracle table sits
-far below it, so `COUNT(DISTINCT c)` rows stay bit-exact) and switch to
-the KMV estimator (~0.2% error) beyond, which is the only sound distinct
-semantics across chunks: per-chunk exact counts do not sum
-(``stats.go:9-225`` records them per chunk for exactly that reason).
+touching only its own rows), the merge shuffles ONE ROW PER
+(partition, column), and a salted tree level caps every merge task's
+fan-in at ``_MERGE_FANOUT`` sketches — at 100 TB that is thousands of
+sketch rows, not the data, and no task ever holds more than
+fanout x O(k) hashes. Distinct counts are exact iff the column's
+distinct count is <= k (k = 2^18 distinct hashes — every sf0.01 oracle
+table sits far below it, so `COUNT(DISTINCT c)` rows stay bit-exact)
+and switch to the KMV estimator (~0.2% error) beyond. The boundary is
+LAYOUT-INDEPENDENT: every merge level re-bounds its union at k, and a
+KMV union's k smallest hashes are the same k smallest of the whole
+stream no matter how rows were partitioned or how the tree groups
+them, so the same data gives the same n_distinct at any parallelism.
+That is the only sound distinct semantics across chunks: per-chunk
+exact counts do not sum (``stats.go:9-225`` records them per chunk for
+exactly that reason).
 """
 
 from __future__ import annotations
@@ -50,6 +57,25 @@ _MM_SCHEMA = "col_name string, min_v double, max_v double"
 _MM_PARTIAL_SCHEMA = _MM_SCHEMA + ", has_vals boolean"
 
 
+def _bounded_merge(blobs, k: int) -> tuple[np.ndarray, bool]:
+    """Deserialize + union partial sketches, re-bounding the result at k
+    hashes: an exact union past k degrades to a truncated sketch HERE,
+    so (a) every merge task's state stays O(k) bytes regardless of
+    fan-in, and (b) exactness is a property of the data (distinct <= k),
+    never of the partition layout or tree shape. One helper for every
+    combine/merge level (r5 review: the cap rule had two divergeable
+    copies)."""
+    states, flags = [], []
+    for blob in blobs:
+        s, t = kmv_deserialize(bytes(blob))
+        states.append(s)
+        flags.append(t)
+    state, trunc = kmv_merge(states, flags, k)
+    if len(state) > k:
+        state, trunc = state[:k], True
+    return state, trunc
+
+
 def table_column_stats(
     df: DataFrame, columns: list[str] | None = None, k: int = KMV_K_DEFAULT
 ) -> DataFrame:
@@ -77,21 +103,8 @@ def table_column_stats(
             )
         yield pd.DataFrame(rows)
 
-    def _merge_blobs(blobs) -> tuple[np.ndarray, bool]:
-        states, flags = [], []
-        for blob in blobs:
-            s, t = kmv_deserialize(bytes(blob))
-            states.append(s)
-            flags.append(t)
-        return kmv_merge(states, flags, k)
-
     def combine(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        # intermediate tree level: re-serialize BOUNDED state — an exact
-        # union past k must degrade to a truncated sketch here, or a
-        # unique-id column would ship its full hash set up the tree
-        state, trunc = _merge_blobs(pdf["sketch"])
-        if len(state) > k:
-            state, trunc = state[:k], True
+        state, trunc = _bounded_merge(pdf["sketch"], k)
         return pd.DataFrame(
             [
                 {
@@ -104,7 +117,7 @@ def table_column_stats(
         )
 
     def merge(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        state, trunc = _merge_blobs(pdf["sketch"])
+        state, trunc = _bounded_merge(pdf["sketch"], k)
         return pd.DataFrame(
             [
                 {
@@ -116,24 +129,21 @@ def table_column_stats(
             ]
         )
 
+    # Tree merge, UNCONDITIONAL: the final per-column task must never
+    # hold one sketch per input partition (P x up-to-2MiB exact sketches
+    # is an OOM at 100 TB). The salted level caps any single task's
+    # fan-in at ~P/fanout sketches and the final level at fanout
+    # sketches; on small inputs the extra exchange moves a handful of
+    # sketch rows (~ms). Always-on keeps ONE plan shape at every P —
+    # gating on df.rdd.getNumPartitions() cost a full physical-planning
+    # pass per call and read the pre-AQE count (r5 review finding).
     partial = df.mapInPandas(partials, schema=_PARTIAL_SCHEMA)
-    # Tree merge: the final per-column task must never hold one sketch per
-    # input partition (P x up-to-2MiB exact sketches is an OOM at 100 TB).
-    # A salted intermediate level caps any single task's fan-in at
-    # ~P/fanout sketches and the final level at fanout sketches. Skipped
-    # when P <= fanout — the final task then holds at most fanout blobs
-    # anyway and the extra exchange would be pure latency.
-    if df.rdd.getNumPartitions() > _MERGE_FANOUT:
-        partial = (
-            partial.withColumn(
-                "salt", F.spark_partition_id() % F.lit(_MERGE_FANOUT)
-            )
-            .groupBy("col_name", "salt")
-            .applyInPandas(
-                lambda key, pdf: combine((key[0],), pdf), schema=_PARTIAL_SCHEMA
-            )
-        )
-    return partial.groupBy("col_name").applyInPandas(merge, schema=_STATS_SCHEMA)
+    combined = (
+        partial.withColumn("salt", F.spark_partition_id() % F.lit(_MERGE_FANOUT))
+        .groupBy("col_name", "salt")
+        .applyInPandas(lambda key, pdf: combine((key[0],), pdf), schema=_PARTIAL_SCHEMA)
+    )
+    return combined.groupBy("col_name").applyInPandas(merge, schema=_STATS_SCHEMA)
 
 
 def table_numeric_minmax(df: DataFrame, columns: list[str]) -> DataFrame:
@@ -207,11 +217,7 @@ def table_stats_from_manifest(spark, out_dir: str, k: int = 1 << 14) -> DataFram
         if blobs.isna().any() or not len(blobs):
             sk = None
         else:
-            states, flags = zip(*(kmv_deserialize(bytes(b)) for b in blobs))
-            state, trunc = kmv_merge(list(states), list(flags), k)
-            if len(state) > k:
-                state, trunc = state[:k], True
-            sk = kmv_serialize(state, trunc)
+            sk = kmv_serialize(*_bounded_merge(blobs, k))
         return pd.DataFrame(
             [
                 {
@@ -232,8 +238,7 @@ def table_stats_from_manifest(spark, out_dir: str, k: int = 1 << 14) -> DataFram
         elif not len(blobs):
             nd = 0
         else:
-            states, flags = zip(*(kmv_deserialize(bytes(b)) for b in blobs))
-            nd = kmv_count(*kmv_merge(list(states), list(flags), k), k)
+            nd = kmv_count(*_bounded_merge(blobs, k), k)
         return pd.DataFrame(
             [
                 {

@@ -48,6 +48,22 @@ def test_trained_quantizers_memoized():
     assert _trained_quantizers("/nonexistent/sfdir-r5") is None
 
 
+def test_trained_quantizers_pick_up_late_fixture(tmp_path):
+    # batch-2 review finding: the miss was lru_cached, so a fixture
+    # generated AFTER the first call was invisible for the process
+    # lifetime and the trained oracle row silently vanished
+    import shutil
+
+    from __spark_entry__ import _trained_quantizers
+
+    d = str(tmp_path)
+    assert _trained_quantizers(d) is None
+    shutil.copyfile(
+        "/root/testdata/sf0.001/embeddings.parquet", f"{d}/embeddings.parquet"
+    )
+    assert _trained_quantizers(d) is not None
+
+
 # ------------------------------------------------- #4: uniform feature shape
 def test_image_decode_honors_declared_channels():
     rng = np.random.default_rng(11)
@@ -67,8 +83,15 @@ def test_image_decode_honors_declared_channels():
     # matching declared count passes through untouched
     same = _codec_image_decode(write_bmp(rgb), 5, 6, 3)
     assert same.shape == (6, 5, 3) and np.array_equal(same, rgb)
-    # invalid declared count trusts the container
-    assert _codec_image_decode(write_ppm(gray), 5, 6, 0).shape == (6, 5, 1)
+    # invalid/NULL declared count coerces to the RGB convention in the
+    # decode entry (batch-2 review finding: NULL channels crashed the
+    # fake path and a "trust the container" fallback re-introduced the
+    # mixed-dimension bug this fix exists for)
+    assert _codec_image_decode(write_ppm(gray), 5, 6, 0).shape == (6, 5, 3)
+    assert _codec_image_decode(write_ppm(gray), 5, 6, None).shape == (6, 5, 3)
+    # NULL metadata on the FAKE path must not TypeError the task
+    blob = np.arange(64, dtype=np.uint8).tobytes()
+    assert _codec_image_decode(blob, None, None, None).shape == (32, 32, 3)
 
 
 def test_to_channels_pads_alpha_opaque():
@@ -77,6 +100,14 @@ def test_to_channels_pads_alpha_opaque():
     assert rgba.shape == (2, 4, 4)
     assert (rgba[..., 3] == 255).all() and np.array_equal(rgba[..., :3], rgb)
     assert _to_channels(rgba, 3).shape == (2, 4, 3)
+    # batch-2 review finding: gray -> RGBA replicated luminance into
+    # alpha; the contract is color channels replicate, alpha pads 255
+    gray = np.arange(8, dtype=np.uint8).reshape(2, 4, 1)
+    g4 = _to_channels(gray, 4)
+    assert g4.shape == (2, 4, 4)
+    assert (g4[..., 3] == 255).all()
+    for c in range(3):
+        assert np.array_equal(g4[..., c], gray[..., 0])
 
 
 def test_image_features_one_dimension_across_mixed_containers(spark):
@@ -112,6 +143,48 @@ def test_image_features_one_dimension_across_mixed_containers(spark):
     df = spark.createDataFrame(pd.DataFrame(rows), schema=MEDIA_SCHEMA)
     feats = image_features(df, bins=16).toPandas()
     assert sorted(len(f) for f in feats["feature"]) == [48, 48, 48]
+
+
+def test_image_features_survive_null_metadata(spark):
+    # batch-2 review finding: meta.channels is a nullable int; a NULL
+    # reaching the fake path raised TypeError and killed the task, and a
+    # container row beside it decoded to a different feature dimension
+    import pandas as pd
+
+    from parquet_go_spark.ops.multimodal import MEDIA_SCHEMA, image_features
+
+    rng = np.random.default_rng(13)
+    rows = [
+        {
+            "media_id": 0,
+            "kind": "image",
+            "content": rng.integers(0, 256, 200, dtype=np.uint8).tobytes(),
+            "meta": {
+                "width": None,
+                "height": None,
+                "channels": None,
+                "sample_rate": 0,
+                "duration_ms": 0,
+                "codec": "null-meta",
+            },
+        },
+        {
+            "media_id": 1,
+            "kind": "image",
+            "content": write_ppm(rng.integers(0, 256, (8, 8, 1), np.uint8)),
+            "meta": {
+                "width": 8,
+                "height": 8,
+                "channels": None,
+                "sample_rate": 0,
+                "duration_ms": 0,
+                "codec": "p5-null-ch",
+            },
+        },
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows), schema=MEDIA_SCHEMA)
+    feats = image_features(df, bins=16).toPandas()
+    assert sorted(len(f) for f in feats["feature"]) == [48, 48]
 
 
 # --------------------------------------------------- #6: empty payload guard

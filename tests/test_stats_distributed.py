@@ -150,11 +150,14 @@ def test_stats_exercises_multiple_tasks(spark):
     assert got.loc["id", "num_rows"] == 10_000
 
 
-def test_stats_tree_merge_above_fanout(spark):
-    # r5 review finding: with P partitions the final per-column merge
-    # held P sketches (bytes-funnel OOM at 100 TB). Above _MERGE_FANOUT
-    # a salted combine level must appear (two FlatMapGroupsInPandas in
-    # the plan) and results must stay exact below k.
+def test_stats_tree_merge_plan_shape(spark):
+    # r5 review findings: (a) with P partitions the final per-column
+    # merge held P sketches (bytes-funnel OOM at 100 TB) — a salted
+    # combine level bounds every task's fan-in; (b) gating that level on
+    # df.rdd.getNumPartitions() cost a physical-planning pass per call
+    # and read the pre-AQE count. The tree is now UNCONDITIONAL: two
+    # FlatMapGroupsInPandas at every P, one plan shape, results exact
+    # below k.
     from parquet_go_spark.ops.stats import _MERGE_FANOUT, table_column_stats
 
     df = spark.range(0, 20_000, 1, _MERGE_FANOUT + 16).selectExpr(
@@ -168,12 +171,33 @@ def test_stats_tree_merge_above_fanout(spark):
     assert got.loc["id", "n_distinct"] == 20_000
     assert got.loc["id", "num_rows"] == 20_000
 
-    # below the fanout the extra exchange must NOT appear
+    # same shape below the fanout — no partition-count-dependent plans
     few = spark.range(0, 1000, 1, 4).selectExpr("id")
     plan2 = (
         table_column_stats(few)._jdf.queryExecution().executedPlan().toString()
     )
-    assert plan2.count("FlatMapGroupsInPandas") == 1, plan2
+    assert plan2.count("FlatMapGroupsInPandas") == 2, plan2
+
+
+def test_stats_distinct_layout_independent(spark):
+    # r5 review finding: exactness degraded only WHEN the tree engaged,
+    # making n_distinct depend on partition count. Every merge level now
+    # re-bounds at k, and the k smallest hashes of the stream are the
+    # same under any partitioning — so above k the ESTIMATE must be
+    # bit-identical across layouts, and below k both must be exact.
+    from parquet_go_spark.ops.stats import _MERGE_FANOUT, table_column_stats
+
+    for n, k in ((10_000, 2048), (1_500, 2048)):
+        vals = []
+        for p in (3, _MERGE_FANOUT + 8):
+            df = spark.range(0, n, 1, p).selectExpr("id")
+            got = table_column_stats(df, k=k).toPandas().set_index("col_name")
+            vals.append(int(got.loc["id", "n_distinct"]))
+        assert vals[0] == vals[1], (n, k, vals)
+        if n <= k:
+            assert vals[0] == n
+        else:
+            assert abs(vals[0] - n) / n < 0.15
 
 
 def test_stats_tree_merge_estimate_above_k(spark):
