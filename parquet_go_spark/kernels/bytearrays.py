@@ -80,15 +80,29 @@ def choose_zdict_codec(lengths: np.ndarray, data: np.ndarray, zdict: bytes = b""
     ~105, with a ratio between the two — so on large streams (where
     encode throughput is the scaling budget) DEFLATE must save >= 10% to
     justify its cost, while on small streams (speed irrelevant, trained
-    dict at its most useful) the smaller output simply wins."""
+    dict at its most useful) the smaller output simply wins.
+
+    The probe must NOT hand DEFLATE the trained dict when the stream is
+    strided-sampled: the sample is 8 disjoint 32 KiB window STARTS, and
+    a dict only helps DEFLATE at a window start, so a dicted probe
+    over-represents the dict's benefit ~8x vs the contiguous stream.
+    That bias sent an 18.7 MB text chunk to DEFLATE-6 at 24 MB/s when
+    zstd-3 was 10x faster AND smaller on the full stream (r5 profile).
+    When the sample IS the whole stream the dicted probe is exact."""
     import zlib as _z
 
     z = _zstd_codec()
     if z is None:
         return 0
-    s = _sample_stream(np.ascontiguousarray(data, dtype=np.uint8))
+    raw = np.ascontiguousarray(data, dtype=np.uint8)
+    s = _sample_stream(raw)
     lvl = 6 if len(data) <= 1 << 25 else 1
-    co = _z.compressobj(lvl, _z.DEFLATED, 15, 9, 0, zdict) if zdict else _z.compressobj(lvl)
+    probe_dict = zdict if (zdict and len(raw) <= 1 << 18) else b""
+    co = (
+        _z.compressobj(lvl, _z.DEFLATED, 15, 9, 0, probe_dict)
+        if probe_dict
+        else _z.compressobj(lvl)
+    )
     d_len = len(co.compress(s) + co.flush())
     z_len = len(z.compress(s, asbytes=True))
     margin = 0.9 if len(data) > 1 << 20 else 1.0

@@ -218,6 +218,32 @@ def test_image_features_survive_empty_blob(spark):
     assert len(got) == 1 and len(got["feature"].iloc[0]) == 48
 
 
+# ------------------------- batch 3: codec probe bias on the pages text shape
+def test_zdict_probe_not_dict_biased_on_sampled_streams():
+    # r5 profile finding: the codec probe handed DEFLATE the trained
+    # dict on STRIDED samples — 8 disjoint 32 KiB window starts, each
+    # getting the dict's full benefit, vs one start per window in the
+    # contiguous stream — so the bench's 18.7 MB text column chose
+    # DEFLATE-6 at 24 MB/s when zstd-3 was 10x faster AND smaller.
+    # Pin the real generator's text shape to the right choice.
+    from parquet_go_spark.core.columns import from_arrow
+    from parquet_go_spark.kernels import bytearrays
+    from parquet_go_spark.spark.pages_table import pages_arrow
+
+    t = pages_arrow(6000)
+    cd = from_arrow(t.column("text").combine_chunks())
+    zd = bytearrays.train_zdict(cd.lengths, cd.data)
+    assert len(cd.data) > 1 << 20  # the sampled+margin regime
+    assert bytearrays.choose_zdict_codec(cd.lengths, cd.data, zd) == 1
+    # small streams (sample == whole stream) still probe WITH the dict:
+    # there the dicted probe is exact and the dict is at its most useful
+    small = cd.data[: 1 << 16]
+    sl = np.array([len(small)], np.int64)
+    enc = bytearrays.encode_zdict(sl, small, zd)
+    lens, data, _ = bytearrays.decode_zdict(enc, zdict=zd)
+    assert bytes(data) == bytes(small)
+
+
 # ------------------------------------------- #5: UTF-8 validation at decode
 def test_to_arrow_rejects_invalid_utf8_strings():
     # the from_buffers fast path must keep the cast chain's fail-fast
