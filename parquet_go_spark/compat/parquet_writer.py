@@ -23,7 +23,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..core.chunk import DICT_MAX, _encode_dict_values, _factorize, _page_boundaries, column_minmax
-from ..core.columns import ColumnData, from_arrow
+from ..core.columns import ColumnData, from_arrow, one_chunk
 from ..kernels import bytearrays, deltabp, dictenc, hybrid, int96, levels, plain
 from .thrift_writer import write_struct
 
@@ -696,7 +696,7 @@ def write_parquet(
         col_chunks = []
         for name in table.column_names:
             if name in nested_specs:
-                arr = part.column(name).combine_chunks()
+                arr = one_chunk(part.column(name))
                 for spec in nested_specs[name]:
                     pidx: list | None = [] if page_index else None
                     cc, mrow = _write_chunk_nested(

@@ -200,11 +200,24 @@ def _phys_of(t: pa.DataType) -> str:
     raise TypeError(f"unsupported arrow type {t}")
 
 
+def one_chunk(arr: "pa.Array | pa.ChunkedArray") -> pa.Array:
+    """Materialize a (possibly chunked) Arrow array as ONE Array without
+    paying combine_chunks' unconditional buffer copy in the common
+    1-chunk case (pyarrow concatenates even a single chunk — a full
+    memcpy of every buffer)."""
+    if isinstance(arr, pa.ChunkedArray):
+        return arr.chunk(0) if arr.num_chunks == 1 else arr.combine_chunks()
+    return arr
+
+
 def from_arrow(arr: pa.Array | pa.ChunkedArray) -> "ColumnData | ListData | StructData":
     """Arrow array -> ColumnData/ListData/StructData (vectorized,
     zero-copy where possible; recursive over list/struct/map nesting)."""
-    if isinstance(arr, pa.ChunkedArray):
-        arr = arr.combine_chunks()
+    # combine_chunks COPIES every buffer even when there is exactly one
+    # chunk (pyarrow concatenates unconditionally) — 0.5 s of pure
+    # memcpy+fault on an 80 MB html column, ~45% of single-core chunk
+    # encode. A 1-chunk column unwraps zero-copy (one_chunk).
+    arr = one_chunk(arr)
     if pa.types.is_struct(arr.type):
         n = len(arr)
         validity = (

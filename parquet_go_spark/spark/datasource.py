@@ -30,6 +30,7 @@ from dataclasses import dataclass
 
 import datetime as _dt
 
+from ..core.columns import one_chunk
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
@@ -560,7 +561,7 @@ class _PGSQReaderNoPushdown(DataSourceReader):
                     mm, columns=cols, row_groups=[partition.rg], row_ranges=ranges
                 )
                 arrays = [
-                    tbl.column(n).combine_chunks().cast(arrow_type_of_ddl(ddl))
+                    one_chunk(tbl.column(n)).cast(arrow_type_of_ddl(ddl))
                     for n, _, ddl in self.triples
                 ]
         yield from pa.table(dict(zip(cols, arrays))).to_batches(max_chunksize=1 << 16)

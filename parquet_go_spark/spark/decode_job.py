@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 import numpy as np
 
 from ..core.chunk import chunk_page_index, decode_chunk
-from ..core.columns import to_arrow
+from ..core.columns import one_chunk, to_arrow
 from . import manifest as mf
 from .encode_job import parse_partition_file, partition_file_epoch
 
@@ -338,8 +338,7 @@ def decode_blobs_to_batch(
             cd = decode_chunk(blobs[c], logical=logical)
             idx = np.concatenate([np.arange(lo, hi, dtype=np.int64) for lo, hi in row_sel])
             arr = to_arrow(cd)
-            if isinstance(arr, pa.ChunkedArray):
-                arr = arr.combine_chunks()
+            arr = one_chunk(arr)
             decoded[c] = arr.take(pa.array(idx))
             n_rows = len(idx)
         else:
@@ -360,7 +359,7 @@ def decode_blobs_to_batch(
             if arrow_types is None or c not in arrow_types:
                 raise ValueError(f"column {c!r} missing and no arrow type to null-fill")
             a = pa.nulls(n_rows, arrow_types[c])
-        arrays.append(a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a)
+        arrays.append(one_chunk(a))
     batch = pa.RecordBatch.from_arrays(arrays, names=list(cols))
     if delete_pos is not None and len(delete_pos):
         if row_sel is not None:

@@ -24,6 +24,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from . import manifest as mf
+from ..core.columns import one_chunk
 from .decode_job import decode_table
 from .encode_job import encode_table
 
@@ -547,8 +548,7 @@ def delete_where(
                     match = pc.invert(
                         _not_matching_mask(pa.Table.from_batches([batch]), predicate)
                     )
-                    if isinstance(match, pa.ChunkedArray):
-                        match = match.combine_chunks()
+                    match = one_chunk(match)
                     pos = np.flatnonzero(match.to_numpy(zero_copy_only=False)).astype(np.int64)
                     fepoch = partition_file_epoch(payload)
                     already = mf.delete_positions(enc_dir, pid, file_epoch=fepoch)

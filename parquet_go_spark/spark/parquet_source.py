@@ -29,6 +29,7 @@ from collections.abc import Iterator
 import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
 
+from ..core.columns import one_chunk
 from ..compat.parquet_reader import (
     field_arrow_type,
     file_meta_path,
@@ -319,7 +320,7 @@ def read_parquet_table(
                             row_ranges=ranges,
                         )
                         arrays = [
-                            tbl.column(n).combine_chunks().cast(target[n]) for n in cols
+                            one_chunk(tbl.column(n)).cast(target[n]) for n in cols
                         ]
                 out = pa.table(dict(zip(cols, arrays)))
                 yield from out.to_batches(max_chunksize=1 << 16)

@@ -18,7 +18,7 @@ import pyarrow as pa
 from pyspark.sql import DataFrame
 
 from ..core.chunk import decode_chunk, encode_chunk
-from ..core.columns import from_arrow, to_arrow
+from ..core.columns import from_arrow, one_chunk, to_arrow
 
 __all__ = ["roundtrip_df"]
 
@@ -50,8 +50,7 @@ def roundtrip_df(
                 blob, _meta = encode_chunk(cd, **kwargs)
                 dec = decode_chunk(blob, logical=cd.logical)
                 arr = to_arrow(dec)
-                if isinstance(arr, pa.ChunkedArray):
-                    arr = arr.combine_chunks()
+                arr = one_chunk(arr)
                 out.append(arr)
             yield pa.RecordBatch.from_arrays(out, names=cols)
 

@@ -282,3 +282,25 @@ def test_to_arrow_validates_large_string_too():
     )
     with pytest.raises(pa.lib.ArrowInvalid):
         to_arrow(col)
+
+
+# ----------------- batch 3: 1-chunk ChunkedArray must unwrap zero-copy
+def test_from_arrow_one_chunk_is_zero_copy():
+    # pyarrow's combine_chunks() concatenates (full memcpy of every
+    # buffer) even for a single chunk — 0.5 s on an 80 MB html column,
+    # ~45% of single-core chunk encode. from_arrow must view, not copy:
+    # the ColumnData stream has to alias the chunk's own data buffer.
+    from parquet_go_spark.core.columns import from_arrow, one_chunk
+
+    arr = pa.array([b"aa", b"bbb", b"c"], type=pa.binary())
+    ca = pa.chunked_array([arr])
+    unwrapped = one_chunk(ca)
+    assert unwrapped.buffers()[2].address == arr.buffers()[2].address
+    cd = from_arrow(ca)
+    src = np.frombuffer(arr.buffers()[2], np.uint8)
+    assert np.byte_bounds(cd.data)[0] >= np.byte_bounds(src)[0]
+    assert np.byte_bounds(cd.data)[1] <= np.byte_bounds(src)[1]
+    # multi-chunk still concatenates correctly
+    ca2 = pa.chunked_array([arr, pa.array([b"dd"], type=pa.binary())])
+    cd2 = from_arrow(ca2)
+    assert bytes(cd2.data) == b"aabbbcdd"
