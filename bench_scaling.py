@@ -121,6 +121,13 @@ def main() -> None:
     # tail. Identical config at both levels — split sizing, not graph
     # change (the encode stage keeps its fixed 16 partitions).
     os.environ.setdefault("SPARK_GRAFT_MAX_PARTITION_BYTES", "64m")
+    # one Arrow batch per encode partition (1.6M rows / 16 partitions =
+    # 100k rows): a 1-batch column takes from_arrow's zero-copy view,
+    # while 64k-row batches forced a full-partition concat
+    # (combine_chunks memcpy, ~5.6 GB of pure DRAM traffic at N=1).
+    # Task memory is unchanged — the encode task materializes the whole
+    # partition either way.
+    os.environ.setdefault("SPARK_GRAFT_ARROW_BATCH_ROWS", "131072")
     # per-executor-local-storage stand-in: shuffle + job I/O on tmpfs (a
     # real N->4N cluster scales disks with executors; this VM has one
     # shared virtio disk, which otherwise caps the measurement)

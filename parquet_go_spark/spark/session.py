@@ -26,10 +26,21 @@ def get_spark(
     app: str = "parquet-go-spark",
     cores: int | None = None,
     shuffle_partitions: int | None = None,
-    arrow_batch_rows: int = 65536,
+    arrow_batch_rows: int | None = None,
     extra: dict | None = None,
 ) -> SparkSession:
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    # Encode-dedicated jobs want ONE Arrow batch per partition: the
+    # chunk encoder needs each column contiguous, and a 1-chunk column
+    # takes from_arrow's zero-copy view while a multi-batch partition
+    # pays a full concat (pa.ChunkedArray.combine_chunks memcpy) first.
+    # Peak task memory is bounded by partition bytes either way (the
+    # whole partition is materialized before encoding), so sizing
+    # batches >= rows-per-partition removes a copy without changing the
+    # memory envelope. 65536 is a general-purpose default.
+    arrow_batch_rows = arrow_batch_rows or int(
+        os.environ.get("SPARK_GRAFT_ARROW_BATCH_ROWS", "65536")
+    )
     shuffle_partitions = shuffle_partitions or max(2 * cores, 32)
     b = (
         SparkSession.builder.appName(app)
