@@ -112,8 +112,17 @@ def _list_parts(arr: pa.Array):
         # carry non-degenerate offsets (legal Arrow), and flattening
         # without the mask leaked its key/value entries into the leaf
         # and level streams while counts said 0 — corrupted shredding
+        # a SLICED map chunk (row-group split of a 1-chunk column) hands
+        # over offsets as a buffer-offset view, which from_arrays rejects
+        # when combined with a mask ("Null bitmap with offsets slice not
+        # supported") — rebase them into a fresh zero-offset array; the
+        # values (arr.keys/arr.items are always the FULL children, which
+        # the slice-adjusted offset VALUES index into) stay zero-copy
+        offsets = arr.offsets
+        if offsets.offset:
+            offsets = pa.array(np.asarray(offsets, dtype=np.int32), type=pa.int32())
         st = pa.ListArray.from_arrays(
-            arr.offsets,
+            offsets,
             pa.StructArray.from_arrays(
                 [arr.keys, arr.items], names=["key", "value"]
             ),

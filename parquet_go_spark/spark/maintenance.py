@@ -277,7 +277,10 @@ def materialize_deletes(
                 old_epoch = mf._partition_epoch(enc_dir, pid)
                 batches = list(_decode_partition_to_batches(enc_dir, fields, pid, []))
                 if batches:
-                    table = pa.Table.from_batches(batches).combine_chunks()
+                    # no combine_chunks: from_arrow in the encode path
+                    # unwraps 1-chunk columns zero-copy and concatenates
+                    # multi-chunk ones itself (r5 review batch 4)
+                    table = pa.Table.from_batches(batches)
                 else:
                     # every row deleted: rewrite an EMPTY typed partition
                     # (dropping the sidecars alone would resurrect rows)
@@ -482,7 +485,7 @@ def delete_where(
                 # decode below applies them), so `kept` is live rows
                 # minus the new matches
                 batches = list(_decode_partition_to_batches(enc_dir, fields, pid, []))
-                table = pa.Table.from_batches(batches).combine_chunks() if batches else None
+                table = pa.Table.from_batches(batches) if batches else None
                 deleted = 0
                 rewrote = False
                 had_sidecars = bool(mf.list_delete_files(enc_dir, pid))

@@ -38,9 +38,8 @@ def get_spark(
     # whole partition is materialized before encoding), so sizing
     # batches >= rows-per-partition removes a copy without changing the
     # memory envelope. 65536 is a general-purpose default.
-    arrow_batch_rows = arrow_batch_rows or int(
-        os.environ.get("SPARK_GRAFT_ARROW_BATCH_ROWS", "65536")
-    )
+    if arrow_batch_rows is None:  # explicit 0 means "unlimited" to Spark
+        arrow_batch_rows = int(os.environ.get("SPARK_GRAFT_ARROW_BATCH_ROWS", "65536"))
     shuffle_partitions = shuffle_partitions or max(2 * cores, 32)
     b = (
         SparkSession.builder.appName(app)
