@@ -125,6 +125,7 @@ def cmd_encode(args) -> int:
             page_stats=args.page_stats,
             sort_within=args.sort_within.split(",") if args.sort_within else None,
             bloom_columns=args.bloom_columns.split(",") if args.bloom_columns else None,
+            kmv_columns=args.kmv_columns.split(",") if args.kmv_columns else None,
             encodings=(
                 dict(kv.split("=", 1) for kv in args.encodings.split(","))
                 if args.encodings
@@ -724,6 +725,33 @@ def cmd_expire(args) -> int:
     return 0
 
 
+def cmd_stats(args) -> int:
+    """Table-level column statistics (num_rows / null_count /
+    n_distinct), the CLI face of the reference's per-chunk stats
+    (``stats.go:9-225``) merged across the table.
+
+    ``--from-manifest`` answers from manifests ALONE — zero data pages
+    read: counts sum across chunk rows and ``n_distinct`` merges the
+    per-chunk KMV sketches written by ``encode --kmv-columns`` (NULL
+    when a column has no sketch — never a guess). Without it, the
+    table is decoded and stats run the distributed partial/merge path
+    (exact distinct while <= 2^18 per column, ~0.2%-error KMV estimate
+    beyond — the only distinct semantics that compose across chunks)."""
+    spark = _spark(args)
+    from .ops.stats import table_column_stats, table_stats_from_manifest
+
+    if args.from_manifest:
+        df = table_stats_from_manifest(spark, args.enc)
+    else:
+        from .spark.decode_job import decode_table
+
+        cols = [c for c in (args.columns or "").split(",") if c] or None
+        df = table_column_stats(decode_table(spark, args.enc, columns=cols))
+    for row in sorted(df.collect(), key=lambda r: r["col_name"]):
+        print(json.dumps(row.asDict()))
+    return 0
+
+
 def cmd_verify(args) -> int:
     spark = _spark(args)
     from .spark.decode_job import decode_table
@@ -787,6 +815,12 @@ def main(argv=None) -> int:
         help="comma-separated columns to build bloom filters for (point-lookup "
         "prune): manifest SBBF for the chunks format, parquet-format "
         "BloomFilter.md structures for --format parquet",
+    )
+    e.add_argument(
+        "--kmv-columns",
+        default=None,
+        help="comma-separated columns to sketch per chunk (mergeable KMV "
+        "distinct sketches in the manifest; enables `stats --from-manifest`)",
     )
     e.add_argument(
         "--page-index",
@@ -939,6 +973,20 @@ def main(argv=None) -> int:
     rc = sub.add_parser("rowcount")
     rc.add_argument("--enc", required=True)
     rc.set_defaults(fn=cmd_rowcount)
+
+    st = sub.add_parser(
+        "stats",
+        help="table-level column stats (rows/nulls/distinct); "
+        "--from-manifest reads zero data pages",
+    )
+    st.add_argument("--enc", required=True)
+    st.add_argument("--columns", help="comma-separated subset (scan mode only)")
+    st.add_argument(
+        "--from-manifest",
+        action="store_true",
+        help="merge per-chunk manifest sketches instead of scanning data",
+    )
+    st.set_defaults(fn=cmd_stats)
 
     sn = sub.add_parser("snapshots")
     sn.add_argument("--enc", required=True)

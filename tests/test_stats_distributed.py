@@ -284,3 +284,45 @@ def test_minmax_matches_previous_semantics(spark):
     for c in ("l_quantity", "l_extendedprice"):
         assert got.loc[c, "min_v"] == pytest.approx(float(pdf[c].min()))
         assert got.loc[c, "max_v"] == pytest.approx(float(pdf[c].max()))
+
+
+def test_cli_stats_both_modes(spark, tmp_path, capsys):
+    # the CLI face of the distributed/manifest stats paths: encode with
+    # --kmv-columns, then `stats --from-manifest` (zero data pages) and
+    # `stats` (distributed scan) must agree exactly on this small table
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parquet_go_spark.cli import main
+
+    src = str(tmp_path / "src.parquet")
+    enc = str(tmp_path / "enc")
+    t = pa.table(
+        {
+            "id": pa.array(range(400), pa.int64()),
+            "lang": pa.array([["en", "de", None][i % 3] for i in range(400)]),
+        }
+    )
+    pq.write_table(t, src)
+    rc = main(
+        ["encode", "--input", src, "--out", enc, "--partitions", "3",
+         "--kmv-columns", "id,lang"]
+    )
+    assert rc == 0
+    capsys.readouterr()
+
+    def run_stats(*extra):
+        assert main(["stats", "--enc", enc, *extra]) == 0
+        return {
+            json.loads(l)["col_name"]: json.loads(l)
+            for l in capsys.readouterr().out.strip().splitlines()
+        }
+
+    man = run_stats("--from-manifest")
+    scan = run_stats()
+    for col, nd, nulls in (("id", 400, 0), ("lang", 2, 133)):
+        assert man[col]["n_distinct"] == nd and scan[col]["n_distinct"] == nd
+        assert man[col]["null_count"] == nulls == scan[col]["null_count"]
+        assert man[col]["num_rows"] == 400 == scan[col]["num_rows"]
