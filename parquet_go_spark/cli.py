@@ -740,12 +740,12 @@ def cmd_stats(args) -> int:
     spark = _spark(args)
     from .ops.stats import table_column_stats, table_stats_from_manifest
 
+    cols = [c for c in (args.columns or "").split(",") if c] or None
     if args.from_manifest:
-        df = table_stats_from_manifest(spark, args.enc)
+        df = table_stats_from_manifest(spark, args.enc, columns=cols)
     else:
         from .spark.decode_job import decode_table
 
-        cols = [c for c in (args.columns or "").split(",") if c] or None
         df = table_column_stats(decode_table(spark, args.enc, columns=cols))
     for row in sorted(df.collect(), key=lambda r: r["col_name"]):
         print(json.dumps(row.asDict()))
@@ -980,7 +980,7 @@ def main(argv=None) -> int:
         "--from-manifest reads zero data pages",
     )
     st.add_argument("--enc", required=True)
-    st.add_argument("--columns", help="comma-separated subset (scan mode only)")
+    st.add_argument("--columns", help="comma-separated column subset (both modes)")
     st.add_argument(
         "--from-manifest",
         action="store_true",

@@ -190,13 +190,17 @@ def table_numeric_minmax(df: DataFrame, columns: list[str]) -> DataFrame:
     return partial.groupBy("col_name").applyInPandas(merge, schema=_MM_SCHEMA)
 
 
-def table_stats_from_manifest(spark, out_dir: str, k: int = 1 << 14) -> DataFrame:
+def table_stats_from_manifest(
+    spark, out_dir: str, k: int = 1 << 14, columns: list[str] | None = None
+) -> DataFrame:
     """Table-level column stats from manifests ALONE — zero data pages
     read. Counts sum across chunk rows; ``n_distinct`` merges the
     per-chunk KMV sketches written by ``encode_table(kmv_columns=...)``
     (NULL when any chunk of the column lacks a sketch: a partial union
     would silently under-count). At 100 TB the input here is one tiny
     row per (partition, column) — the stats job never touches data.
+    ``columns`` restricts the answer (and the merge work) to a subset,
+    the same contract as ``table_column_stats``'s ``columns``.
 
     Counts reflect the base data files; MOR delete sidecars are not
     subtracted (same contract as the manifest's own num_rows)."""
@@ -205,6 +209,8 @@ def table_stats_from_manifest(spark, out_dir: str, k: int = 1 << 14) -> DataFram
     man = mf.read_manifest(spark, out_dir).select(
         "column", "num_rows", "null_count", "kmv"
     )
+    if columns is not None:
+        man = man.where(F.col("column").isin(list(columns)))
 
     def combine(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         # intermediate tree level (same fan-in bound as table_column_stats):

@@ -326,3 +326,12 @@ def test_cli_stats_both_modes(spark, tmp_path, capsys):
         assert man[col]["n_distinct"] == nd and scan[col]["n_distinct"] == nd
         assert man[col]["null_count"] == nulls == scan[col]["null_count"]
         assert man[col]["num_rows"] == 400 == scan[col]["num_rows"]
+
+    # --columns restricts BOTH modes to the subset (and, in manifest
+    # mode, restricts the merge work itself — the filter rides the
+    # manifest scan, not a post-hoc projection)
+    man_sub = run_stats("--from-manifest", "--columns", "lang")
+    scan_sub = run_stats("--columns", "lang")
+    assert set(man_sub) == set(scan_sub) == {"lang"}
+    assert man_sub["lang"] == man["lang"]
+    assert scan_sub["lang"] == scan["lang"]
