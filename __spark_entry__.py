@@ -1923,7 +1923,10 @@ FROM g LEFT JOIN tw ON g.doc_id = tw.doc_id
 def _langid_duck_sql(top_ngrams: int = 40, profile_docs: int = 2000) -> str:
     """DuckDB mirror of ops/text.py langid_ngram: per-language top-N
     character-bigram profiles from the deterministic id < N sample, then
-    rank-weighted profile overlap per document."""
+    rank-weighted profile overlap per document. One row per input doc
+    (matching the Spark op's explode_outer + left-join contract): a doc
+    whose bigrams match no profile gets lang_pred NULL / correct NULL via
+    the final LEFT JOIN instead of vanishing."""
     return f"""
 WITH base AS (SELECT doc_id, lang, lower(text) AS lt FROM documents),
 bg AS (
@@ -1944,12 +1947,16 @@ scored AS (
   SELECT d.doc_id, d.lang, p.profile_lang, SUM({top_ngrams + 1} - p.rank) AS score
   FROM docbg d JOIN profiles p USING (bg)
   GROUP BY d.doc_id, d.lang, p.profile_lang
+),
+picked AS (
+  SELECT doc_id, lang_pred, correct FROM (
+    SELECT doc_id, profile_lang AS lang_pred, (profile_lang = lang) AS correct,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, profile_lang ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
 )
-SELECT doc_id, lang, lang_pred, correct FROM (
-  SELECT doc_id, lang, profile_lang AS lang_pred, (profile_lang = lang) AS correct,
-         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, profile_lang ASC) AS rn
-  FROM scored
-) WHERE rn = 1
+SELECT b.doc_id, b.lang, p.lang_pred, p.correct
+FROM base b LEFT JOIN picked p USING (doc_id)
 """
 
 

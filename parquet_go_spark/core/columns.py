@@ -210,6 +210,24 @@ def one_chunk(arr: "pa.Array | pa.ChunkedArray") -> pa.Array:
     return arr
 
 
+def _offsets_view(barr: pa.Array, odt) -> np.ndarray:
+    """Zero-copy view of a variable-length binary array's offsets at
+    their native width.
+
+    The Arrow spec permits a LENGTH-0 array to carry an empty (or
+    absent) offsets buffer; Spark's Java writer emits exactly that for
+    the string child of an all-empty list column, while pyarrow's own
+    constructors always materialize the leading 0 — so the pytest
+    fixtures never see it, only live Spark jobs with empty partitions
+    do. Synthesize the single zero offset for that legal layout; any
+    OTHER short buffer is corruption and np.frombuffer raises."""
+    n = len(barr)
+    obuf = barr.buffers()[1]
+    if n == 0 and (obuf is None or obuf.size < np.dtype(odt).itemsize * (barr.offset + 1)):
+        return np.zeros(1, dtype=odt)
+    return np.frombuffer(obuf, dtype=odt, count=n + 1 + barr.offset)[barr.offset :]
+
+
 def from_arrow(arr: pa.Array | pa.ChunkedArray) -> "ColumnData | ListData | StructData":
     """Arrow array -> ColumnData/ListData/StructData (vectorized,
     zero-copy where possible; recursive over list/struct/map nesting)."""
@@ -266,12 +284,16 @@ def from_arrow(arr: pa.Array | pa.ChunkedArray) -> "ColumnData | ListData | Stru
             # reference's FLBA DECIMAL carrier (type_bytearray.go:328-333)
             w = decimal_width(arr.type.precision)
             buf = arr.buffers()[1]
+            if buf is None:  # length-0 arrays may omit the data buffer
+                buf = b""
             raw = np.frombuffer(buf, np.uint8, 16 * (n + arr.offset))[16 * arr.offset :]
             be = raw.reshape(n, 16)[:, ::-1]  # LE int128 -> BE bytes
             data = np.ascontiguousarray(be[validity][:, 16 - w :]).reshape(-1)
         else:  # fixed_size_binary
             w = arr.type.byte_width
             buf = arr.buffers()[1]
+            if buf is None:
+                buf = b""
             raw = np.frombuffer(buf, np.uint8, w * (n + arr.offset))[w * arr.offset :]
             data = np.ascontiguousarray(raw.reshape(n, w)[validity]).reshape(-1)
         return ColumnData("flba", validity, data=data, type_length=w, logical=logical)
@@ -288,9 +310,7 @@ def from_arrow(arr: pa.Array | pa.ChunkedArray) -> "ColumnData | ListData | Stru
             barr, odt = arr, np.int64
         else:
             barr, odt = arr.cast(pa.large_binary()), np.int64
-        offsets = np.frombuffer(barr.buffers()[1], dtype=odt, count=n + 1 + barr.offset)[
-            barr.offset :
-        ]
+        offsets = _offsets_view(barr, odt)
         dbuf = barr.buffers()[2]
         data_all = (
             np.frombuffer(dbuf, dtype=np.uint8, count=len(dbuf)) if dbuf is not None else np.empty(0, np.uint8)
@@ -312,9 +332,7 @@ def from_arrow(arr: pa.Array | pa.ChunkedArray) -> "ColumnData | ListData | Stru
             # gather_segments here cost ~0.2 s per 120k-row web-text
             # column, ~25% of single-core chunk encode
             nn = barr.drop_null()
-            noff = np.frombuffer(
-                nn.buffers()[1], dtype=odt, count=len(nn) + 1 + nn.offset
-            )[nn.offset :]
+            noff = _offsets_view(nn, odt)
             ndbuf = nn.buffers()[2]
             data = (
                 np.frombuffer(ndbuf, dtype=np.uint8, count=len(ndbuf))[noff[0] : noff[-1]]

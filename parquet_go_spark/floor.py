@@ -30,6 +30,7 @@ from __future__ import annotations
 import dataclasses
 import datetime
 import decimal
+import functools
 import typing
 
 from pyspark.sql import DataFrame, SparkSession, types as T
@@ -70,10 +71,20 @@ def _spark_type(hint) -> tuple[T.DataType, bool]:
         inner, _ = _spark_type(args[0])
         return inner, True
     if origin in (list, tuple):
-        (elem,) = typing.get_args(hint) or (None,)
-        if elem is None:
+        args = typing.get_args(hint)
+        if not args:
             raise FloorTypeError("list fields need an element type, e.g. list[int]")
-        et, en = _spark_type(elem)
+        # tuple[X, ...] is the homogeneous variadic spelling — same array
+        # type as list[X]; fixed heterogeneous tuples have no Spark array
+        # equivalent and must fail with the module's documented error
+        if origin is tuple and len(args) == 2 and args[1] is Ellipsis:
+            args = args[:1]
+        if len(args) != 1:
+            raise FloorTypeError(
+                f"cannot map heterogeneous tuple {hint!r} to a Spark array; "
+                "use a nested dataclass for fixed-shape records"
+            )
+        et, en = _spark_type(args[0])
         return T.ArrayType(et, containsNull=en), False
     if origin is dict:
         k, v = typing.get_args(hint)
@@ -93,7 +104,7 @@ def schema_for(cls) -> T.StructType:
     """Derive a Spark schema from a dataclass (autoschema analogue)."""
     if not dataclasses.is_dataclass(cls):
         raise FloorTypeError(f"{cls!r} is not a dataclass")
-    hints = typing.get_type_hints(cls)
+    hints = _hints(cls)
     fields = []
     for f in dataclasses.fields(cls):
         dt, nullable = _spark_type(hints[f.name])
@@ -120,9 +131,16 @@ def _marshal_value(v):
     return v
 
 
+@functools.lru_cache(maxsize=None)
+def _hints(cls) -> dict:
+    # get_type_hints re-evaluates annotation strings on every call;
+    # cached per class so Reader iteration pays it once, not per row
+    return typing.get_type_hints(cls)
+
+
 def _from_row(d: dict, cls):
     """Unmarshal one recursive row dict into ``cls``."""
-    hints = typing.get_type_hints(cls)
+    hints = _hints(cls)
     kwargs = {}
     for f in dataclasses.fields(cls):
         v = d.get(_parquet_name(f))
@@ -140,8 +158,11 @@ def _unmarshal_value(v, hint):
         args = [a for a in typing.get_args(hint) if a is not type(None)]
         return _unmarshal_value(v, args[0])
     if origin in (list, tuple):
-        (elem,) = typing.get_args(hint)
-        return [_unmarshal_value(x, elem) for x in v]
+        elem = typing.get_args(hint)[0]
+        out = [_unmarshal_value(x, elem) for x in v]
+        # a tuple-annotated field must come back a tuple, or equality and
+        # hashability of the round-tripped dataclass silently break
+        return tuple(out) if origin is tuple else out
     if origin is dict:
         k, val = typing.get_args(hint)
         return {kk: _unmarshal_value(vv, val) for kk, vv in v.items()}

@@ -26,7 +26,7 @@ def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         # BPE-ish regex word tokens (alnum runs), engine-portable pattern;
         # the class covers BOTH cases — '[a-z0-9]+' on raw text treated
         # uppercase letters as separators ('HELLO' counted 0 tokens)
-        F.size(F.expr(f"regexp_extract_all({text_col}, '[a-zA-Z0-9]+', 0)"))
+        F.size(F.expr(f"regexp_extract_all(`{text_col}`, '[a-zA-Z0-9]+', 0)"))
         .cast("long")
         .alias("n_word_tokens"),
     )
@@ -48,12 +48,12 @@ def text_quality(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     ttr = n_types.cast("double") / n_tokens.cast("double")
     n_chars = F.length(F.col(text_col))
     punct_ratio = (
-        F.size(F.expr(f"regexp_extract_all({text_col}, '[.,;:!?]', 0)")).cast("double")
+        F.size(F.expr(f"regexp_extract_all(`{text_col}`, '[.,;:!?]', 0)")).cast("double")
         / F.greatest(n_chars, F.lit(1)).cast("double")
     )
     stops = ", ".join(f"'{w}'" for w in STOPWORDS)
     stop_ratio = (
-        F.expr(f"size(filter(split({text_col}, ' '), w -> w in ({stops})))").cast("double")
+        F.expr(f"size(filter(split(`{text_col}`, ' '), w -> w in ({stops})))").cast("double")
         / n_tokens.cast("double")
     )
     return df.select(
@@ -92,7 +92,12 @@ def langid_ngram(
     corpus (aggregation, tiny result); pass 2 classifies every document
     by profile overlap with the broadcast profiles. At scale pass 1 runs
     on a sample; the join is a broadcast (profiles are KBs).
-    Returns (id, lang, lang_pred, correct).
+    Returns (id, lang, lang_pred, correct) — ONE ROW PER INPUT DOCUMENT:
+    a doc with no profile-matching bigrams (empty/null text, or a script
+    outside the sampled profiles) comes back with lang_pred NULL and
+    correct NULL, never silently dropped (an inner join here inflated
+    downstream accuracy and lost rows for consumers joining predictions
+    back to the corpus).
     """
     # materialize lower(text) and the bigram array once. Bigrams come from
     # a char split + shifted zip_with, NOT substring(i, 2) in a transform:
@@ -141,18 +146,25 @@ def langid_ngram(
         if r[0] is not None
     )
     if not langs:
+        # no labeled sample rows -> no profiles: every document is
+        # unclassifiable, and the one-row-per-doc contract still holds
         return base.select(
             F.col(id_col),
             F.col(lang_col),
             F.lit(None).cast("string").alias("lang_pred"),
             F.lit(None).cast("boolean").alias("correct"),
-        ).filter(F.lit(False))
+        )
+    # explode_outer keeps a (bg = NULL) row for empty/null bigram arrays
+    # and the LEFT broadcast join keeps bigrams outside every profile —
+    # both score 0 everywhere, so every document survives to the groupBy
     doc_bigrams = base.select(
-        F.col(id_col), F.col(lang_col), F.explode(F.array_distinct(F.col("__bg"))).alias("bg")
+        F.col(id_col),
+        F.col(lang_col),
+        F.explode_outer(F.array_distinct(F.col("__bg"))).alias("bg"),
     )
     w = F.lit(top_ngrams + 1) - F.col("rank")
     scored = (
-        doc_bigrams.join(F.broadcast(profiles), "bg")
+        doc_bigrams.join(F.broadcast(profiles), "bg", "left")
         .groupBy(id_col, lang_col)
         .agg(
             *[
@@ -179,8 +191,11 @@ def langid_ngram(
     ).select(
         F.col(id_col),
         F.col(lang_col),
-        F.col("best.lang").alias("lang_pred"),
-        (F.col("best.lang") == F.col(lang_col)).alias("correct"),
+        # a zero max score means NO bigram matched any profile — an
+        # all-zero tie-break would otherwise "predict" the alphabetically
+        # smallest language for empty/foreign-script docs
+        F.when(F.col("best.ns") < 0, F.col("best.lang")).alias("lang_pred"),
+        F.when(F.col("best.ns") < 0, F.col("best.lang") == F.col(lang_col)).alias("correct"),
     )
 
 
@@ -204,7 +219,7 @@ def repetition_signals(df: DataFrame, text_col: str = "text", id_col: str = "doc
     # documents. CollapseProject keeps a multiply-referenced non-cheap
     # alias staged, so __w materializes once per row.
     base = df.filter(t.isNotNull()).select(
-        F.col(id_col), F.expr(f"filter(split({text_col}, ' '), w -> w <> '')").alias("__w")
+        F.col(id_col), F.expr(f"filter(split(`{text_col}`, ' '), w -> w <> '')").alias("__w")
     )
     words = F.col("__w")
     n_words = F.size(words)

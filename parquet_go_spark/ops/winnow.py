@@ -40,7 +40,6 @@ def winnow_bytes(data: np.ndarray, k: int = 8, w: int = 16) -> tuple[np.ndarray,
         i = int(np.flatnonzero(hashes == hashes.min())[-1])
         return np.array([i], np.int64), hashes[[i]]
     win = np.lib.stride_tricks.sliding_window_view(hashes, w)
-    mins = win.min(axis=1)
     # rightmost position of the min in each window
     rev_arg = w - 1 - np.argmin(win[:, ::-1], axis=1)
     pos = np.arange(len(win)) + rev_arg
@@ -59,7 +58,11 @@ def winnowing_fingerprints(
         for b in batches:
             ids, poss, fps = [], [], []
             for i, t in zip(b[id_col], b[text_col]):
-                if t is None:
+                # a fingerprint without a document id is unusable, and a
+                # null id (nullable long, e.g. from an outer join
+                # upstream) would crash np.full(..., None, dtype=int64)
+                # inside the executor — skip the row like null text
+                if t is None or i is None or (isinstance(i, float) and np.isnan(i)):
                     continue
                 data = np.frombuffer(t.encode() if isinstance(t, str) else bytes(t), np.uint8)
                 p, h = winnow_bytes(data, k, w)
@@ -99,26 +102,32 @@ def duplicate_spans(
     spans with span_len >= ``min_len``; span_end is exclusive and
     extends k-1 bytes past the last fingerprinted gram.
 
-    Plan shape: the fingerprint projection never shuffles the corpus;
-    the duplicated-fp set costs two exchanges over the (fp, doc)
-    stream (exact distinct-doc count); marking is a fp-keyed LEFT SEMI
-    join; span merging is one doc-keyed window (lag + running flag
-    sum) plus the final per-span aggregate. Every exchange is over
-    fingerprint rows (~bytes / (w/2) of the corpus), never documents.
+    Plan shape: the fingerprint projection (the dominant CPU cost —
+    rolling hashes + window minima over every document) runs ONCE and
+    never shuffles the corpus; "seen in >= 2 distinct documents" is
+    min(doc) != max(doc) over a fp-keyed window — O(1) state per key,
+    ONE exchange over fingerprint rows, and no second execution of the
+    fingerprint UDF (the previous distinct+count+semi-join shape
+    re-ran it on the probe side and cost three exchanges). A pathological
+    fingerprint shared by a large fraction of the corpus concentrates its
+    rows in one window partition, but the semi-join shape hashed equal
+    keys to one task all the same; span merging is one doc-keyed window
+    (lag + running flag sum) plus the final per-span aggregate. Every
+    exchange is over fingerprint rows (~bytes / (w/2) of the corpus),
+    never documents.
     """
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
     fps = winnowing_fingerprints(df, text_col=text_col, id_col=id_col, k=k, w=w)
-    dup_fps = (
-        fps.select("fp", id_col)
-        .distinct()
-        .groupBy("fp")
-        .count()
-        .filter(F.col("count") >= 2)
-        .select("fp")
+    wfp = Window.partitionBy("fp")
+    marked = (
+        fps.withColumn(
+            "__dup", F.min(id_col).over(wfp) != F.max(id_col).over(wfp)
+        )
+        .filter(F.col("__dup"))
+        .drop("__dup")
     )
-    marked = fps.join(dup_fps, "fp", "leftsemi")
     wo = Window.partitionBy(id_col).orderBy("pos")
     spans = (
         marked.withColumn("prev", F.lag("pos").over(wo))
