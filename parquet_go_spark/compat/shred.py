@@ -107,6 +107,18 @@ def _valid_mask(arr: pa.Array) -> np.ndarray:
 def _list_parts(arr: pa.Array):
     """(validity, sizes int64, flattened elements of non-null lists)."""
     valid = _valid_mask(arr)
+    if len(arr) == 0:
+        # Spark's Java writer may omit the offsets buffer of a length-0
+        # list/map entirely (Arrow-legal; pyarrow never builds this) —
+        # .offsets/.flatten() read PAST it and return a child slice with
+        # a garbage offset. Take the empty element stream structurally.
+        if pa.types.is_map(arr.type):
+            elems = pa.StructArray.from_arrays(
+                [arr.keys.slice(0, 0), arr.items.slice(0, 0)], names=["key", "value"]
+            )
+        else:
+            elems = arr.values.slice(0, 0)
+        return valid, np.zeros(0, np.int64), elems
     if pa.types.is_map(arr.type):
         # rebuild the list WITH the map's validity: a null map slot may
         # carry non-degenerate offsets (legal Arrow), and flattening

@@ -222,10 +222,13 @@ def _offsets_view(barr: pa.Array, odt) -> np.ndarray:
     do. Synthesize the single zero offset for that legal layout; any
     OTHER short buffer is corruption and np.frombuffer raises."""
     n = len(barr)
-    obuf = barr.buffers()[1]
-    if n == 0 and (obuf is None or obuf.size < np.dtype(odt).itemsize * (barr.offset + 1)):
+    if n == 0:
+        # any single offset value describes an empty array, and the
+        # array's own offset is not trustworthy here: flatten() over an
+        # empty-offsets parent yields a length-0 slice whose offset is
+        # read from past the buffer (garbage, possibly negative)
         return np.zeros(1, dtype=odt)
-    return np.frombuffer(obuf, dtype=odt, count=n + 1 + barr.offset)[barr.offset :]
+    return np.frombuffer(barr.buffers()[1], dtype=odt, count=n + 1 + barr.offset)[barr.offset :]
 
 
 def from_arrow(arr: pa.Array | pa.ChunkedArray) -> "ColumnData | ListData | StructData":
@@ -267,6 +270,14 @@ def from_arrow(arr: pa.Array | pa.ChunkedArray) -> "ColumnData | ListData | Stru
         validity = (
             np.ones(n, dtype=bool) if arr.null_count == 0 else arr.is_valid().to_numpy(zero_copy_only=False)
         )
+        if n == 0:
+            # Spark's Java writer may omit the offsets buffer entirely
+            # for a length-0 list (Arrow-legal; pyarrow never builds
+            # this). arr.offsets / arr.flatten() read PAST that buffer —
+            # flatten returns a child slice with a garbage offset — so
+            # take the empty element stream structurally instead.
+            elems = arr.values.slice(0, 0)
+            return ListData(validity, np.zeros(0, np.int64), from_arrow(elems), logical=str(arr.type))
         offsets = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
         lens = np.diff(offsets)
         lens = np.where(validity, lens, 0).astype(np.int64)
