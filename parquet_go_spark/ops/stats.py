@@ -82,26 +82,42 @@ def table_column_stats(
     cols = columns or df.columns
 
     def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        tables = [pa.Table.from_pandas(b, preserve_index=False) for b in batches]
-        if not tables:
+        # fold per Arrow batch: holding the whole partition (a concat of
+        # every batch) defeats mapInPandas streaming and costs O(partition)
+        # memory; the fold keeps O(k) per column, and re-bounding the KMV
+        # union at k per batch is result-identical (the k smallest hashes
+        # of a stream don't depend on how it was batched)
+        acc: dict[str, list] = {
+            name: [0, 0, np.empty(0, np.uint64), False] for name in cols
+        }
+        seen = False
+        for b in batches:
+            seen = True
+            table = pa.Table.from_pandas(b, preserve_index=False)
+            for name in cols:
+                cd = from_arrow(table.column(name))
+                a = acc[name]
+                a[0] += cd.num_rows
+                a[1] += cd.num_rows - cd.num_values
+                if cd.num_values:
+                    state, trunc = kmv_from_hashes(hash_column_values(cd), k)
+                    merged, mt = kmv_merge([a[2], state], [a[3], trunc], k)
+                    if len(merged) > k:
+                        merged, mt = merged[:k], True
+                    a[2], a[3] = merged, mt
+        if not seen:
             return
-        table = pa.concat_tables(tables)
-        rows = []
-        for name in cols:
-            cd = from_arrow(table.column(name))
-            if cd.num_values:
-                state, trunc = kmv_from_hashes(hash_column_values(cd), k)
-            else:
-                state, trunc = np.empty(0, np.uint64), False
-            rows.append(
+        yield pd.DataFrame(
+            [
                 {
                     "col_name": name,
-                    "num_rows": cd.num_rows,
-                    "null_count": cd.num_rows - cd.num_values,
-                    "sketch": kmv_serialize(state, trunc),
+                    "num_rows": a[0],
+                    "null_count": a[1],
+                    "sketch": kmv_serialize(a[2], a[3]),
                 }
-            )
-        yield pd.DataFrame(rows)
+                for name, a in acc.items()
+            ]
+        )
 
     def combine(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         state, trunc = _bounded_merge(pdf["sketch"], k)
@@ -154,23 +170,32 @@ def table_numeric_minmax(df: DataFrame, columns: list[str]) -> DataFrame:
     never participates (pinned in test_stats_distributed.py)."""
 
     def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        tables = [pa.Table.from_pandas(b, preserve_index=False) for b in batches]
-        if not tables:
+        # per-batch fold (same streaming rationale as table_column_stats)
+        acc: dict[str, list] = {name: [None, None] for name in columns}
+        seen = False
+        for b in batches:
+            seen = True
+            table = pa.Table.from_pandas(b, preserve_index=False)
+            for name in columns:
+                v = from_arrow(table.column(name)).values
+                if len(v):
+                    a = acc[name]
+                    mn, mx = float(v.min()), float(v.max())
+                    a[0] = mn if a[0] is None else min(a[0], mn)
+                    a[1] = mx if a[1] is None else max(a[1], mx)
+        if not seen:
             return
-        table = pa.concat_tables(tables)
-        rows = []
-        for name in columns:
-            cd = from_arrow(table.column(name))
-            v = cd.values
-            rows.append(
+        yield pd.DataFrame(
+            [
                 {
                     "col_name": name,
-                    "min_v": float(v.min()) if len(v) else None,
-                    "max_v": float(v.max()) if len(v) else None,
-                    "has_vals": bool(len(v)),
+                    "min_v": a[0],
+                    "max_v": a[1],
+                    "has_vals": a[0] is not None,
                 }
-            )
-        yield pd.DataFrame(rows)
+                for name, a in acc.items()
+            ]
+        )
 
     def merge(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         has = pdf["has_vals"].to_numpy(dtype=bool)

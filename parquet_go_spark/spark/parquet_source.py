@@ -190,8 +190,18 @@ def _rg_excluded(rg: dict, prune: list[tuple]) -> bool:
             if st.get(3) is not None and st[3] >= md[5]:
                 return True
             continue
-        mx = _decode_stat(st.get(5, st.get(1)), ptype)
-        mn = _decode_stat(st.get(6, st.get(2)), ptype)
+        if ptype == 6:
+            # byte arrays: trust only the ORDERED min_value/max_value
+            # (fields 6/5). Legacy min/max (2/1) were computed with
+            # signed-byte ordering by old parquet-mr (PARQUET-686), so
+            # range-pruning strings on them wrongly excludes row groups
+            # whose values sort differently unsigned — parquet-mr's
+            # CorruptStatistics rule is to ignore them, and so do we.
+            mx = _decode_stat(st.get(5), ptype)
+            mn = _decode_stat(st.get(6), ptype)
+        else:
+            mx = _decode_stat(st.get(5, st.get(1)), ptype)
+            mn = _decode_stat(st.get(6, st.get(2)), ptype)
         if mn is None or mx is None:
             continue
         try:

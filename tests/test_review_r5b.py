@@ -160,3 +160,31 @@ def test_from_arrow_empty_offsets_buffer_java_layout():
     assert from_arrow(empty_dec).data.size == 0
     empty_flb = pa.Array.from_buffers(pa.binary(4), 0, [None, None])
     assert from_arrow(empty_flb).data.size == 0
+
+
+# ---------------- parquet scan: legacy binary stats must not range-prune
+def _rg(md12, ptype, num_values=10):
+    return {1: [{3: {1: ptype, 3: [b"c"], 5: num_values, 12: md12}}]}
+
+
+def test_rg_prune_ignores_legacy_binary_minmax():
+    """Old parquet-mr computed BYTE_ARRAY min/max (legacy Statistics
+    fields 1/2) with SIGNED byte ordering (PARQUET-686) — range-pruning
+    strings on them wrongly drops row groups. Only the ordered
+    min_value/max_value (fields 5/6) may prune byte arrays; numeric
+    legacy stats are still honored (signed order == numeric order)."""
+    import struct
+
+    from parquet_go_spark.spark.parquet_source import _rg_excluded
+
+    # legacy-only string stats claiming [b, d]: must NOT exclude 'a'
+    legacy = _rg({1: b"d", 2: b"b"}, ptype=6)
+    assert not _rg_excluded(legacy, [("c", "==", "a")])
+    # ordered v2 string stats DO prune
+    ordered = _rg({5: b"d", 6: b"b"}, ptype=6)
+    assert _rg_excluded(ordered, [("c", "==", "a")])
+    assert not _rg_excluded(ordered, [("c", "==", "c")])
+    # numeric legacy stats still prune
+    num = _rg({1: struct.pack("<q", 20), 2: struct.pack("<q", 10)}, ptype=2)
+    assert _rg_excluded(num, [("c", "==", 5)])
+    assert not _rg_excluded(num, [("c", "==", 15)])

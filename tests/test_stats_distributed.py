@@ -335,3 +335,22 @@ def test_cli_stats_both_modes(spark, tmp_path, capsys):
     assert set(man_sub) == set(scan_sub) == {"lang"}
     assert man_sub["lang"] == man["lang"]
     assert scan_sub["lang"] == scan["lang"]
+
+
+def test_stats_fold_across_arrow_batches(spark):
+    """One partition, many Arrow batches (session fixture batches at
+    8192 rows): the partial stage folds per batch — O(k) memory, never a
+    concat of the whole partition — and the fold must be value-identical
+    to the single-table path (num_rows/null_count sum, KMV re-bounds)."""
+    from parquet_go_spark.ops.stats import table_column_stats, table_numeric_minmax
+
+    df = spark.range(0, 20000, 1, 1).selectExpr(
+        "id % 97 AS v", "CASE WHEN id % 10 = 0 THEN NULL ELSE id % 7 END AS w"
+    )
+    out = {r["col_name"]: r for r in table_column_stats(df).collect()}
+    assert out["v"]["num_rows"] == 20000
+    assert out["v"]["n_distinct"] == 97 and out["v"]["null_count"] == 0
+    assert out["w"]["null_count"] == 2000 and out["w"]["n_distinct"] == 7
+
+    mm = {r["col_name"]: r for r in table_numeric_minmax(df, ["v"]).collect()}
+    assert mm["v"]["min_v"] == 0.0 and mm["v"]["max_v"] == 96.0
