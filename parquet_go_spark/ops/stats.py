@@ -8,10 +8,13 @@ partial — additive counts plus a mergeable KMV distinct sketch
 No stage ever funnels the table through a single task: the partial pass
 runs over the scan's natural partitioning (num_partitions tasks, each
 touching only its own rows), the merge shuffles ONE ROW PER
-(partition, column), and a salted tree level caps every merge task's
-fan-in at ``_MERGE_FANOUT`` sketches — at 100 TB that is thousands of
-sketch rows, not the data, and no task ever holds more than
-fanout x O(k) hashes. Distinct counts are exact iff the column's
+(partition, column), and a two-level salted tree bounds every merge
+task's fan-in — level 1 groups at most ``_MERGE_FANOUT`` partition
+sketches (salt = pid // fanout), level 2 folds those group ids
+through a mixing hash into ``fanout`` buckets so the final readout holds at most ``_MERGE_FANOUT``
+sketches. Max fan-in anywhere is ``max(fanout, P / fanout^2)`` — at
+P = 1M input partitions that is ~244 bounded sketch blobs in the
+widest level-2 task, never the data. Distinct counts are exact iff the column's
 distinct count is <= k (k = 2^18 distinct hashes — every sf0.01 oracle
 table sits far below it, so `COUNT(DISTINCT c)` rows stay bit-exact)
 and switch to the KMV estimator (~0.2% error) beyond. The boundary is
@@ -48,6 +51,8 @@ from ..kernels.kmv import (
 __all__ = ["table_column_stats", "table_numeric_minmax", "table_stats_from_manifest"]
 
 _PARTIAL_SCHEMA = "col_name string, num_rows long, null_count long, sketch binary"
+# intermediate tree levels carry the next level's bucket id
+_PARTIAL_SALT_SCHEMA = _PARTIAL_SCHEMA + ", salt long"
 # max sketches any single merge task may hold (tree fan-in)
 _MERGE_FANOUT = 64
 _STATS_SCHEMA = "col_name string, num_rows long, null_count long, n_distinct long"
@@ -55,6 +60,18 @@ _MM_SCHEMA = "col_name string, min_v double, max_v double"
 # has_vals keeps None (empty partition) distinguishable from NaN after
 # the Spark->pandas hop, where both land as NaN in a float64 column
 _MM_PARTIAL_SCHEMA = _MM_SCHEMA + ", has_vals boolean"
+
+
+def _fold_salt(group_id) -> int:
+    """Map a level-1 group id to a level-2 bucket in [0, fanout).
+
+    Fibonacci-mix then take HIGH bits: group ids may share all their
+    low bits (monotonically_increasing_id blocks are pid<<27-strided
+    when partitions are small), so a plain ``% fanout`` would collapse
+    every group into bucket 0 and rebuild the funnel the tree exists
+    to prevent."""
+    mixed = (int(group_id) * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+    return int((mixed >> 32) % _MERGE_FANOUT)
 
 
 def _bounded_merge(blobs, k: int) -> tuple[np.ndarray, bool]:
@@ -128,6 +145,8 @@ def table_column_stats(
                     "num_rows": int(pdf["num_rows"].sum()),
                     "null_count": int(pdf["null_count"].sum()),
                     "sketch": kmv_serialize(state, trunc),
+                    # fold this group's id into the next level's bucket
+                    "salt": _fold_salt(key[1]),
                 }
             ]
         )
@@ -145,21 +164,32 @@ def table_column_stats(
             ]
         )
 
-    # Tree merge, UNCONDITIONAL: the final per-column task must never
-    # hold one sketch per input partition (P x up-to-2MiB exact sketches
-    # is an OOM at 100 TB). The salted level caps any single task's
-    # fan-in at ~P/fanout sketches and the final level at fanout
-    # sketches; on small inputs the extra exchange moves a handful of
-    # sketch rows (~ms). Always-on keeps ONE plan shape at every P —
-    # gating on df.rdd.getNumPartitions() cost a full physical-planning
-    # pass per call and read the pre-AQE count (r5 review finding).
+    # Tree merge, UNCONDITIONAL and bounded at EVERY level: the final
+    # per-column task must never hold one sketch per input partition
+    # (P x up-to-2MiB exact sketches is an OOM at 100 TB), and neither
+    # may any intermediate task — salt = pid % fanout would hand each
+    # combine task P/fanout sketches, the same funnel one level down
+    # (r5 review batch 8). Level 1 salts pid // fanout (<= fanout
+    # consecutive partitions per group), level 2 folds those group ids
+    # into fanout buckets (<= ceil(P/fanout^2) rows per group, mixed so
+    # strided ids spread), the readout holds
+    # <= fanout rows. On small inputs the extra exchanges move a
+    # handful of sketch rows (~ms). Always-on keeps ONE plan shape at
+    # every P — gating on df.rdd.getNumPartitions() cost a full
+    # physical-planning pass per call and read the pre-AQE count
+    # (r5 review finding).
     partial = df.mapInPandas(partials, schema=_PARTIAL_SCHEMA)
-    combined = (
-        partial.withColumn("salt", F.spark_partition_id() % F.lit(_MERGE_FANOUT))
+    level1 = (
+        partial.withColumn(
+            "salt", (F.spark_partition_id() / F.lit(_MERGE_FANOUT)).cast("long")
+        )
         .groupBy("col_name", "salt")
-        .applyInPandas(lambda key, pdf: combine((key[0],), pdf), schema=_PARTIAL_SCHEMA)
+        .applyInPandas(combine, schema=_PARTIAL_SALT_SCHEMA)
     )
-    return combined.groupBy("col_name").applyInPandas(merge, schema=_STATS_SCHEMA)
+    level2 = level1.groupBy("col_name", "salt").applyInPandas(
+        combine, schema=_PARTIAL_SALT_SCHEMA
+    )
+    return level2.groupBy("col_name").applyInPandas(merge, schema=_STATS_SCHEMA)
 
 
 def table_numeric_minmax(df: DataFrame, columns: list[str]) -> DataFrame:
@@ -256,6 +286,7 @@ def table_stats_from_manifest(
                     "num_rows": int(pdf["num_rows"].sum()),
                     "null_count": int(pdf["null_count"].sum()),
                     "kmv": sk,
+                    "salt": _fold_salt(key[1]),
                 }
             ]
         )
@@ -282,16 +313,20 @@ def table_stats_from_manifest(
         )
 
     # manifest row counts per column are unbounded at scale (one per
-    # chunk), so the salted tree level is unconditional here — the extra
-    # exchange moves a handful of sketch rows
-    combined = (
+    # chunk), so the same two-level bounded tree as table_column_stats:
+    # monotonically_increasing_id() // fanout groups <= fanout
+    # consecutive chunk rows, the group ids fold into fanout mixed
+    # buckets, the readout
+    # holds <= fanout rows — no level's fan-in grows with chunk count
+    # faster than chunks/fanout^2
+    salt_schema = "column string, num_rows long, null_count long, kmv binary, salt long"
+    level1 = (
         man.withColumn(
-            "salt", F.monotonically_increasing_id() % F.lit(_MERGE_FANOUT)
+            "salt",
+            (F.monotonically_increasing_id() / F.lit(_MERGE_FANOUT)).cast("long"),
         )
         .groupBy("column", "salt")
-        .applyInPandas(
-            lambda key, pdf: combine((key[0],), pdf),
-            schema="column string, num_rows long, null_count long, kmv binary",
-        )
+        .applyInPandas(combine, schema=salt_schema)
     )
-    return combined.groupBy("column").applyInPandas(merge, schema=_STATS_SCHEMA)
+    level2 = level1.groupBy("column", "salt").applyInPandas(combine, schema=salt_schema)
+    return level2.groupBy("column").applyInPandas(merge, schema=_STATS_SCHEMA)

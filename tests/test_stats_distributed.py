@@ -155,7 +155,10 @@ def test_stats_tree_merge_plan_shape(spark):
     # merge held P sketches (bytes-funnel OOM at 100 TB) — a salted
     # combine level bounds every task's fan-in; (b) gating that level on
     # df.rdd.getNumPartitions() cost a physical-planning pass per call
-    # and read the pre-AQE count. The tree is now UNCONDITIONAL: two
+    # and read the pre-AQE count; (c) batch 8: salt = pid % fanout
+    # rebuilt the funnel one level down (each combine task held P/fanout
+    # sketches) — the tree is now TWO bounded levels (pid // fanout,
+    # then a mixed fold of the group ids) + the readout: three
     # FlatMapGroupsInPandas at every P, one plan shape, results exact
     # below k.
     from parquet_go_spark.ops.stats import _MERGE_FANOUT, table_column_stats
@@ -165,7 +168,7 @@ def test_stats_tree_merge_plan_shape(spark):
     )
     op = table_column_stats(df)
     plan = op._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("FlatMapGroupsInPandas") == 2, plan
+    assert plan.count("FlatMapGroupsInPandas") == 3, plan
     got = op.toPandas().set_index("col_name")
     assert got.loc["v", "n_distinct"] == 397
     assert got.loc["id", "n_distinct"] == 20_000
@@ -176,7 +179,21 @@ def test_stats_tree_merge_plan_shape(spark):
     plan2 = (
         table_column_stats(few)._jdf.queryExecution().executedPlan().toString()
     )
-    assert plan2.count("FlatMapGroupsInPandas") == 2, plan2
+    assert plan2.count("FlatMapGroupsInPandas") == 3, plan2
+
+
+def test_stats_fold_salt_spreads_strided_group_ids():
+    # batch 8: monotonically_increasing_id() // fanout group ids are
+    # pid<<27-strided when partitions are small — a plain % fanout sends
+    # EVERY group to bucket 0, rebuilding the single-task funnel. The
+    # mixed fold must spread both consecutive and strided ids.
+    from parquet_go_spark.ops.stats import _MERGE_FANOUT, _fold_salt
+
+    consecutive = {_fold_salt(i) for i in range(4096)}
+    strided = {_fold_salt(pid << 27) for pid in range(4096)}
+    assert len(consecutive) == _MERGE_FANOUT
+    assert len(strided) >= _MERGE_FANOUT // 2, len(strided)
+    assert all(0 <= _fold_salt(x) < _MERGE_FANOUT for x in (0, 1, 2**63 - 1))
 
 
 def test_stats_distinct_layout_independent(spark):
