@@ -115,17 +115,30 @@ def canonical_docs(
     """Pick ONE representative per cluster: the longest text, ties to
     the smallest id (deterministic). -> the kept documents' (id_col,
     cluster_id, n_kept_chars). The standard final step of corpus dedup:
-    everything else in the cluster is dropped."""
-    from pyspark.sql import Window
+    everything else in the cluster is dropped.
 
+    Shape: ONE hash aggregation — ``min_by`` over the key
+    (-text_length, id), which minimizes lexicographically (largest text
+    first, smallest id on ties). A ``row_number`` window over
+    cluster_id would SORT every row of a cluster inside one task with
+    no map-side reduction — and near-dup clusters are exactly where web
+    corpora skew (one boilerplate cluster can hold a large fraction of
+    the corpus); the aggregate collapses each partition's rows to one
+    candidate before the exchange, so the hot cluster ships P partial
+    rows, not its membership. NULL text sorts last (as the desc window
+    did) via a +inf sentinel on the negated length."""
     joined = docs.join(clusters, id_col).select(
-        id_col, "cluster_id", F.length(F.col(text_col)).alias("n_kept_chars")
+        id_col, "cluster_id", F.length(F.col(text_col)).cast("long").alias("n_kept_chars")
     )
-    w = Window.partitionBy("cluster_id").orderBy(
-        F.col("n_kept_chars").desc(), F.col(id_col).asc()
+    order_key = F.struct(
+        F.coalesce(-F.col("n_kept_chars"), F.lit(2**62)).alias("neg_len"),
+        F.col(id_col).alias("tie_id"),
     )
-    return (
-        joined.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .drop("__rn")
+    picked = joined.groupBy("cluster_id").agg(
+        F.min_by(F.struct(F.col(id_col), F.col("n_kept_chars")), order_key).alias("__best")
+    )
+    return picked.select(
+        F.col(f"__best.{id_col}").alias(id_col),
+        "cluster_id",
+        F.col("__best.n_kept_chars").alias("n_kept_chars"),
     )

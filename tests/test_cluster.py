@@ -47,6 +47,40 @@ def test_canonical_longest_text_ties_to_min_id(spark):
     assert kept == {2: 6, 9: 2}
 
 
+def test_canonical_is_one_hash_agg_not_a_window_sort(spark):
+    """r5 review batch 9: row_number over a cluster_id window sorted
+    every row of a cluster in ONE task with no map-side reduction — the
+    skew bomb for boilerplate mega-clusters. The pick must be a single
+    min_by aggregation whose PARTIAL phase runs map-side (a hot
+    cluster's rows collapse to one partial per input partition before
+    the exchange; the struct ordering key makes it a SortAggregate, but
+    the sorts are local per-partition sorts, never a per-cluster
+    funnel)."""
+    docs = _docs(spark, [(i, "x" * (i % 7 + 1)) for i in range(200)])
+    pairs = _pairs(spark, [(i, (i + 1) % 200) for i in range(199)])  # one mega-cluster
+    out = canonical_docs(docs, dup_clusters(docs, pairs))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    assert "partial_min_by" in plan, plan
+    rows = out.collect()
+    # one row for the mega-cluster: longest text (len 7 -> i%7==6), min id 6
+    assert len(rows) == 1 and rows[0]["doc_id"] == 6 and rows[0]["n_kept_chars"] == 7
+
+
+def test_canonical_null_text_loses_to_any_text(spark):
+    """NULL text must sort last (as desc ordering did), never win the
+    pick unless the whole cluster is null-text."""
+    docs = spark.createDataFrame(
+        [(1, None), (2, "ab"), (7, None), (8, None)], "doc_id long, text string"
+    )
+    pairs = _pairs(spark, [(1, 2), (7, 8)])
+    kept = {
+        r["doc_id"]: r["n_kept_chars"]
+        for r in canonical_docs(docs, dup_clusters(docs, pairs)).collect()
+    }
+    assert kept == {2: 2, 7: None}
+
+
 def test_nonconvergence_raises(spark):
     docs = _docs(spark, [(i, "x") for i in range(6)])
     pairs = _pairs(spark, [(i, i + 1) for i in range(5)])
