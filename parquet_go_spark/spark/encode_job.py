@@ -63,7 +63,11 @@ def parse_partition_file(buf, columns: set[str] | None = None) -> dict[str, memo
     """-> {column: chunk blob}; unselected chunks are seeked past.
     Reserved ``__pgs_*`` entries (the rewrite epoch) never surface as
     columns."""
-    mv = memoryview(buf)
+    # cast to unsigned: pa.Buffer exposes format 'b' (SIGNED char), so
+    # mv[pos] would return negative ints for bytes >= 0x80 and silently
+    # break every varint/byte compare downstream; bytes/mmap are 'B'
+    # already and the cast is a no-op view either way
+    mv = memoryview(buf).cast("B")
     if bytes(mv[:4]) != FILE_MAGIC:
         raise ValueError("bad partition file magic")
     pos = 4
@@ -83,7 +87,7 @@ def parse_partition_file(buf, columns: set[str] | None = None) -> dict[str, memo
 def partition_file_epoch(buf) -> int:
     """Rewrite epoch of a partition file's bytes (0 = never rewritten).
     Reads only the header + first entry name — O(few bytes)."""
-    mv = memoryview(buf)
+    mv = memoryview(buf).cast("B")  # pa.Buffer views are SIGNED 'b'
     if len(mv) < 5 or bytes(mv[:4]) != FILE_MAGIC:
         return 0
     pos = 4
