@@ -37,7 +37,7 @@ import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..core.columns import from_arrow
+from ..core.columns import ColumnData, from_arrow
 from ..kernels.kmv import (
     KMV_K_DEFAULT,
     hash_column_values,
@@ -98,24 +98,42 @@ def table_column_stats(
 ) -> DataFrame:
     cols = columns or df.columns
 
-    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def partials(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         # fold per Arrow batch: holding the whole partition (a concat of
-        # every batch) defeats mapInPandas streaming and costs O(partition)
-        # memory; the fold keeps O(k) per column, and re-bounding the KMV
-        # union at k per batch is result-identical (the k smallest hashes
-        # of a stream don't depend on how it was batched)
+        # every batch) defeats streaming and costs O(partition) memory;
+        # the fold keeps O(k) per column, and re-bounding the KMV union
+        # at k per batch is result-identical (the k smallest hashes of a
+        # stream don't depend on how it was batched). mapInArrow, not
+        # mapInPandas: the pandas hop boxes every string/binary value
+        # into a Python object both ways — the kernels read the Arrow
+        # buffers directly.
         acc: dict[str, list] = {
             name: [0, 0, np.empty(0, np.uint64), False] for name in cols
         }
         seen = False
         for b in batches:
             seen = True
-            table = pa.Table.from_pandas(b, preserve_index=False)
             for name in cols:
-                cd = from_arrow(table.column(name))
+                cd = from_arrow(b.column(b.schema.get_field_index(name)))
                 a = acc[name]
                 a[0] += cd.num_rows
-                a[1] += cd.num_rows - cd.num_values
+                nulls = cd.num_rows - cd.num_values
+                # NaN-as-null (the op's documented semantics, pinned):
+                # the pre-Arrow pandas hop used to fold NaN into null as
+                # a side effect; mapInArrow keeps NaN a value, so fold
+                # explicitly — counts and the distinct sketch both
+                # exclude it
+                if cd.ptype in ("float", "double") and cd.num_values:
+                    nan = np.isnan(cd.values)
+                    if nan.any():
+                        nulls += int(nan.sum())
+                        cd = ColumnData(
+                            cd.ptype,
+                            np.ones(int(len(cd.values) - nan.sum()), bool),
+                            values=cd.values[~nan],
+                            logical=cd.logical,
+                        )
+                a[1] += nulls
                 if cd.num_values:
                     state, trunc = kmv_from_hashes(hash_column_values(cd), k)
                     merged, mt = kmv_merge([a[2], state], [a[3], trunc], k)
@@ -124,16 +142,16 @@ def table_column_stats(
                     a[2], a[3] = merged, mt
         if not seen:
             return
-        yield pd.DataFrame(
-            [
-                {
-                    "col_name": name,
-                    "num_rows": a[0],
-                    "null_count": a[1],
-                    "sketch": kmv_serialize(a[2], a[3]),
-                }
-                for name, a in acc.items()
-            ]
+        names = list(acc)
+        yield pa.RecordBatch.from_pydict(
+            {
+                "col_name": pa.array(names, pa.string()),
+                "num_rows": pa.array([acc[n][0] for n in names], pa.int64()),
+                "null_count": pa.array([acc[n][1] for n in names], pa.int64()),
+                "sketch": pa.array(
+                    [kmv_serialize(acc[n][2], acc[n][3]) for n in names], pa.binary()
+                ),
+            }
         )
 
     def combine(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -178,7 +196,7 @@ def table_column_stats(
     # every P — gating on df.rdd.getNumPartitions() cost a full
     # physical-planning pass per call and read the pre-AQE count
     # (r5 review finding).
-    partial = df.mapInPandas(partials, schema=_PARTIAL_SCHEMA)
+    partial = df.mapInArrow(partials, schema=_PARTIAL_SCHEMA)
     level1 = (
         partial.withColumn(
             "salt", (F.spark_partition_id() / F.lit(_MERGE_FANOUT)).cast("long")
@@ -199,15 +217,18 @@ def table_numeric_minmax(df: DataFrame, columns: list[str]) -> DataFrame:
     Arrow conversion maps NaN to null before the extreme scan, so NaN
     never participates (pinned in test_stats_distributed.py)."""
 
-    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # per-batch fold (same streaming rationale as table_column_stats)
+    def partials(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        # per-batch fold (same streaming + no-pandas-boxing rationale as
+        # table_column_stats)
         acc: dict[str, list] = {name: [None, None] for name in columns}
         seen = False
         for b in batches:
             seen = True
-            table = pa.Table.from_pandas(b, preserve_index=False)
             for name in columns:
-                v = from_arrow(table.column(name)).values
+                v = from_arrow(b.column(b.schema.get_field_index(name))).values
+                if np.issubdtype(v.dtype, np.floating):
+                    # NaN-as-null, explicit (see table_column_stats)
+                    v = v[~np.isnan(v)]
                 if len(v):
                     a = acc[name]
                     mn, mx = float(v.min()), float(v.max())
@@ -215,16 +236,16 @@ def table_numeric_minmax(df: DataFrame, columns: list[str]) -> DataFrame:
                     a[1] = mx if a[1] is None else max(a[1], mx)
         if not seen:
             return
-        yield pd.DataFrame(
-            [
-                {
-                    "col_name": name,
-                    "min_v": a[0],
-                    "max_v": a[1],
-                    "has_vals": a[0] is not None,
-                }
-                for name, a in acc.items()
-            ]
+        names = list(acc)
+        yield pa.RecordBatch.from_pydict(
+            {
+                "col_name": pa.array(names, pa.string()),
+                "min_v": pa.array([acc[n][0] for n in names], pa.float64()),
+                "max_v": pa.array([acc[n][1] for n in names], pa.float64()),
+                "has_vals": pa.array(
+                    [acc[n][0] is not None for n in names], pa.bool_()
+                ),
+            }
         )
 
     def merge(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -241,7 +262,7 @@ def table_numeric_minmax(df: DataFrame, columns: list[str]) -> DataFrame:
             ]
         )
 
-    partial = df.mapInPandas(partials, schema=_MM_PARTIAL_SCHEMA)
+    partial = df.mapInArrow(partials, schema=_MM_PARTIAL_SCHEMA)
     return partial.groupBy("col_name").applyInPandas(merge, schema=_MM_SCHEMA)
 
 

@@ -371,3 +371,25 @@ def test_stats_fold_across_arrow_batches(spark):
 
     mm = {r["col_name"]: r for r in table_numeric_minmax(df, ["v"]).collect()}
     assert mm["v"]["min_v"] == 0.0 and mm["v"]["max_v"] == 96.0
+
+
+def test_column_stats_nan_as_null_and_arrow_partials(spark):
+    """The mapInArrow partials (no pandas hop) must keep the op's
+    NaN-as-null semantics EXPLICITLY: the old mapInPandas path folded
+    NaN into null as a conversion side effect; Arrow keeps NaN a value,
+    so the fold now lives in the partial itself — null_count includes
+    NaN, the distinct sketch excludes it, at any partitioning."""
+    from parquet_go_spark.ops.stats import table_column_stats
+
+    df = spark.sql(
+        "SELECT x FROM VALUES (1.0D), (double('NaN')), (double('NaN')), "
+        "(2.0D), (CAST(NULL AS double)) AS t(x)"
+    ).repartition(3)
+    got = table_column_stats(df, ["x"]).toPandas().set_index("col_name")
+    assert int(got.loc["x", "num_rows"]) == 5
+    assert int(got.loc["x", "null_count"]) == 3  # 1 null + 2 NaN
+    assert int(got.loc["x", "n_distinct"]) == 2  # {1.0, 2.0}
+    # plan shape: the partial pass is MapInArrow (no pandas boxing of
+    # the scanned values), the merge levels stay applyInPandas
+    plan = table_column_stats(df, ["x"])._jdf.queryExecution().executedPlan().toString()
+    assert "MapInArrow" in plan or "PythonMapInArrow" in plan, plan
