@@ -109,7 +109,7 @@ def read_bloom_bitset(buf, cmeta: dict) -> bytes | None:
     off = cmeta.get(CM_BLOOM_OFFSET)
     if off is None:
         return None
-    mv = memoryview(buf)
+    mv = memoryview(buf).cast("B")  # normalize signed buffer views
     if not 0 <= off < len(mv):
         raise ValueError("implausible bloom_filter_offset")
     hdr, pos = read_struct(mv, off)

@@ -49,7 +49,7 @@ def decode_dict_page(region: bytes, cmeta: dict):
     values: ndarray for fixed types, (lengths, data) for byte types."""
     from .parquet_reader import _MAX_RAW_PAGE, _decompress
 
-    mv = memoryview(region)
+    mv = memoryview(region).cast("B")  # normalize signed buffer views
     hdr, pos = read_struct(mv, 0)
     if hdr.get(1) != 2:  # DICTIONARY_PAGE
         raise ValueError("dictionary_page_offset points at a non-dictionary page")

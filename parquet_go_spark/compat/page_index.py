@@ -50,7 +50,7 @@ def read_offset_index(buf, cc: dict) -> list[tuple[int, int, int]] | None:
     off, ln = cc.get(_CC_OFFSET_INDEX_OFFSET), cc.get(_CC_OFFSET_INDEX_LENGTH)
     if off is None or ln is None:
         return None
-    st, _ = read_struct(memoryview(buf)[off : off + ln], 0)
+    st, _ = read_struct(memoryview(buf).cast("B")[off : off + ln], 0)
     return [(loc[1], loc[2], loc[3]) for loc in st.get(1, [])]
 
 
@@ -60,7 +60,7 @@ def read_column_index(buf, cc: dict) -> dict | None:
     off, ln = cc.get(_CC_COLUMN_INDEX_OFFSET), cc.get(_CC_COLUMN_INDEX_LENGTH)
     if off is None or ln is None:
         return None
-    st, _ = read_struct(memoryview(buf)[off : off + ln], 0)
+    st, _ = read_struct(memoryview(buf).cast("B")[off : off + ln], 0)
     return {
         "null_pages": st.get(1, []),
         "min_values": st.get(2, []),

@@ -66,7 +66,7 @@ def file_meta(buf: bytes) -> dict:
     if buf[:4] != b"PAR1" or buf[-4:] != b"PAR1":
         raise ValueError("not a parquet file")
     flen = int.from_bytes(buf[-8:-4], "little")
-    meta, _ = read_struct(memoryview(buf)[-8 - flen : -8], 0)
+    meta, _ = read_struct(memoryview(buf).cast("B")[-8 - flen : -8], 0)
     return meta
 
 
@@ -181,7 +181,7 @@ def read_column(buf: bytes, column: str, row_groups: list[int] | None = None):
             n_values = cmeta[5]
             start = min(cmeta.get(11, cmeta[9]), cmeta[9])
             end = start + cmeta[7]
-            mv = memoryview(buf)
+            mv = memoryview(buf).cast("B")
             pos = start
             dict_vals = None
             seen = 0
@@ -389,7 +389,7 @@ def read_leaf_levels(
     rep_parts, def_parts, value_parts, len_parts, data_parts = [], [], [], [], []
     rows_parts: list[np.ndarray] = []
     page_seeked = False
-    mv = memoryview(buf)
+    mv = memoryview(buf).cast("B")
     for _rgi, rg in enumerate(meta[4]):
         if row_groups is not None and _rgi not in row_groups:
             continue
@@ -873,7 +873,7 @@ def file_meta_path(path: str) -> dict:
         _plausible(0 <= flen <= size - 8, "footer length exceeds file")
         f.seek(size - 8 - flen)
         fb = f.read(flen)
-    meta, _ = read_struct(memoryview(fb), 0)
+    meta, _ = read_struct(memoryview(fb).cast("B"), 0)
     return meta
 
 

@@ -881,7 +881,7 @@ def chunk_dict_values(blob) -> set | None:
     cannot and blooms are only probabilistic. ``None`` for non-dict or
     nested chunks (conservative: no proof, no prune). Values normalize
     to bytes (bytes/flba), int (int32/int64), float (float/double)."""
-    mv = memoryview(blob)
+    mv = memoryview(blob).cast("B")  # normalize signed buffer views
     if len(mv) < 9 or bytes(mv[:4]) != MAGIC:
         return None
     en, cp, flags = mv[6], mv[7], mv[8]
@@ -927,7 +927,7 @@ def chunk_page_index(blob) -> list[dict] | None:
     header walk alone — no page is decompressed (the Parquet PageIndex /
     ColumnIndex analogue).  ``None`` when the chunk was written without
     ``page_stats`` or is a nested container (no page stats there)."""
-    mv = memoryview(blob)
+    mv = memoryview(blob).cast("B")  # normalize signed buffer views
     if bytes(mv[:4]) != MAGIC or len(mv) < 9:
         return None
     flags = mv[8]
@@ -1008,7 +1008,7 @@ def decode_chunk(blob, logical: str = "", row_sel=None):
     though their page boundaries differ.  Nested containers (PGSL/PGSS)
     do not support ``row_sel``; callers fall back to a full decode plus
     an Arrow-level take."""
-    mv = memoryview(blob)
+    mv = memoryview(blob).cast("B")  # normalize signed buffer views
     if bytes(mv[:4]) == b"PGSL":
         from .listchunk import decode_list_chunk  # local: avoid cycle
 

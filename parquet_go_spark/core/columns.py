@@ -386,15 +386,32 @@ def to_arrow(col: "ColumnData | ListData | StructData") -> pa.Array:
         return pa.StructArray.from_arrays(children, names=names, mask=pa.array(~validity))
     if isinstance(col, ListData):
         elem_arr = to_arrow(col.elem)
-        offsets = np.concatenate([[0], np.cumsum(col.lens)]).astype(np.int32)
+        offsets64 = np.concatenate([[0], np.cumsum(col.lens)]).astype(np.int64)
         mask = ~col.row_validity
+        wide = int(offsets64[-1]) > 0x7FFFFFFF
         if col.logical.startswith("map<"):
+            if wide:
+                # Arrow maps carry int32 offsets by spec — silently
+                # truncating would corrupt; a >2^31-entry map chunk
+                # must fail loudly (re-partition the write instead)
+                raise ValueError(
+                    f"map chunk has {int(offsets64[-1])} entries: exceeds "
+                    "Arrow's int32 map offsets; encode with more partitions"
+                )
             # null map rows via null offsets (MapArray.from_arrays has no mask)
             off_mask = np.concatenate([mask, [False]]) if mask.any() else None
-            off_arr = pa.array(offsets, type=pa.int32(), mask=off_mask)
+            off_arr = pa.array(offsets64.astype(np.int32), type=pa.int32(), mask=off_mask)
             return pa.MapArray.from_arrays(off_arr, elem_arr.field(0), elem_arr.field(1))
+        if wide:
+            # >2^31 elements in one chunk: int32 list offsets would
+            # silently wrap — emit a large_list instead
+            return pa.LargeListArray.from_arrays(
+                pa.array(offsets64, type=pa.int64()),
+                elem_arr,
+                mask=pa.array(mask) if mask.any() else None,
+            )
         out = pa.ListArray.from_arrays(
-            pa.array(offsets, type=pa.int32()),
+            pa.array(offsets64.astype(np.int32), type=pa.int32()),
             elem_arr,
             mask=pa.array(mask) if mask.any() else None,
         )

@@ -107,7 +107,7 @@ def encode_list_chunk(
 
 
 def decode_list_chunk(blob, logical: str = "") -> ListData:
-    mv = memoryview(blob)
+    mv = memoryview(blob).cast("B")  # normalize signed buffer views
     if bytes(mv[:4]) != LIST_MAGIC:
         raise ValueError("bad list chunk magic")
     if mv[4] != LIST_VERSION:

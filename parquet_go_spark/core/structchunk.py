@@ -85,7 +85,7 @@ def encode_struct_chunk(
 
 
 def decode_struct_chunk(blob, logical: str = "") -> StructData:
-    mv = memoryview(blob)
+    mv = memoryview(blob).cast("B")  # normalize signed buffer views
     if bytes(mv[:4]) != STRUCT_MAGIC:
         raise ValueError("bad struct chunk magic")
     if mv[4] != STRUCT_VERSION:

@@ -185,7 +185,7 @@ def decode_zdict(buf, pos: int = 0, zdict: bytes = b"") -> tuple[np.ndarray, np.
 
     from .varint import read_uvarint
 
-    mv = memoryview(buf)
+    mv = memoryview(buf).cast("B")  # normalize signed buffer views
     raw_len, pos = read_uvarint(mv, pos)
     comp_len, pos = read_uvarint(mv, pos)
     if pos >= len(mv):

@@ -134,7 +134,7 @@ def decode(buf, pos: int, bits: int) -> tuple[np.ndarray, int]:
     decoder, ``deltabp_decoder.go:146-164``).
     """
     sdt = np.int32 if bits == 32 else np.int64
-    mv = memoryview(buf) if not isinstance(buf, memoryview) else buf
+    mv = memoryview(buf).cast("B")  # normalize signed buffer views
     block_size, pos = read_uvarint(mv, pos)
     mini_blocks, pos = read_uvarint(mv, pos)
     if block_size <= 0 or mini_blocks <= 0 or block_size % mini_blocks != 0:

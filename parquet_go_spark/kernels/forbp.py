@@ -61,7 +61,7 @@ def encode(values: np.ndarray, bits: int) -> bytes:
 def decode(buf, pos: int, bits: int) -> tuple[np.ndarray, int]:
     """Decode one FOR stream starting at ``pos`` -> (values, new_pos)."""
     sdt, _udt = _dtypes(bits)
-    mv = memoryview(buf) if not isinstance(buf, memoryview) else buf
+    mv = memoryview(buf).cast("B")  # normalize signed buffer views
     n, pos = read_uvarint(mv, pos)
     if n > 1 << 28:
         # allocation governor: a width-0 stream stores no packed bytes,

@@ -135,7 +135,7 @@ def decode(buf: bytes, width: int, count: int) -> np.ndarray:
     pos = 0
     filled = 0
     vsize = (width + 7) // 8
-    mv = memoryview(buf)
+    mv = memoryview(buf).cast("B")  # normalize signed buffer views
     while filled < count:
         h, pos = read_uvarint(mv, pos)
         if h & 1:  # bit-packed run of 8*(h>>1) values

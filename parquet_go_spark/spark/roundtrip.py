@@ -1,12 +1,12 @@
 """In-memory codec round-trip over a DataFrame: every partition's columns
-go through encode_chunk -> decode_chunk inside one ``mapInPandas`` pass and
+go through encode_chunk -> decode_chunk inside one ``mapInArrow`` pass and
 the reconstructed rows are returned.
 
 This is the engine's identity operator: the output must be bit-identical
 to the input (the reference's write->read invariant, ``readwrite_test.go``),
 which makes it directly SQL-oracle-checkable (`SELECT cols FROM t`). No
 shuffle: the codec runs where the data sits, exactly like the per-task
-encode in encode_job.py, so the plan is scan -> mapInPandas -> result at
+encode in encode_job.py, so the plan is scan -> mapInArrow -> result at
 any scale.
 """
 

@@ -112,3 +112,86 @@ def test_decode_table_roundtrip_over_buffer_payload(spark, tmp_path):
     got = decode_table(spark, d)
     assert got.count() == 1000
     assert got.agg({"n": "sum"}).first()[0] == df.agg({"n": "sum"}).first()[0]
+
+
+def test_decode_entry_points_accept_pa_buffer(tmp_path):
+    """Class closure for the signed-'b' memoryview finding: every public
+    byte-walking decode entry normalizes its view, so a pa.Buffer (or
+    any signed-format buffer) decodes identically to bytes."""
+    from parquet_go_spark.core.chunk import (
+        chunk_dict_values,
+        chunk_page_index,
+        decode_chunk,
+        encode_chunk,
+    )
+    from parquet_go_spark.core.columns import from_arrow, to_arrow
+
+    col = from_arrow(pa.array([f"v{i % 7}" for i in range(300)]))
+    blob, _ = encode_chunk(col, compression="zstd", page_stats=True)
+    bbuf = pa.py_buffer(blob)
+    assert to_arrow(decode_chunk(bbuf, logical="string")).equals(
+        to_arrow(decode_chunk(blob, logical="string"))
+    )
+    assert chunk_page_index(bbuf) == chunk_page_index(blob)
+    assert chunk_dict_values(bbuf) == chunk_dict_values(blob)
+
+    # nested containers too
+    larr = pa.array([[1, 2], None, [], [3]], type=pa.list_(pa.int64()))
+    lblob, _ = encode_chunk(from_arrow(larr), compression="snappy")
+    assert to_arrow(decode_chunk(pa.py_buffer(lblob), logical="list<int64>")).equals(
+        to_arrow(decode_chunk(lblob, logical="list<int64>"))
+    )
+
+    # real-parquet reader: footer + column walk over a pa.Buffer
+    from parquet_go_spark.compat.parquet_writer import write_parquet
+    from parquet_go_spark.compat.parquet_reader import file_meta, read_column
+
+    t = pa.table({"s": pa.array([f"x{i % 300}" for i in range(1000)])})
+    pq_bytes = write_parquet(t, compression="snappy")
+    pbuf = pa.py_buffer(pq_bytes)
+    assert file_meta(pbuf)[3] == 1000
+    v_b, (l_b, d_b) = read_column(pq_bytes, "s")
+    v_p, (l_p, d_p) = read_column(pbuf, "s")
+    assert (l_b == l_p).all() and (np.asarray(d_b) == np.asarray(d_p)).all()
+
+
+def test_to_arrow_list_offsets_never_wrap_int32(monkeypatch):
+    """to_arrow's list path cast offsets to int32 unconditionally — a
+    chunk with >2^31 flattened elements would silently WRAP and corrupt
+    every row boundary. Wide lists now emit large_list (exact), and
+    wide maps (whose Arrow offsets are int32 by spec) raise instead of
+    truncating. Exercised with a synthetic lens vector — materializing
+    2^31 real elements is not testable — by spot-checking the offsets
+    dtype decision boundary."""
+    from parquet_go_spark.core.columns import ListData, ColumnData, to_arrow
+
+    # small list: int32 offsets (the common path)
+    elem = ColumnData(
+        "int64", np.ones(3, bool), values=np.arange(3, dtype=np.int64), logical="int64"
+    )
+    small = ListData(np.ones(2, bool), np.array([1, 2], np.int64), elem, logical="list<int64>")
+    arr = to_arrow(small)
+    assert pa.types.is_list(arr.type)
+    assert arr.to_pylist() == [[0], [1, 2]]
+
+    # wide list: patch the overflow check boundary via a fake lens sum
+    # by monkeypatching numpy cumsum is fragile — instead drive the
+    # decision function directly with a crafted ListData whose element
+    # column LIES about its length (to_arrow only reads lens for
+    # offsets; elem array length is validated by Arrow at from_arrays,
+    # so use a tiny elem and expect Arrow's own length error AFTER the
+    # large_list branch was chosen — proving no silent int32 wrap).
+    big_lens = np.array([0x7FFFFFFF, 10], dtype=np.int64)
+    wide = ListData(np.ones(2, bool), big_lens, elem, logical="list<int64>")
+    with pytest.raises(Exception) as ei:
+        to_arrow(wide)
+    # the failure must come from Arrow's length validation on the
+    # LARGE_LIST constructor (or our explicit guard) — never a numpy
+    # int32 cast (which would succeed silently with wrapped offsets)
+    assert "Length" in str(ei.value) or "exceeds" in str(ei.value) or "length" in str(ei.value)
+
+    wide_map = ListData(
+        np.ones(2, bool), big_lens, elem, logical="map<string,int64>"
+    )
+    with pytest.raises(ValueError, match="int32 map offsets"):
+        to_arrow(wide_map)
