@@ -35,6 +35,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     EqualTo,
     Filter,
@@ -396,6 +397,123 @@ class _PGSWriter(DataSourceArrowWriter):
         return None
 
 
+@dataclass
+class _PGSStreamCommit(WriterCommitMessage):
+    stage_name: str
+    rows: list  # manifest row dicts (file/partition patched at commit)
+
+
+class _PGSStreamWriter(DataSourceStreamArrowWriter):
+    """``df.writeStream.format("pgs")``: the Catalyst-native streaming
+    encode sink — every micro-batch appends encoded partitions to ONE
+    table directory with exactly-once semantics, replacing the
+    ``foreachBatch`` helper for the common append case.
+
+    Two-phase commit (the Python DataSource stream-writer contract:
+    ``write`` on executors has no batch id; ``commit(messages,
+    batchId)`` runs on the driver):
+
+    * ``write`` encodes its partition into a STAGED data file
+      (``part-stage-<uuid>.bin``, no manifest — unreadable by
+      construction) and ships the manifest rows back in the commit
+      message.
+    * ``commit`` claims the batch's partition-id range atomically
+      (``manifest.claim_append_base`` keyed by batch id, so a replayed
+      batch gets the SAME ids), renames each staged file onto its
+      ``part-<pid>.bin``, commits the per-partition manifests, and
+      seals a snapshot carrying ``stream_batch_id`` — the replay
+      guard: a re-delivered batch id only re-executes idempotent
+      renames/manifest writes (same ids, same bytes) and never
+      double-commits a snapshot.
+    * ``abort`` deletes the staged files; nothing was visible.
+
+    Partitioning stays with the caller (repartition/sort before the
+    sink), mirroring the batch writer's contract."""
+
+    def __init__(self, enc_dir: str, cols: list[str], opts: dict, txn: str):
+        self.enc_dir = enc_dir
+        self.cols = cols
+        self.opts = opts
+        # scopes batch-id numbering to ONE streaming query (Delta's
+        # txnAppId pattern): without it, two queries writing the same
+        # table would both start at batch 0 and read each other's
+        # batches as replays. The default keeps the single-query-per-
+        # table contract; set .option("stream_txn", <query id>) to run
+        # several.
+        self.txn = txn
+
+    def write(self, iterator) -> _PGSStreamCommit:
+        import uuid
+
+        import pyarrow as pa
+
+        from .encode_job import encode_columns_to_partition
+
+        batches = list(iterator)
+        table = pa.Table.from_batches(batches) if batches else None
+        # the .tmp suffix keeps staged files OUT of the reader's
+        # part-*.bin glob (invisible mid-flight) and IN the orphan
+        # sweep's *.tmp* pattern (crashed batches get cleaned up)
+        stage = f"stage-{uuid.uuid4().hex}.bin.tmp"
+        rows = encode_columns_to_partition(
+            table, self.cols, self.enc_dir, -1, stage_name=stage, **self.opts
+        )
+        return _PGSStreamCommit(stage_name=stage, rows=rows)
+
+    def commit(self, messages, batchId: int) -> None:
+        import os
+
+        from . import manifest as mf
+
+        msgs = [m for m in messages if m is not None]
+        job_id = f"stream-{self.txn}-batch-{int(batchId)}"
+        marker = {"stream_batch_id": int(batchId), "stream_txn": self.txn}
+        already = any(
+            snap.get("config", {}).get("stream_batch_id") == int(batchId)
+            and snap.get("config", {}).get("stream_txn") == self.txn
+            for snap in mf.read_snapshots(self.enc_dir)
+        )
+        if msgs and not already:
+            base = mf.claim_append_base(self.enc_dir, job_id, len(msgs))
+            for i, m in enumerate(sorted(msgs, key=lambda m: m.stage_name)):
+                pid = base + i
+                src = os.path.join(self.enc_dir, m.stage_name)
+                dst = os.path.join(self.enc_dir, f"part-{pid:05d}.bin")
+                if os.path.exists(src):
+                    os.replace(src, dst)  # atomic; replay lands same pid
+                rows = []
+                for r in m.rows:
+                    r = dict(r)
+                    r["partition"] = pid
+                    r["file"] = dst
+                    rows.append(r)
+                mf.commit_partition(self.enc_dir, pid, rows)
+        elif already:
+            # replayed batch: this attempt's staged files are surplus
+            for m in msgs:
+                try:
+                    os.remove(os.path.join(self.enc_dir, m.stage_name))
+                except OSError:
+                    pass
+            return
+        mf.commit_snapshot(
+            self.enc_dir,
+            "stream-append",
+            {**marker, "tasks": len(msgs)},
+        )
+
+    def abort(self, messages, batchId: int) -> None:
+        import os
+
+        for m in messages:
+            if m is None:
+                continue
+            try:
+                os.remove(os.path.join(self.enc_dir, m.stage_name))
+            except OSError:
+                pass
+
+
 def _parse_writer_options(options: dict) -> dict:
     """DataFrameWriter .option(...) strings -> encode_columns_to_partition
     kwargs (same knobs as ``encode_table``)."""
@@ -462,6 +580,35 @@ class PGSDataSource(DataSource):
         from . import manifest as mf
 
         return _PGSStreamReader(self._dir(), mf.read_table_schema(self._dir()))
+
+    def streamWriter(self, schema, overwrite: bool) -> _PGSStreamWriter:
+        import os
+
+        from . import manifest as mf
+
+        enc_dir = self._dir()
+        new_fields = [
+            {"name": f.name, "ddl": f.dataType.simpleString()} for f in schema.fields
+        ]
+        schema_path = os.path.join(enc_dir, "_schema.json")
+        if os.path.exists(schema_path):
+            old_fields = mf.read_table_schema(enc_dir)
+            if old_fields != new_fields:
+                raise ValueError(
+                    f"pgs stream-append schema mismatch at {enc_dir}: "
+                    f"table has {old_fields}, appending {new_fields}"
+                )
+        else:
+            # bootstrap: first batch creates the table (atomic replace,
+            # idempotent across the driver/worker instantiations)
+            os.makedirs(enc_dir, exist_ok=True)
+            mf.write_table_schema(enc_dir, new_fields)
+        return _PGSStreamWriter(
+            enc_dir,
+            [f.name for f in schema.fields],
+            _parse_writer_options(self.options),
+            txn=str(self.options.get("stream_txn", "default")),
+        )
 
     def writer(self, schema, overwrite: bool) -> _PGSWriter:
         import glob as _glob

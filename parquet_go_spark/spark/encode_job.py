@@ -133,6 +133,7 @@ def encode_columns_to_partition(
     kmv_columns: list[str] | None = None,
     kmv_k: int = 1 << 14,
     epoch: int = 0,
+    stage_name: str | None = None,
 ) -> list[dict]:
     """Encode one partition's Arrow table into ``part-<pid>.bin`` +
     atomic manifest commit; returns the manifest rows. Shared by the
@@ -141,8 +142,15 @@ def encode_columns_to_partition(
     materialization, COW deletes) pass ``epoch`` = old epoch + 1 so
     positional sidecars stamped against the old row ordinals become
     provably stale the instant the new data file lands — readers skip
-    them even before the manifest/sidecar cleanup commits."""
-    fpath = os.path.join(out_dir, f"part-{pid:05d}.bin")
+    them even before the manifest/sidecar cleanup commits.
+
+    ``stage_name`` (streaming sink two-phase commit): write the data
+    file under this name instead of ``part-<pid>.bin`` and DO NOT
+    commit a manifest — the driver's epoch-level ``commit`` renames the
+    staged file into its claimed partition id and commits the manifest
+    rows itself, so a failed/aborted micro-batch leaves only unreadable
+    staging files (no manifest ⇒ not committed ⇒ invisible to readers)."""
+    fpath = os.path.join(out_dir, stage_name or f"part-{pid:05d}.bin")
     # the __pgs_ prefix is reserved for in-file metadata entries (the
     # rewrite epoch): readers silently skip such names, and one landing
     # FIRST would even be parsed as the epoch — reject at write time
@@ -206,7 +214,8 @@ def encode_columns_to_partition(
                 }
             )
     write_partition_file(fpath, named_blobs, epoch=epoch)
-    mf.commit_partition(out_dir, pid, rows)
+    if stage_name is None:
+        mf.commit_partition(out_dir, pid, rows)
     return rows
 
 
