@@ -488,6 +488,23 @@ class _PGSStreamWriter(DataSourceStreamArrowWriter):
                     r["file"] = dst
                     rows.append(r)
                 mf.commit_partition(self.enc_dir, pid, rows)
+            # defensive: a mid-commit crash followed by a replay with
+            # FEWER tasks would leave the crashed attempt's tail pids
+            # committed (duplicate rows); sweep every claimed id this
+            # attempt did not fill
+            claim_n = next(
+                (c["n"] for c in mf.read_claims(self.enc_dir) if c["job_id"] == job_id),
+                len(msgs),
+            )
+            for pid in range(base + len(msgs), base + claim_n):
+                for path in (
+                    os.path.join(self.enc_dir, f"part-{pid:05d}.bin"),
+                    mf.part_manifest_path(self.enc_dir, pid),
+                ):
+                    try:
+                        os.remove(path)
+                    except OSError:
+                        pass
         elif already:
             # replayed batch: this attempt's staged files are surplus
             for m in msgs:

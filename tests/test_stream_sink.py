@@ -139,3 +139,36 @@ def test_stream_sink_end_to_end(spark, tmp_path):
     )
     assert bids == list(range(len(bids))) and len(bids) >= 2
     assert not glob.glob(os.path.join(out, "stage-*.tmp"))
+
+
+def test_stream_sink_mid_commit_crash_replay_with_fewer_tasks(tmp_path):
+    """Crash window: attempt 1 renamed+manifested 2 partitions then died
+    before its snapshot; the replay delivers the batch in ONE task. The
+    replay's commit must sweep the claimed-but-unfilled tail ids, or the
+    crashed attempt's second partition would double-count its rows."""
+    w, d = _mk_writer(tmp_path)
+    m0 = w.write(iter([_batch(0, 100)]))
+    m1 = w.write(iter([_batch(100, 250)]))
+    # simulate attempt 1 crashing AFTER the renames/manifests but BEFORE
+    # the snapshot: run the rename/manifest phase by hand
+    base = mf.claim_append_base(d, "stream-q1-batch-0", 2)
+    for i, m in enumerate(sorted([m0, m1], key=lambda m: m.stage_name)):
+        pid = base + i
+        os.replace(
+            os.path.join(d, m.stage_name), os.path.join(d, f"part-{pid:05d}.bin")
+        )
+        rows = [
+            {**r, "partition": pid, "file": os.path.join(d, f"part-{pid:05d}.bin")}
+            for r in m.rows
+        ]
+        mf.commit_partition(d, pid, rows)
+    assert len(mf.committed_partitions(d)) == 2
+    # replay arrives as ONE task carrying the whole batch
+    r = w.write(iter([_batch(0, 250)]))
+    w.commit([r], batchId=0)
+    pids = mf.committed_partitions(d)
+    assert len(pids) == 1  # the stale tail pid was swept
+    rows = sum(
+        max(x["num_rows"] for x in mf.read_partition_manifest(d, pid)) for pid in pids
+    )
+    assert rows == 250
