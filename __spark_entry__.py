@@ -2005,11 +2005,12 @@ def _simhash_duck_sql() -> str:
         )
     expr = " + ".join(terms)
     return (
-        "WITH h AS (SELECT doc_id,"
+        "WITH h AS (SELECT doc_id, text IS NULL AS tnull,"
         " list_transform(list_distinct(string_split(text, ' ')),"
         " w -> CAST('0x' || substring(md5(w), 1, 15) AS BIGINT)) AS hs"
         " FROM documents)"
-        f" SELECT doc_id, CAST({expr} AS BIGINT) AS simhash FROM h"
+        " SELECT doc_id, CASE WHEN tnull THEN NULL"
+        f" ELSE CAST({expr} AS BIGINT) END AS simhash FROM h"
     )
 
 

@@ -171,12 +171,17 @@ def ngram_jaccard_pairs(
 def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash over words: per bit, sign of the sum of ±1 votes
     from each distinct word's 64-bit hash (md5 prefix). Pure projection.
-    """
+
+    NULL text yields NULL simhash, not 0: every per-bit CASE folds a
+    NULL vote sum to its ELSE 0, so null-text documents (failed fetches
+    — common at corpus scale) used to all land on simhash 0 and a
+    downstream hamming-distance dedup would merge them into one fake
+    near-dup mega-group. A document with no content has no signature."""
     hashes = (
         f"transform(array_distinct(split({text_col}, ' ')),"
         f" w -> cast(conv(substring(md5(w), 1, 15), 16, 10) AS bigint))"
     )
-    base = df.select(F.col(id_col), F.expr(hashes).alias("__h"))
+    base = df.select(F.col(id_col), F.col(text_col).isNull().alias("__tnull"), F.expr(hashes).alias("__h"))
     # bit b of the simhash = 1 if sum over words of bit b (as ±1) > 0;
     # the word-hash array is materialized once, so the 60 bit aggregates
     # only fold precomputed bigints
@@ -188,7 +193,12 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
             f" THEN {1 << b} ELSE 0 END"
         )
     expr = " + ".join(f"({t})" for t in bit_terms)
-    return base.select(F.col(id_col), F.expr(f"cast({expr} AS bigint)").alias("simhash"))
+    return base.select(
+        F.col(id_col),
+        F.expr(f"CASE WHEN __tnull THEN CAST(NULL AS BIGINT) ELSE cast({expr} AS bigint) END").alias(
+            "simhash"
+        ),
+    )
 
 
 def hash_split(

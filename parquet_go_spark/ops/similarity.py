@@ -50,6 +50,29 @@ def _quantizer_dir(enc_dir: str) -> str:
     return os.path.join(enc_dir, "quantizers")
 
 
+def _vec_dim(df: DataFrame, vec_col: str) -> int | None:
+    """Vector dimensionality from the first NON-NULL row, or None when
+    the frame holds no usable vector. Every query builder used to read
+    ``df.select(vec_col).first()[0]`` — a TypeError on an empty frame
+    and a ``len(None)`` crash when the first row's embedding is NULL,
+    both real occurrences in web-scale embedding tables (failed-encoder
+    rows; the trainers already guarded for them, the query builders
+    didn't)."""
+    row = (
+        df.where(F.col(vec_col).isNotNull())
+        .select(F.size(F.col(vec_col)).alias("d"))
+        .first()
+    )
+    return None if row is None else int(row[0])
+
+
+def _empty_topk(df: DataFrame) -> DataFrame:
+    """The (q_id, n_id, rank) result shape with zero rows — what a
+    top-k query over an empty/all-null query set returns instead of
+    crashing at dim inference."""
+    return df.sparkSession.createDataFrame([], "q_id long, n_id long, rank int")
+
+
 def save_quantizer(
     enc_dir: str,
     name: str = "default",
@@ -193,6 +216,10 @@ def signature_sql(planes: np.ndarray, vec_expr: str, dot_fn: str | None = None) 
 
 
 def _sig_frame(df: DataFrame, planes: np.ndarray, id_col: str, vec_col: str) -> DataFrame:
+    # NULL vectors can't be scored and would otherwise all collide into
+    # signature bucket 0 (every CASE term folds NULL > 0 to the ELSE),
+    # bloating that bucket with rows whose sims are NULL anyway
+    df = df.where(F.col(vec_col).isNotNull())
     return df.select(
         F.col(id_col).alias("vid"),
         F.expr(f"transform({vec_col}, x -> cast(x AS double))").alias("e"),
@@ -237,7 +264,13 @@ def embedding_near_dups(
     frame is at most 2^n_planes rows, so the pre-filter rides a
     broadcast join: no extra shuffle of the vector stream."""
     if mode == "lsh":
-        dim = len(df.select(vec_col).first()[0])
+        dim = _vec_dim(df, vec_col)
+        if dim is None:  # empty / all-null corpus: no pairs, not a crash
+            return df.select(
+                F.col(id_col).alias("id_a"),
+                F.col(id_col).alias("id_b"),
+                F.lit(0.0).alias("sim"),
+            ).limit(0)
         v = _sig_frame(df, hyperplanes(dim, n_planes, seed), id_col, vec_col)
         if max_bucket is not None:
             ok = (
@@ -272,9 +305,11 @@ def embedding_near_dups(
 
 
 def _collect_queries(df: DataFrame, id_col: str, vec_col: str) -> tuple[np.ndarray, np.ndarray]:
-    rows = df.select(id_col, vec_col).collect()
+    rows = df.where(F.col(vec_col).isNotNull()).select(id_col, vec_col).collect()
+    if not rows:  # empty / all-null query set: callers return no matches
+        return np.empty(0, dtype=np.int64), np.empty((0, 0), dtype=np.float64)
     qids = np.array([r[0] for r in rows], dtype=np.int64)
-    qv = np.array([r[1] for r in rows], dtype=np.float64)
+    qv = np.array([list(r[1]) for r in rows], dtype=np.float64)
     order = np.argsort(qids)
     return qids[order], qv[order]
 
@@ -292,10 +327,14 @@ def cosine_topk(
     ties broken by ascending n_id; self-matches excluded.
     """
     qids, qv = _collect_queries(queries, id_col, vec_col)
+    if not len(qids):
+        return _empty_topk(df)
     qn = qv / np.maximum(np.linalg.norm(qv, axis=1, keepdims=True), 1e-30)
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
+            # NULL embeddings can't be scored: drop the rows, not the job
+            b = b[b[vec_col].notna()]
             if len(b) == 0:
                 continue
             nids = b[id_col].to_numpy(dtype=np.int64)
@@ -454,7 +493,9 @@ def ivf_topk(
     plan-compile cost that dominates literal-heavy plans (the
     production mode; ``"literal"`` remains the cross-engine oracle
     fixture mode)."""
-    dim = len(queries.select(vec_col).first()[0])
+    dim = _vec_dim(queries, vec_col)
+    if dim is None:  # empty / all-null query set
+        return _empty_topk(df)
     if centroids is not None:
         cents = np.asarray(centroids, dtype=np.float64)
         if cents.shape[0] != dim:
@@ -471,7 +512,11 @@ def ivf_topk(
     nrm = "sqrt(aggregate(zip_with(e, e, (x, y) -> x * y), 0D, (acc, x) -> acc + x))"
 
     def base(d: DataFrame) -> DataFrame:
-        d = d.select(
+        # NULL vectors can't be assigned a cell or scored — and the
+        # literal-source transform would yield a NON-null ds of NULL
+        # scores, which posexplode+row_number then happily rank (a null
+        # query used to come back with garbage "matches")
+        d = d.where(F.col(vec_col).isNotNull()).select(
             F.col(id_col).alias("vid"),
             F.expr(f"transform({vec_col}, x -> cast(x AS double))").alias("e"),
         )
@@ -852,7 +897,9 @@ def pq_topk(
     expression tree stays O(1) in the constant count, removing the
     plan-compile cost that dominates the literal mode (the production
     path; ``"literal"`` remains the cross-engine oracle fixture)."""
-    dim = len(queries.select(vec_col).first()[0])
+    dim = _vec_dim(queries, vec_col)
+    if dim is None:  # empty / all-null query set
+        return _empty_topk(df)
     if codebooks is not None:
         cb = np.asarray(codebooks, dtype=np.float64)
         if cb.ndim != 3 or cb.shape[0] * cb.shape[1] != dim:
@@ -901,7 +948,8 @@ def pq_topk(
     nrm = "sqrt(aggregate(zip_with(e, e, (x, y) -> x * y), 0D, (acc, x) -> acc + x))"
 
     def base(d: DataFrame) -> DataFrame:
-        d = d.select(
+        # NULL vectors: same garbage-ranks hazard as ivf_topk's base
+        d = d.where(F.col(vec_col).isNotNull()).select(
             F.col(id_col).alias("vid"),
             F.expr(f"transform({vec_col}, x -> cast(x AS double))").alias("e"),
         )
@@ -998,7 +1046,9 @@ def lsh_bucket_topk(
     whole computation reproducible in any SQL engine; sims are rounded
     to 6 decimals before ranking so cross-engine summation-order noise
     cannot reorder ties."""
-    dim = len(queries.select(vec_col).first()[0])
+    dim = _vec_dim(queries, vec_col)
+    if dim is None:  # empty / all-null query set
+        return _empty_topk(df)
     planes = hyperplanes(dim, n_planes, seed)
     v = _sig_frame(df, planes, id_col, vec_col)
     q = _sig_frame(queries, planes, id_col, vec_col).select(

@@ -1,0 +1,108 @@
+"""Round-5 review batch 10 pins: null/empty-embedding safety across the
+similarity query builders, and NULL-text simhash semantics.
+
+Defect class: every top-k builder inferred the vector dimensionality
+with ``queries.select(vec_col).first()[0]`` — a TypeError on an empty
+query frame and a ``len(None)`` crash when the FIRST row's embedding is
+NULL; ``cosine_topk``'s pandas scorer additionally crashed inside the
+executor on any NULL corpus embedding (``np.array(list(...))`` over a
+None). Failed-encoder rows are a fact of web-scale embedding tables:
+the trainers already filtered them, the query builders didn't.
+"""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from parquet_go_spark.ops.dedup import simhash64
+from parquet_go_spark.ops.similarity import (
+    cosine_topk,
+    embedding_near_dups,
+    ivf_topk,
+    lsh_bucket_topk,
+    pq_topk,
+)
+
+
+def _corpus(spark, n=40, dim=16, null_ids=()):
+    rows = []
+    for i in range(n):
+        if i in null_ids:
+            rows.append((i, None))
+        else:
+            rows.append((i, [float((i * 7 + j * 3) % 11) - 5.0 for j in range(dim)]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+@pytest.mark.parametrize("fn", [cosine_topk, ivf_topk, pq_topk, lsh_bucket_topk])
+def test_topk_empty_queries_returns_empty(spark, fn):
+    corpus = _corpus(spark)
+    empty_q = corpus.limit(0)
+    out = fn(corpus, empty_q, k=3)
+    assert out.columns == ["q_id", "n_id", "rank"]
+    assert out.count() == 0
+
+
+@pytest.mark.parametrize("fn", [cosine_topk, ivf_topk, pq_topk, lsh_bucket_topk])
+def test_topk_all_null_queries_returns_empty(spark, fn):
+    corpus = _corpus(spark)
+    null_q = spark.createDataFrame(
+        [(900, None), (901, None)], "vec_id long, embedding array<double>"
+    )
+    out = fn(corpus, null_q, k=3)
+    assert out.count() == 0
+
+
+def test_topk_null_first_query_vector_still_works(spark):
+    """dim inference must skip NULL rows, not crash on the first one."""
+    corpus = _corpus(spark, n=30)
+    q = spark.createDataFrame(
+        [(900, None), (901, [1.0] * 16)], "vec_id long, embedding array<double>"
+    ).orderBy("vec_id")
+    for fn in (cosine_topk, ivf_topk, pq_topk, lsh_bucket_topk):
+        out = fn(corpus, q, k=3).toPandas()
+        assert set(out["q_id"]) <= {901}
+
+
+def test_cosine_topk_null_corpus_rows_skipped_not_fatal(spark):
+    """A NULL corpus embedding drops that row; results over the rest
+    match the same query run on the pre-filtered corpus."""
+    dirty = _corpus(spark, n=40, null_ids=(3, 17))
+    clean = dirty.where(F.col("embedding").isNotNull())
+    q = clean.where(F.col("vec_id") < 2)
+    got = cosine_topk(dirty, q, k=5).toPandas().sort_values(["q_id", "rank"])
+    want = cosine_topk(clean, q, k=5).toPandas().sort_values(["q_id", "rank"])
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), want.reset_index(drop=True))
+
+
+def test_embedding_near_dups_empty_and_all_null_corpus(spark):
+    empty = _corpus(spark).limit(0)
+    out = embedding_near_dups(empty)
+    assert out.columns == ["id_a", "id_b", "sim"]
+    assert out.count() == 0
+    all_null = spark.createDataFrame(
+        [(0, None), (1, None)], "vec_id long, embedding array<double>"
+    )
+    assert embedding_near_dups(all_null).count() == 0
+
+
+def test_embedding_near_dups_null_first_vector_uses_later_dim(spark):
+    rows = [(0, None)] + [
+        (i, [1.0 + (0.001 * i if j == 0 else 0.0) for j in range(8)]) for i in range(1, 6)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = embedding_near_dups(df, threshold=0.9).toPandas()
+    # the five near-identical vectors pair up; the null row pairs with nothing
+    assert len(out) == 10
+    assert 0 not in set(out["id_a"]) | set(out["id_b"])
+
+
+def test_simhash_null_text_is_null_not_zero(spark):
+    df = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, None), (2, None), (3, "")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["simhash"] for r in simhash64(df).collect()}
+    assert out[1] is None and out[2] is None
+    # real text (including empty string) keeps a concrete signature
+    assert out[0] is not None and out[3] is not None
