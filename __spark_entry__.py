@@ -31,6 +31,7 @@ from parquet_go_spark.ops.dedup import (
     minhash_signatures,
     ngram_jaccard_pairs,
     simhash64,
+    simhash_near_dups,
 )
 from parquet_go_spark.ops.similarity import (
     cell_scores_sql,
@@ -1378,7 +1379,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": lambda spark, sf_dir: ngram_jaccard_pairs(
             _load(spark, sf_dir, "documents")
         ),
-        "simhash64": lambda spark, sf_dir: simhash64(_load(spark, sf_dir, "documents")),
+        # ROTATION (r5 late): simhash_near_dups supersedes the bare
+        # signature row — it computes simhash64 internally, then bands,
+        # buckets (capped), and hamming-verifies, so the driver row
+        # exercises strictly more machinery; simhash64 itself moves to
+        # the replica tail below
+        "simhash_near_dups": lambda spark, sf_dir: simhash_near_dups(
+            _load(spark, sf_dir, "documents")
+        ),
         "langid_ngram": lambda spark, sf_dir: langid_ngram(_load(spark, sf_dir, "documents")),
         "duplicate_spans": _q_duplicate_spans,
         "decontamination": _q_decontamination,
@@ -1401,6 +1409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prune_zorder": _q_zorder_prune,
         "embedding_lsh_topk": _q_lsh_topk,
         "fingerprint_md5": lambda spark, sf_dir: fingerprint(_load(spark, sf_dir, "documents")),
+        "simhash64": lambda spark, sf_dir: simhash64(_load(spark, sf_dir, "documents")),
         "dedup_canonical": _q_dedup_canonical,
         "roundtrip_orders": _rt("orders"),
         "roundtrip_events": _rt("events"),
@@ -1883,6 +1892,7 @@ WHERE round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) >= 0.35
         "embedding_pq_topk": pq_topk_sql,
         "embedding_near_dups": near_dups_sql,
         "simhash64": _simhash_duck_sql(),
+        "simhash_near_dups": _simhash_pairs_duck_sql(),
         "langid_ngram": _langid_duck_sql(),
         "winnow_fingerprints": _winnow_duck_sql(),
         "duplicate_spans": _dupspans_duck_sql(),
@@ -1995,7 +2005,9 @@ FROM h WHERE len(hs) <= {w}
 """
 
 
-def _simhash_duck_sql() -> str:
+def _simhash_ctes() -> str:
+    """Shared CTE prefix: per-document 60-bit SimHash (NULL for NULL
+    text) as ``s(doc_id, simhash)``."""
     terms = []
     for b in range(60):
         terms.append(
@@ -2008,9 +2020,42 @@ def _simhash_duck_sql() -> str:
         "WITH h AS (SELECT doc_id, text IS NULL AS tnull,"
         " list_transform(list_distinct(string_split(text, ' ')),"
         " w -> CAST('0x' || substring(md5(w), 1, 15) AS BIGINT)) AS hs"
-        " FROM documents)"
-        " SELECT doc_id, CASE WHEN tnull THEN NULL"
-        f" ELSE CAST({expr} AS BIGINT) END AS simhash FROM h"
+        " FROM documents),"
+        " s AS (SELECT doc_id, CASE WHEN tnull THEN NULL"
+        f" ELSE CAST({expr} AS BIGINT) END AS simhash FROM h)"
+    )
+
+
+def _simhash_duck_sql() -> str:
+    return _simhash_ctes() + " SELECT doc_id, simhash FROM s"
+
+
+def _simhash_pairs_duck_sql(max_hamming: int = 3, max_bucket: int = 4096) -> str:
+    """Oracle twin of ``ops.dedup.simhash_near_dups``: identical block
+    banding (t+1 blocks of the 60-bit fingerprint), identical bucket
+    cap, identical exact bit_count(xor) verification."""
+    bits = 60
+    blocks = max_hamming + 1
+    width = bits // blocks
+    legs = []
+    for b in range(blocks):
+        w = width if b < blocks - 1 else bits - width * (blocks - 1)
+        legs.append(
+            f"SELECT doc_id, simhash, {b} AS blk,"
+            f" (simhash // {1 << (b * width)}) % {1 << w} AS val"
+            " FROM s WHERE simhash IS NOT NULL"
+        )
+    return (
+        _simhash_ctes()
+        + ", b AS (" + " UNION ALL ".join(legs) + ")"
+        ", g AS (SELECT blk, val FROM b GROUP BY blk, val"
+        f" HAVING COUNT(*) >= 2 AND COUNT(*) <= {max_bucket})"
+        ", p AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,"
+        " a.simhash AS sa, c.simhash AS sb"
+        " FROM b a JOIN g ON g.blk = a.blk AND g.val = a.val"
+        " JOIN b c ON c.blk = a.blk AND c.val = a.val AND a.doc_id < c.doc_id)"
+        " SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming"
+        f" FROM p WHERE bit_count(xor(sa, sb)) <= {max_hamming}"
     )
 
 

@@ -106,3 +106,69 @@ def test_simhash_null_text_is_null_not_zero(spark):
     assert out[1] is None and out[2] is None
     # real text (including empty string) keeps a concrete signature
     assert out[0] is not None and out[3] is not None
+
+
+# ---- simhash_near_dups: the pairing operator the simhash family lacked
+
+
+def _shd_corpus(spark):
+    """Texts with graded word overlap so simhash hamming distances span
+    0..far; small enough for an exact all-pairs brute force."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    rows = [(0, base), (1, base)]  # identical: hamming 0
+    words = base.split()
+    for i in range(2, 30):
+        mut = list(words)
+        for j in range(i % 5):
+            mut[j] = f"sub{i}_{j}"
+        rows.append((i, " ".join(mut)))
+    rows.append((30, None))  # NULL text must pair with nothing
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_simhash_near_dups_matches_all_pairs_brute_force(spark):
+    """Banding guarantees EXACT recall (any pair within hamming t shares
+    a block), so with no capped buckets the operator must equal the
+    all-pairs brute force over the same signatures."""
+    from parquet_go_spark.ops.dedup import simhash64, simhash_near_dups
+
+    df = _shd_corpus(spark)
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash64(df).collect()}
+    want = set()
+    ids = [i for i, s in sigs.items() if s is not None]
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = sorted((ids[x], ids[y]))
+            h = bin(sigs[a] ^ sigs[b]).count("1")
+            if h <= 3:
+                want.add((a, b, h))
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_near_dups(df, max_bucket=100_000).collect()
+    }
+    assert got == want and (0, 1, 0) in got
+    assert not any(30 in (a, b) for a, b, _ in got)
+
+
+def test_simhash_near_dups_hot_bucket_cap_engages(spark):
+    """60 identical docs share every block value: uncapped that is one
+    C(60,2) bomb; capped, zero hot pairs survive while a planted
+    identical pair in a cold bucket still does."""
+    from parquet_go_spark.ops.dedup import simhash_near_dups
+
+    hot = [(i, "the same boilerplate page text repeated verbatim everywhere") for i in range(60)]
+    planted = [
+        (100, "one two three four five six seven eight nine ten eleven twelve"),
+        (101, "one two three four five six seven eight nine ten eleven twelve"),
+    ]
+    filler = [
+        (200 + i, f"totally unrelated document number {i} with words w{i} x{i} y{i} z{i} q{i}")
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(hot + planted + filler, "doc_id long, text string")
+    uncapped = simhash_near_dups(df, max_bucket=100_000).collect()
+    assert len([r for r in uncapped if r.id_a < 60 and r.id_b < 60]) == 60 * 59 // 2
+
+    capped = simhash_near_dups(df, max_bucket=16).collect()
+    assert not any(r.id_a < 60 and r.id_b < 60 for r in capped)
+    assert any((r.id_a, r.id_b) == (100, 101) for r in capped)
