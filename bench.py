@@ -36,6 +36,7 @@ OP_QUERIES = [
     "text_quality",
     "fingerprint_md5",
     "simhash64",
+    "simhash_near_dups",
     "langid_ngram",
     "embedding_cosine_topk",
     "embedding_ivf_topk",
