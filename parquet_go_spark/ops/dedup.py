@@ -269,16 +269,19 @@ def simhash_near_dups(
         " transform(slice(ms, i + 2, size(ms) - i - 1),"
         " b -> struct(a.i AS id_a, b.i AS id_b, a.s AS sa, b.s AS sb))))"
     )
+    # hamming verifies BEFORE the pair distinct: candidates failing the
+    # test (the majority in a diverse corpus) never enter the distinct
+    # exchange, and surviving rows shuffle (id, id, int) instead of two
+    # extra 8-byte signatures
     return (
         grouped.select(F.explode(F.expr(pair_expr)).alias("p"))
-        .select("p.id_a", "p.id_b", "p.sa", "p.sb")
-        .distinct()
         .select(
-            "id_a",
-            "id_b",
-            F.expr("cast(bit_count(sa ^ sb) AS int)").alias("hamming"),
+            "p.id_a",
+            "p.id_b",
+            F.expr("cast(bit_count(p.sa ^ p.sb) AS int)").alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 
