@@ -138,7 +138,7 @@ def canonical_docs(
         F.min_by(F.struct(F.col(id_col), F.col("n_kept_chars")), order_key).alias("__best")
     )
     return picked.select(
-        F.col(f"__best.{id_col}").alias(id_col),
+        F.col("__best").getField(id_col).alias(id_col),
         "cluster_id",
         F.col("__best.n_kept_chars").alias("n_kept_chars"),
     )

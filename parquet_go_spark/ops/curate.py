@@ -154,7 +154,7 @@ def curate_corpus(
     n_tokens = F.size(words)
     ttr = F.size(F.array_distinct(words)).cast("double") / n_tokens.cast("double")
     punct = (
-        F.size(F.expr(f"regexp_extract_all({text_col}, '[.,;:!?]', 0)")).cast("double")
+        F.size(F.expr(f"regexp_extract_all(`{text_col}`, '[.,;:!?]', 0)")).cast("double")
         / F.greatest(F.length(t), F.lit(1)).cast("double")
     )
     scored = df.filter(t.isNotNull()).select(
@@ -168,14 +168,14 @@ def curate_corpus(
         ).alias("__s"),
     )
     kept = scored.groupBy("__fp").agg(
-        F.min_by("__s", F.col(f"__s.{id_col}")).alias("__s"),
+        F.min_by("__s", F.col("__s").getField(id_col)).alias("__s"),
         F.count(F.lit(1)).alias("n_dups"),
     )
     return (
         kept.filter((F.col("__s.ttr") >= min_ttr) & (F.col("__s.__punct") <= max_punct))
         .select(
-            F.col(f"__s.{id_col}").alias(id_col),
-            F.col(f"__s.{lang_col}").alias(lang_col),
+            F.col("__s").getField(id_col).alias(id_col),
+            F.col("__s").getField(lang_col).alias(lang_col),
             F.col("__s.n_tokens").alias("n_tokens"),
             F.col("__s.ttr").alias("ttr"),
             "n_dups",
@@ -202,7 +202,7 @@ def curate_corpus_rows(
     n_tokens = F.size(words)
     ttr = F.size(F.array_distinct(words)).cast("double") / n_tokens.cast("double")
     punct = (
-        F.size(F.expr(f"regexp_extract_all({text_col}, '[.,;:!?]', 0)")).cast("double")
+        F.size(F.expr(f"regexp_extract_all(`{text_col}`, '[.,;:!?]', 0)")).cast("double")
         / F.greatest(F.length(t), F.lit(1)).cast("double")
     )
     scored = df.filter(t.isNotNull()).select(
@@ -217,5 +217,5 @@ def curate_corpus_rows(
     )
     return (
         kept.filter((F.col("__q.ttr") >= min_ttr) & (F.col("__q.punct") <= max_punct))
-        .select(*[F.col(f"__row.{c}").alias(c) for c in df.columns], "n_dups")
+        .select(*[F.col("__row").getField(c).alias(c) for c in df.columns], "n_dups")
     )

@@ -64,7 +64,7 @@ def _shingles_df(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame
     sh = (
         f"CASE WHEN size(__w) >= {k} THEN "
         f"transform(sequence(1, size(__w) - {k - 1}), i -> concat_ws(' ', {parts})) "
-        f"ELSE array({text_col}) END"
+        f"ELSE array(`{text_col}`) END"
     )
     return base.select(F.col(id_col), F.expr(sh).alias("__sh"))
 
@@ -186,7 +186,7 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     downstream hamming-distance dedup would merge them into one fake
     near-dup mega-group. A document with no content has no signature."""
     hashes = (
-        f"transform(array_distinct(split({text_col}, ' ')),"
+        f"transform(array_distinct(split(`{text_col}`, ' ')),"
         f" w -> cast(conv(substring(md5(w), 1, 15), 16, 10) AS bigint))"
     )
     base = df.select(F.col(id_col), F.col(text_col).isNull().alias("__tnull"), F.expr(hashes).alias("__h"))

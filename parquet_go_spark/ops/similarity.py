@@ -222,7 +222,7 @@ def _sig_frame(df: DataFrame, planes: np.ndarray, id_col: str, vec_col: str) -> 
     df = df.where(F.col(vec_col).isNotNull())
     return df.select(
         F.col(id_col).alias("vid"),
-        F.expr(f"transform({vec_col}, x -> cast(x AS double))").alias("e"),
+        F.expr(f"transform(`{vec_col}`, x -> cast(x AS double))").alias("e"),
     ).select(
         "vid",
         "e",
@@ -284,7 +284,7 @@ def embedding_near_dups(
     else:
         v = df.select(
             F.col(id_col).alias("vid"),
-            F.expr(f"transform({vec_col}, x -> cast(x AS double))").alias("e"),
+            F.expr(f"transform(`{vec_col}`, x -> cast(x AS double))").alias("e"),
         ).withColumn(
             "nrm",
             F.expr("sqrt(aggregate(zip_with(e, e, (x, y) -> x * y), 0D, (acc, x) -> acc + x))"),
@@ -430,7 +430,7 @@ def train_ivf_kmeans(
     from pyspark.ml.functions import array_to_vector
 
     nrm = (
-        f"sqrt(aggregate(zip_with({vec_col}, {vec_col}, (x, y) ->"
+        f"sqrt(aggregate(zip_with(`{vec_col}`, `{vec_col}`, (x, y) ->"
         " cast(x as double) * y), 0D, (acc, x) -> acc + x))"
     )
     # drop zero-norm vectors (failed-encoder rows are a real occurrence
@@ -442,7 +442,7 @@ def train_ivf_kmeans(
         .where(F.expr(nrm) > 0)
         .select(
             array_to_vector(
-                F.expr(f"transform({vec_col}, x -> cast(x as double) / {nrm})")
+                F.expr(f"transform(`{vec_col}`, x -> cast(x as double) / {nrm})")
             ).alias("features")
         )
     )
@@ -518,7 +518,7 @@ def ivf_topk(
         # query used to come back with garbage "matches")
         d = d.where(F.col(vec_col).isNotNull()).select(
             F.col(id_col).alias("vid"),
-            F.expr(f"transform({vec_col}, x -> cast(x AS double))").alias("e"),
+            F.expr(f"transform(`{vec_col}`, x -> cast(x AS double))").alias("e"),
         )
         if aux is not None:
             d = d.crossJoin(aux)
@@ -617,7 +617,7 @@ def train_pq_kmeans(
         raise ValueError(f"pq: dim {dim} not divisible by m {m}")
     sub = dim // m
     nrm = (
-        f"sqrt(aggregate(zip_with({vec_col}, {vec_col}, (x, y) ->"
+        f"sqrt(aggregate(zip_with(`{vec_col}`, `{vec_col}`, (x, y) ->"
         " cast(x as double) * y), 0D, (acc, x) -> acc + x))"
     )
     # zero-norm vectors filtered BEFORE normalizing (see
@@ -626,7 +626,7 @@ def train_pq_kmeans(
     en = (
         df.where(F.col(vec_col).isNotNull())
         .where(F.expr(nrm) > 0)
-        .select(F.expr(f"transform({vec_col}, x -> cast(x as double) / {nrm})").alias("en"))
+        .select(F.expr(f"transform(`{vec_col}`, x -> cast(x as double) / {nrm})").alias("en"))
     )
     if sample_rows is not None:
         total = en.count()
@@ -951,7 +951,7 @@ def pq_topk(
         # NULL vectors: same garbage-ranks hazard as ivf_topk's base
         d = d.where(F.col(vec_col).isNotNull()).select(
             F.col(id_col).alias("vid"),
-            F.expr(f"transform({vec_col}, x -> cast(x AS double))").alias("e"),
+            F.expr(f"transform(`{vec_col}`, x -> cast(x AS double))").alias("e"),
         )
         if aux is not None:
             d = d.crossJoin(aux)

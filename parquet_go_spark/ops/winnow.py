@@ -78,7 +78,7 @@ def winnowing_fingerprints(
                     }
                 )
 
-    return df.select(id_col, text_col).mapInPandas(run, schema=f"{id_col} long, pos long, fp long")
+    return df.select(id_col, text_col).mapInPandas(run, schema=f"`{id_col}` long, pos long, fp long")
 
 
 def duplicate_spans(

@@ -172,3 +172,77 @@ def test_simhash_near_dups_hot_bucket_cap_engages(spark):
     capped = simhash_near_dups(df, max_bucket=16).collect()
     assert not any(r.id_a < 60 and r.id_b < 60 for r in capped)
     assert any((r.id_a, r.id_b) == (100, 101) for r in capped)
+
+
+# ---- non-identifier column names (batch-5's finding class, swept repo-wide)
+
+
+def test_ops_accept_non_identifier_column_names(spark):
+    """Batch 5 backtick-quoted ops/text.py's SQL interpolations but the
+    same hazard lived on in curate/dedup/similarity/winnow (f-string
+    column names inside F.expr) and in dotted struct-field access
+    (F.col("__s.{id}") breaks on any name a dotted path can't express).
+    Every pipeline op must accept a column named like "text body" /
+    "doc id". (Names containing literal DOTS follow Spark's own F.col
+    convention — the caller passes them pre-backticked — so they are
+    not exercised here.)"""
+    from parquet_go_spark.ops.cluster import canonical_docs, dup_clusters
+    from parquet_go_spark.ops.curate import curate_corpus, curate_corpus_rows
+    from parquet_go_spark.ops.dedup import (
+        exact_dedup,
+        lsh_pairs,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+        simhash64,
+        simhash_near_dups,
+    )
+    from parquet_go_spark.ops.winnow import winnowing_fingerprints
+
+    rows = [(i, f"some words w{i % 3} and more text here", "en") for i in range(12)]
+    rows.append((12, None, "en"))
+    df = (
+        spark.createDataFrame(rows, "doc_id long, text string, lang string")
+        .withColumnRenamed("doc_id", "doc id")
+        .withColumnRenamed("text", "text body")
+        .withColumnRenamed("lang", "lang col")
+    )
+    kw = dict(text_col="text body", id_col="doc id")
+    assert exact_dedup(df, **kw).count() > 0
+    assert minhash_signatures(df, **kw).count() == 13
+    lsh_pairs(df, **kw).count()
+    ngram_jaccard_pairs(df, **kw).count()
+    assert simhash64(df, **kw).count() == 13
+    simhash_near_dups(df, **kw).count()
+    assert winnowing_fingerprints(df, **kw).count() >= 0
+    assert curate_corpus(df, lang_col="lang col", **kw).count() > 0
+    assert curate_corpus_rows(df, **kw).count() > 0
+    pairs = spark.createDataFrame([(0, 3), (3, 6)], "id_a long, id_b long")
+    cl = dup_clusters(df, pairs, id_col="doc id")
+    assert cl.count() == 13
+    assert canonical_docs(df, cl, id_col="doc id", text_col="text body").count() > 0
+
+
+def test_similarity_accepts_non_identifier_column_names(spark):
+    from parquet_go_spark.ops.similarity import (
+        cosine_topk,
+        embedding_near_dups,
+        ivf_topk,
+        lsh_bucket_topk,
+        pq_topk,
+        train_ivf_kmeans,
+        train_pq_kmeans,
+    )
+
+    rows = [(i, [float((i * 7 + j * 3) % 11) - 5.0 for j in range(16)]) for i in range(24)]
+    df = (
+        spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        .withColumnRenamed("vec_id", "vec id")
+        .withColumnRenamed("embedding", "embedding vec")
+    )
+    kw = dict(id_col="vec id", vec_col="embedding vec")
+    q = df.where(F.col("`vec id`") < 2)
+    for fn in (cosine_topk, ivf_topk, pq_topk, lsh_bucket_topk):
+        assert fn(df, q, k=3, **kw).count() > 0, fn.__name__
+    assert embedding_near_dups(df, threshold=-1.0, **kw).count() > 0
+    assert train_ivf_kmeans(df, n_cells=2, vec_col="embedding vec").shape == (16, 2)
+    assert train_pq_kmeans(df, m=2, n_codes=2, vec_col="embedding vec").shape == (2, 8, 2)
