@@ -183,10 +183,15 @@ def _codec_image_decode(payload: bytes, width: int, height: int, channels: int) 
     dims coerce to safe defaults (channels -> 3, the RGB convention;
     width/height -> 32) instead of a TypeError killing the task — and
     the coercion happens before BOTH the real and fake paths, so a
-    NULL-channels table still yields one feature dimension."""
-    channels = int(channels) if channels and channels >= 1 else 3
-    width = int(width) if width and width >= 1 else 32
-    height = int(height) if height and height >= 1 else 32
+    NULL-channels table still yields one feature dimension. Declared
+    dims are also CAPPED (8192x8192x64): the fake path allocates from
+    metadata alone, so one forged row must not OOM the task — the same
+    forged-header discipline as the core decode governor."""
+    channels = min(int(channels), 64) if channels and channels >= 1 else 3
+    width = min(int(width), 8192) if width and width >= 1 else 32
+    height = min(int(height), 8192) if height and height >= 1 else 32
+    if payload is None:  # NULL content: the fake path serves zeros
+        payload = b""
     head = payload[:2]
     if head in (b"BM", b"P6", b"P5"):
         # Sniff-then-verify: arbitrary bytes (e.g. text docs in mixed
@@ -218,14 +223,24 @@ def _codec_image_decode(payload: bytes, width: int, height: int, channels: int) 
 def _codec_audio_decode(payload: bytes, sample_rate: int, duration_ms: int) -> np.ndarray:
     """Decode audio to float32 PCM in [-1, 1]. REAL for RIFF/WAVE PCM
     (pure numpy, sniffed by magic); other codecs take the deterministic
-    fake with the same contract."""
+    fake with the same contract.
+
+    NULL/invalid metadata coerces (sample_rate -> 8000, duration_ms ->
+    1000) and the fake sample count is capped at 10^8 (~400 MB float32)
+    — the image path's forged-metadata discipline, previously missing
+    here: one NULL sample_rate row was a TypeError that killed the
+    whole job, and a forged duration was an unbounded allocation."""
+    if payload is None:
+        payload = b""
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         try:
             return decode_wav(payload)[0]
         except Exception:
             pass  # magic-byte false positive / truncated chunk list
 
-    n = max(1, sample_rate * duration_ms // 1000)
+    sample_rate = int(sample_rate) if sample_rate and sample_rate > 0 else 8000
+    duration_ms = int(duration_ms) if duration_ms and duration_ms > 0 else 1000
+    n = min(max(1, sample_rate * duration_ms // 1000), 100_000_000)
     raw = np.frombuffer(payload, dtype=np.uint8)
     reps = n // max(len(raw), 1) + 1
     return (np.tile(raw, reps)[:n].astype(np.float32) - 127.5) / 127.5
@@ -233,8 +248,13 @@ def _codec_audio_decode(payload: bytes, sample_rate: int, duration_ms: int) -> n
 
 def _codec_video_keyframes(payload: bytes, duration_ms: int, every_ms: int) -> list[bytes]:
     """Extract frame payloads every ``every_ms``. STUB: deterministic
-    byte-slices standing in for encoded frames."""
-    k = max(1, duration_ms // max(every_ms, 1))
+    byte-slices standing in for encoded frames. NULL/invalid metadata
+    coerces (duration_ms -> 1000) and the frame count is capped at
+    100k — same forged-metadata discipline as the other modalities."""
+    if payload is None:
+        payload = b""
+    duration_ms = int(duration_ms) if duration_ms and duration_ms > 0 else 1000
+    k = min(max(1, duration_ms // max(every_ms, 1)), 100_000)
     step = max(1, len(payload) // k)
     return [payload[i * step : (i + 1) * step] for i in range(k)]
 
@@ -251,7 +271,10 @@ def image_features(df: DataFrame, bins: int = 16) -> DataFrame:
             # column-array zip, not iterrows: payload work dominates, but
             # per-row pandas Series construction is pure overhead
             for payload, m in zip(b["content"].to_numpy(), b["meta"].to_numpy()):
-                img = _codec_image_decode(payload, m["width"], m["height"], m["channels"])
+                m = m or {}  # a NULL meta struct arrives as None
+                img = _codec_image_decode(
+                    payload, m.get("width"), m.get("height"), m.get("channels")
+                )
                 hist = [
                     np.histogram(img[..., c], bins=bins, range=(0, 256))[0]
                     for c in range(img.shape[-1])
@@ -280,7 +303,8 @@ def audio_features(df: DataFrame, n_windows: int = 32, stat: str = "rms") -> Dat
         for b in batches:
             out = []
             for payload, m in zip(b["content"].to_numpy(), b["meta"].to_numpy()):
-                pcm = _codec_audio_decode(payload, m["sample_rate"], m["duration_ms"])
+                m = m or {}
+                pcm = _codec_audio_decode(payload, m.get("sample_rate"), m.get("duration_ms"))
                 w = len(pcm) // n_windows
                 if w == 0:
                     pcm = np.pad(pcm, (0, n_windows - len(pcm)))
@@ -306,7 +330,9 @@ def video_frame_sample(df: DataFrame, every_ms: int = 1000) -> DataFrame:
             for mid, payload, m in zip(
                 b["media_id"].to_numpy(), b["content"].to_numpy(), b["meta"].to_numpy()
             ):
-                for i, fr in enumerate(_codec_video_keyframes(payload, m["duration_ms"], every_ms)):
+                for i, fr in enumerate(
+                    _codec_video_keyframes(payload, (m or {}).get("duration_ms"), every_ms)
+                ):
                     ids.append(mid)
                     idxs.append(i)
                     payloads.append(fr)

@@ -246,3 +246,61 @@ def test_similarity_accepts_non_identifier_column_names(spark):
     assert embedding_near_dups(df, threshold=-1.0, **kw).count() > 0
     assert train_ivf_kmeans(df, n_cells=2, vec_col="embedding vec").shape == (16, 2)
     assert train_pq_kmeans(df, m=2, n_codes=2, vec_col="embedding vec").shape == (2, 8, 2)
+
+
+# ---- multimodal: NULL content / NULL meta survive every modality
+
+
+def test_multimodal_null_content_and_meta_survive(spark):
+    """Batch-2 coerced NULL image metadata but the audio/video paths
+    kept the crash class: a NULL sample_rate/duration_ms row was a
+    TypeError (None * None) inside the executor, a NULL content row a
+    TypeError at the magic-byte sniff, and a NULL meta STRUCT a
+    subscript on None — each killing the whole job over one bad row.
+    Every modality must featurize a table where any of content, meta,
+    or individual meta fields are NULL, and one feature dimension must
+    hold across the image rows."""
+    import pandas as pd
+
+    from parquet_go_spark.ops.multimodal import audio_features, image_features, video_frame_sample
+
+    rows = [
+        # (media_id, kind, content, meta)
+        (0, "image", b"\x01\x02\x03" * 64, (32, 24, 3, None, None, "fake")),
+        (1, "image", None, (32, 24, 3, None, None, "fake")),
+        (2, "image", b"\x04" * 64, None),
+        (3, "image", b"\x05" * 64, (None, None, None, None, None, None)),
+        (4, "audio", b"\x06" * 256, (None, None, None, 8000, 500, "fake")),
+        (5, "audio", None, (None, None, None, None, None, None)),
+        (6, "audio", b"\x07" * 256, None),
+        (7, "video", b"\x08" * 512, (None, None, None, None, 3000, "fake")),
+        (8, "video", None, None),
+    ]
+    from parquet_go_spark.ops.multimodal import MEDIA_SCHEMA
+
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    imgs = image_features(df).collect()
+    assert sorted(r["media_id"] for r in imgs) == [0, 1, 2, 3]
+    assert len({len(r["feature"]) for r in imgs}) == 1  # one dimension
+    auds = audio_features(df).collect()
+    assert sorted(r["media_id"] for r in auds) == [4, 5, 6]
+    assert all(len(r["feature"]) == 32 for r in auds)
+    vids = video_frame_sample(df).collect()
+    assert {r["media_id"] for r in vids} == {7, 8}
+
+
+def test_multimodal_forged_metadata_is_capped():
+    """The fake paths allocate from metadata alone: a forged row
+    declaring absurd dims must be bounded, not an OOM."""
+    from parquet_go_spark.ops.multimodal import (
+        _codec_audio_decode,
+        _codec_image_decode,
+        _codec_video_keyframes,
+    )
+
+    img = _codec_image_decode(b"x", 10**9, 10**9, 10**6)
+    assert img.shape == (8192, 8192, 64)[:0] or img.shape[0] <= 8192 and img.shape[1] <= 8192 and img.shape[2] <= 64
+    pcm = _codec_audio_decode(b"x", 10**9, 10**9)
+    assert len(pcm) <= 100_000_000
+    frames = _codec_video_keyframes(b"x" * 100, 10**12, 1)
+    assert len(frames) <= 100_000
