@@ -40,10 +40,17 @@ def dedup_stream(
     keys) — 16 bytes + keys per distinct document seen inside the
     horizon, partitioned by the shuffle on the dedup key; the watermark
     on ``ts_col`` retires entries past ``within``, so executor state is
-    O(ingest_rate × horizon), independent of total stream length."""
-    keyed = stream_df.withColumn(
-        "__fp", F.md5(F.coalesce(F.col(text_col).cast("string"), F.lit("\x00null")))
-    ).withWatermark(ts_col, within)
-    return keyed.dropDuplicatesWithinWatermark(
-        ["__fp", *(extra_keys or [])]
-    ).drop("__fp")
+    O(ingest_rate × horizon), independent of total stream length.
+
+    NULL text never dedups: the old coalesce-to-sentinel fingerprint
+    collapsed every failed-fetch document inside the horizon into ONE
+    'duplicate' group and silently dropped all but the first from the
+    ingest stream — the exact bug the batch ``exact_dedup`` was fixed
+    for. Null-text rows ride a stateless passthrough branch instead."""
+    base = stream_df.withWatermark(ts_col, within)
+    keyed = (
+        base.where(F.col(text_col).isNotNull())
+        .withColumn("__fp", F.md5(F.col(text_col).cast("string")))
+    )
+    deduped = keyed.dropDuplicatesWithinWatermark(["__fp", *(extra_keys or [])]).drop("__fp")
+    return deduped.unionByName(base.where(F.col(text_col).isNull()))

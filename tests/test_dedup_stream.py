@@ -67,14 +67,22 @@ def test_duplicates_within_horizon_collapse(spark):
     assert sorted(got[0].asDict()) == ["text", "url", "warc_ts"]
 
 
-def test_null_text_is_its_own_key(spark):
+def test_null_text_passes_through_never_dedups(spark):
+    """NULL text must NOT form a dedup key: the earlier sentinel
+    fingerprint collapsed every failed-fetch row inside the horizon
+    into one 'duplicate' group and silently dropped the rest from the
+    ingest stream — the very bug the batch exact_dedup was fixed for
+    (two failed fetches of DIFFERENT urls are not duplicates of each
+    other). Null-text rows pass through a stateless branch."""
     import datetime as dt
 
     t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
     rows = [
         ("https://a/1", t0, None),
-        ("https://a/2", t0, None),  # dup of the null key
+        ("https://a/2", t0, None),  # distinct failed fetch: must survive
         ("https://a/3", t0, "real"),
+        ("https://a/4", t0, "real"),  # true duplicate: collapses
     ]
     got = _run_batches(spark, rows)
-    assert sorted((r["text"] or "~null") for r in got) == ["real", "~null"]
+    assert sorted((r["text"] or "~null") for r in got) == ["real", "~null", "~null"]
+    assert {r["url"] for r in got if r["text"] is None} == {"https://a/1", "https://a/2"}
