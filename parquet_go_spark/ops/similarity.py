@@ -218,18 +218,24 @@ def signature_sql(planes: np.ndarray, vec_expr: str, dot_fn: str | None = None) 
 def _sig_frame(df: DataFrame, planes: np.ndarray, id_col: str, vec_col: str) -> DataFrame:
     # NULL vectors can't be scored and would otherwise all collide into
     # signature bucket 0 (every CASE term folds NULL > 0 to the ELSE),
-    # bloating that bucket with rows whose sims are NULL anyway
+    # bloating that bucket with rows whose sims are NULL anyway; a
+    # ZERO-NORM vector (failed encoder) has no direction and its cosine
+    # division is a hard DIVIDE_BY_ZERO job kill under ANSI mode
     df = df.where(F.col(vec_col).isNotNull())
-    return df.select(
-        F.col(id_col).alias("vid"),
-        F.expr(f"transform(`{vec_col}`, x -> cast(x AS double))").alias("e"),
-    ).select(
-        "vid",
-        "e",
-        F.expr(signature_sql(planes, "e")).cast("long").alias("s"),
-        F.expr("sqrt(aggregate(zip_with(e, e, (x, y) -> x * y), 0D, (acc, x) -> acc + x))").alias(
-            "nrm"
-        ),
+    return (
+        df.select(
+            F.col(id_col).alias("vid"),
+            F.expr(f"transform(`{vec_col}`, x -> cast(x AS double))").alias("e"),
+        )
+        .select(
+            "vid",
+            "e",
+            F.expr(signature_sql(planes, "e")).cast("long").alias("s"),
+            F.expr(
+                "sqrt(aggregate(zip_with(e, e, (x, y) -> x * y), 0D, (acc, x) -> acc + x))"
+            ).alias("nrm"),
+        )
+        .where(F.col("nrm") > 0)
     )
 
 
@@ -282,12 +288,19 @@ def embedding_near_dups(
             v = v.join(F.broadcast(ok), "s")
         join_cond = (F.col("a.s") == F.col("b.s")) & (F.col("a.vid") < F.col("b.vid"))
     else:
-        v = df.select(
-            F.col(id_col).alias("vid"),
-            F.expr(f"transform(`{vec_col}`, x -> cast(x AS double))").alias("e"),
-        ).withColumn(
-            "nrm",
-            F.expr("sqrt(aggregate(zip_with(e, e, (x, y) -> x * y), 0D, (acc, x) -> acc + x))"),
+        v = (
+            df.where(F.col(vec_col).isNotNull())
+            .select(
+                F.col(id_col).alias("vid"),
+                F.expr(f"transform(`{vec_col}`, x -> cast(x AS double))").alias("e"),
+            )
+            .withColumn(
+                "nrm",
+                F.expr(
+                    "sqrt(aggregate(zip_with(e, e, (x, y) -> x * y), 0D, (acc, x) -> acc + x))"
+                ),
+            )
+            .where(F.col("nrm") > 0)  # ANSI DIVIDE_BY_ZERO guard, as in _sig_frame
         )
         join_cond = F.col("a.vid") < F.col("b.vid")
     a, b = v.alias("a"), v.alias("b")
@@ -342,14 +355,31 @@ def cosine_topk(
             mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
             sims = mn @ qn.T  # (batch, Q)
             kk = min(k + 1, len(nids))  # +1: self may be in the batch
-            # per-query partial top-k within this partition
-            top = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (kk, Q)
+            # per-query partial top-k within this partition. argpartition
+            # keeps an ARBITRARY candidate set when sims tie across the
+            # kk boundary (duplicate corpus vectors, or a degenerate
+            # query scoring everything equal), so the documented
+            # ascending-n_id tie-break could lose its winner before the
+            # global window ever saw it — prune on the SAME (-sim, n_id)
+            # order the window ranks by. argpartition first bounds the
+            # lexsort to ~kk+boundary candidates at production batch
+            # sizes; a full lexsort of the tail would be O(n log n) per
+            # query for rows that can never rank.
             out_q, out_n, out_s = [], [], []
             for j in range(len(qids)):
-                idx = top[:, j]
+                s = sims[:, j]
+                if len(nids) > 4 * kk:
+                    cand = np.argpartition(-s, 2 * kk - 1)[: 2 * kk]
+                    # ties at the partition value can extend past the cut:
+                    # include every index matching the worst kept sim
+                    floor_sim = s[cand].min()
+                    cand = np.flatnonzero(s >= floor_sim)
+                else:
+                    cand = np.arange(len(nids))
+                idx = cand[np.lexsort((nids[cand], -s[cand]))][:kk]
                 out_q.append(np.full(len(idx), qids[j], dtype=np.int64))
                 out_n.append(nids[idx])
-                out_s.append(sims[idx, j])
+                out_s.append(s[idx])
             yield pd.DataFrame(
                 {
                     "q_id": np.concatenate(out_q),
@@ -522,7 +552,11 @@ def ivf_topk(
         )
         if aux is not None:
             d = d.crossJoin(aux)
-        return d.select("vid", "e", F.expr(nrm).alias("nrm"), F.expr(ds).alias("ds"))
+        # zero-norm guard: the candidate sim divides by nrm products,
+        # a hard DIVIDE_BY_ZERO job kill under ANSI mode
+        return d.select("vid", "e", F.expr(nrm).alias("nrm"), F.expr(ds).alias("ds")).where(
+            F.col("nrm") > 0
+        )
 
     v = base(df).select(
         "vid", "e", "nrm", F.expr("array_position(ds, array_max(ds))").cast("int").alias("cell")
@@ -955,8 +989,12 @@ def pq_topk(
         )
         if aux is not None:
             d = d.crossJoin(aux)
-        return d.withColumn("nrm", F.expr(nrm)).withColumn(
-            "en", F.expr("transform(e, x -> x / nullif(nrm, 0D))")
+        # zero-norm guard: the rerank sim divides by nrm products (ANSI
+        # DIVIDE_BY_ZERO), and a zero vector has no direction to code
+        return (
+            d.withColumn("nrm", F.expr(nrm))
+            .where(F.col("nrm") > 0)
+            .withColumn("en", F.expr("transform(e, x -> x / nullif(nrm, 0D))"))
         )
 
     v = base(df).withColumn("ds", F.expr(ds))
