@@ -224,25 +224,79 @@ def soak_nested(iters: int, seed: int) -> int:
     return fails
 
 
+def soak_parquet(iters: int, seed: int) -> int:
+    """Real-Parquet interop leg: random (flat or nested) tables through
+    this engine's write_parquet, read back with PYARROW (the foreign
+    reader is the oracle), compared NaN-safe. Random row-group sizes,
+    page versions, compressions, and page-index/crc flags."""
+    import io
+
+    import pyarrow.parquet as pq
+
+    from parquet_go_spark.compat.parquet_writer import write_parquet
+
+    rng = np.random.default_rng(seed + 31337)
+    fails = 0
+    for it in range(iters):
+        n = int(rng.choice([0, 1, 7, 200, 1500]))
+        ncols = int(rng.integers(1, 4))
+        cols = {}
+        for c in range(ncols):
+            if rng.random() < 0.35:
+                arr = _rand_nested(rng, 2, n)
+            else:
+                ptype = list(ENCODINGS)[rng.integers(len(ENCODINGS))]
+                arr = _with_nulls(
+                    rng, _rand_values(rng, ptype, n), float(rng.choice(NULL_DENSITIES))
+                )
+            cols[f"c{c}"] = arr
+        tbl = pa.table(cols)
+        kw = dict(
+            compression=str(rng.choice(["none", "snappy", "zstd", "gzip"])),
+            max_page=int(rng.choice(PAGES)),
+            max_row_group=int(rng.choice([0, 3, 100, 0])) or None,
+            page_version=int(rng.choice([1, 2])),
+            crc=bool(rng.integers(2)),
+            page_index=bool(rng.integers(2)),
+        )
+        try:
+            buf = write_parquet(tbl, **kw)
+            back = pq.read_table(io.BytesIO(buf))
+            ok = _norm(back.to_pylist()) == _norm(tbl.to_pylist())
+        except Exception as e:  # noqa: BLE001
+            print(json.dumps({"pq_it": it, "n": n, "kw": kw, "err": repr(e)}))
+            fails += 1
+            continue
+        if not ok:
+            print(json.dumps({"pq_it": it, "n": n, "kw": kw, "err": "MISMATCH"}))
+            fails += 1
+        if (it + 1) % 200 == 0:
+            print(f"# parquet {it + 1}/{iters} fails={fails}", flush=True)
+    return fails
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=2000)
     ap.add_argument("--nested-iters", type=int, default=500)
+    ap.add_argument("--parquet-iters", type=int, default=500)
     ap.add_argument("--seed", type=int, default=1)
     args = ap.parse_args()
     f1 = soak_flat(args.iters, args.seed)
     f2 = soak_nested(args.nested_iters, args.seed)
+    f3 = soak_parquet(args.parquet_iters, args.seed)
     print(
         json.dumps(
             {
                 "flat_iters": args.iters,
                 "nested_iters": args.nested_iters,
+                "parquet_iters": args.parquet_iters,
                 "seed": args.seed,
-                "failures": f1 + f2,
+                "failures": f1 + f2 + f3,
             }
         )
     )
-    return 1 if (f1 + f2) else 0
+    return 1 if (f1 + f2 + f3) else 0
 
 
 if __name__ == "__main__":
