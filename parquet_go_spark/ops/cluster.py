@@ -44,61 +44,89 @@ def dup_clusters(
     ``pairs`` carries (id_a, id_b) candidate edges (e.g. ``lsh_pairs``
     output); treated as undirected."""
     spark = docs.sparkSession
-    edges = (
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
-        .distinct()
-        .localCheckpoint()
-    )
-    doc_ids = docs.select(F.col(id_col).alias("id"))
-    # seed EVERY vertex — docs AND pair endpoints: an edge id absent
-    # from docs previously had no label row, so round 1 dropped its
-    # edges, the changed-check (an inner join on the OLD id set) could
-    # not see it, and a component bridged only by such a vertex was
-    # silently returned split
-    labels = (
-        doc_ids.unionByName(edges.select(F.col("src").alias("id")))
-        .distinct()
-        .select("id", F.col("id").alias("lab"))
-        .localCheckpoint()
-    )
-    for _ in range(max_iter):
-        relayed = (
-            edges.join(labels, edges.src == labels.id)
-            .select(F.col("dst").alias("id"), "lab")
+    # Constraint propagation is OFF for the iteration (restored in the
+    # finally): a checkpointed LogicalRDD keeps the ORIGIN plan's
+    # inferred constraints, whose attribute ids no longer exist in the
+    # checkpoint's fresh output — Spark's Union.rewriteConstraints then
+    # dies with an internal 'NoSuchElementException: key not found:
+    # id#N' the first time a later round unions that state (reproduced
+    # the moment ``pairs`` composes two detectors over one docs frame,
+    # e.g. lsh_pairs ∪ simhash_near_dups, and on any join-derived docs
+    # lineage). The loop's trivial filters gain nothing from inferred
+    # constraints anyway, and constraint growth across iterative unions
+    # is itself a known analysis-time sink. The returned frame is built
+    # AFTER the flag is restored and carries no union.
+    _CP = "spark.sql.constraintPropagation.enabled"
+    _cp_old = spark.conf.get(_CP, "true")
+    spark.conf.set(_CP, "false")
+    try:
+        # symmetrize with ONE explode pass, not a self-union of the
+        # pairs plan — reads pairs once and halves the candidate scan
+        edges = (
+            pairs.select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+                        F.struct(F.col("id_b").alias("src"), F.col("id_a").alias("dst")),
+                    )
+                ).alias("e")
+            )
+            .select("e.src", "e.dst")
+            .distinct()
+            .localCheckpoint()
         )
-        hop = labels.unionByName(relayed).groupBy("id").agg(
-            F.min("lab").alias("lab")
+        doc_ids = docs.select(F.col(id_col).alias("id"))
+        # seed EVERY vertex — docs AND pair endpoints: an edge id absent
+        # from docs previously had no label row, so round 1 dropped its
+        # edges, the changed-check (an inner join on the OLD id set)
+        # could not see it, and a component bridged only by such a
+        # vertex was silently returned split
+        labels = (
+            doc_ids.unionByName(edges.select(F.col("src").alias("id")))
+            .distinct()
+            .select("id", F.col("id").alias("lab"))
+            .localCheckpoint()
         )
-        # pointer jumping: every label IS a vertex id, so resolve each
-        # label through its own current label (lab <= id always, so the
-        # resolved label only decreases) — doubles hop reach per round
-        new_labels = (
-            hop.alias("a")
-            .join(hop.alias("b"), F.col("a.lab") == F.col("b.id"))
-            .select(F.col("a.id").alias("id"), F.col("b.lab").alias("lab"))
-            .localCheckpoint()  # truncate lineage: state, not a plan
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.lab") != F.col("o.lab"))
-            .limit(1)
-            .count()
-        )
-        # release the previous round's state promptly (best-effort: for
-        # localCheckpoint blocks the ContextCleaner frees on driver GC;
-        # dropping our reference right here is what enables that)
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
-            break
-    else:
-        raise RuntimeError(
-            f"dup_clusters did not converge in {max_iter} rounds — component "
-            "diameter exceeds the cap; raise max_iter or switch to "
-            "large-star/small-star for deep-path graphs"
-        )
+        for _ in range(max_iter):
+            relayed = (
+                edges.join(labels, edges.src == labels.id)
+                .select(F.col("dst").alias("id"), "lab")
+            )
+            hop = labels.unionByName(relayed).groupBy("id").agg(
+                F.min("lab").alias("lab")
+            )
+            # pointer jumping: every label IS a vertex id, so resolve
+            # each label through its own current label (lab <= id
+            # always, so the resolved label only decreases) — doubles
+            # hop reach per round
+            new_labels = (
+                hop.alias("a")
+                .join(hop.alias("b"), F.col("a.lab") == F.col("b.id"))
+                .select(F.col("a.id").alias("id"), F.col("b.lab").alias("lab"))
+                .localCheckpoint()  # truncate lineage: state, not a plan
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "id")
+                .where(F.col("n.lab") != F.col("o.lab"))
+                .limit(1)
+                .count()
+            )
+            # release the previous round's state promptly (best-effort:
+            # for localCheckpoint blocks the ContextCleaner frees on
+            # driver GC; dropping our reference right here enables that)
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"dup_clusters did not converge in {max_iter} rounds — component "
+                "diameter exceeds the cap; raise max_iter or switch to "
+                "large-star/small-star for deep-path graphs"
+            )
+    finally:
+        spark.conf.set(_CP, _cp_old)
     # output contract: one row per DOC (edge-only vertices served as
     # connectivity bridges, not corpus members)
     return labels.join(doc_ids, "id").select(

@@ -59,6 +59,16 @@ def strip_boilerplate(
     False: the join falls back to a shuffle that AQE still converts to
     a broadcast at runtime when the set turns out small.
     """
+    if host_col == id_col:
+        # per-host frequency over a per-document key is a no-op (every
+        # host holds one doc) AND the output would carry two identical
+        # column names — fail with the semantic error, not Spark's
+        # opaque COLUMN_ALREADY_EXISTS at the final union
+        raise ValueError(
+            "strip_boilerplate: host_col and id_col must differ — boilerplate "
+            "is a PER-HOST frequency signal; derive a host column (e.g. "
+            "regexp_extract(url, '^[a-z]+://([^/]+)', 1)) first"
+        )
     # docs with NULL host or NULL text cannot participate in per-host
     # frequency analysis (NULL never equi-joins; posexplode of NULL
     # emits zero rows) — previously they VANISHED from the output; they

@@ -304,3 +304,32 @@ def test_multimodal_forged_metadata_is_capped():
     assert len(pcm) <= 100_000_000
     frames = _codec_video_keyframes(b"x" * 100, 10**12, 1)
     assert len(frames) <= 100_000
+
+
+def test_dup_clusters_survives_composed_detector_pairs(spark):
+    """Regression: when ``pairs`` unions two detectors over the SAME
+    docs frame (lsh_pairs ∪ simhash_near_dups — the normal composed
+    pipeline), the pointer-jumping loop's hop self-join used to trip a
+    Catalyst relation-dedup rewrite at localCheckpoint (internal
+    NoSuchElementException: key not found: id#N) from round 1 on. The
+    hop aggregate is now checkpointed BEFORE the self-join."""
+    from parquet_go_spark.ops.cluster import dup_clusters
+    from parquet_go_spark.ops.dedup import lsh_pairs, simhash_near_dups
+
+    rows = []
+    for i in range(40):
+        rows.append((i, f"shared words w{i % 4} common here {i % 3} tail"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # a join-derived frame reproduces the attribute lineage that broke
+    keep = docs.join(docs.select("doc_id"), "doc_id")
+    pairs = (
+        lsh_pairs(keep)
+        .unionByName(simhash_near_dups(keep).select("id_a", "id_b"))
+        .distinct()
+    )
+    out = dup_clusters(keep, pairs)
+    assert out.count() == 40
+    # labels are consistent: every cluster label is a member's min id
+    labs = {r["cluster_id"] for r in out.collect()}
+    ids = {r["doc_id"] for r in out.collect()}
+    assert labs <= ids
