@@ -66,14 +66,16 @@ def _read_value(buf, pos: int, vtype: int):
         etype = hdr & 0x0F
         if size == 15:
             size, pos = read_uvarint(buf, pos)
+        _check_size(buf, pos, size)
         if etype in (T_TRUE, T_FALSE):
-            # bool LIST elements take one byte each (1=true, 2=false) —
-            # unlike field-context bools, whose value lives in the type id
+            # bool COLLECTION elements take one byte each (1=true,
+            # 2=false) — unlike field-context bools, whose value lives
+            # in the type id
             out = [buf[pos + i] == T_TRUE for i in range(size)]
             return out, pos + size
         out = []
         for _ in range(size):
-            v, pos = _read_value(buf, pos, etype)
+            v, pos = _read_elem(buf, pos, etype)
             out.append(v)
         return out, pos
     if vtype == T_STRUCT:
@@ -82,16 +84,36 @@ def _read_value(buf, pos: int, vtype: int):
         size, pos = read_uvarint(buf, pos)
         if size == 0:
             return {}, pos
+        _check_size(buf, pos, size)
         kv = buf[pos]
         pos += 1
         ktype, vt = kv >> 4, kv & 0x0F
         out = {}
         for _ in range(size):
-            k, pos = _read_value(buf, pos, ktype)
-            v, pos = _read_value(buf, pos, vt)
+            k, pos = _read_elem(buf, pos, ktype)
+            v, pos = _read_elem(buf, pos, vt)
             out[k] = v
         return out, pos
     raise ValueError(f"thrift compact: unsupported type {vtype}")
+
+
+def _check_size(buf, pos: int, size: int) -> None:
+    """Forged-header governor: every collection element consumes at
+    least one byte, so a declared size beyond the remaining buffer is a
+    lie. Without this, a 6-byte buffer declaring a 137M-entry bool map
+    spun ~38 s of zero-byte element reads before finally walking off
+    the end (bools used to consume nothing — see ``_read_elem``)."""
+    if size < 0 or size > len(buf) - pos:
+        raise ValueError("thrift compact: implausible collection size")
+
+
+def _read_elem(buf, pos: int, etype: int):
+    """Collection-context value read: bools are one byte here (compact
+    protocol encodes bool list/set/map elements as 0x01/0x02), unlike
+    struct-field context where the value rides the type id."""
+    if etype in (T_TRUE, T_FALSE):
+        return buf[pos] == T_TRUE, pos + 1
+    return _read_value(buf, pos, etype)
 
 
 def read_struct(buf, pos: int) -> tuple[dict, int]:

@@ -333,3 +333,28 @@ def test_dup_clusters_survives_composed_detector_pairs(spark):
     labs = {r["cluster_id"] for r in out.collect()}
     ids = {r["doc_id"] for r in out.collect()}
     assert labs <= ids
+
+
+def test_thrift_forged_collection_sizes_fail_fast():
+    """Hypothesis found a 6-byte bloom 'header' declaring a 137M-entry
+    bool map that spun ~38 s of zero-byte element reads before walking
+    off the buffer (field-context bools consume nothing; collection
+    sizes were never checked against the remaining bytes). Collection
+    sizes now bound by the buffer and reject instantly, and bool
+    list/set/map ELEMENTS consume one byte each per the compact
+    protocol (0x01 true / 0x02 false) in both directions."""
+    import time
+
+    from parquet_go_spark.compat.bloom_filter import read_bloom_bitset
+    from parquet_go_spark.compat.thrift_compact import read_struct
+
+    t = time.time()
+    with pytest.raises((ValueError, IndexError)):
+        read_bloom_bitset(b"+\x90\xee\xf1A!", {14: 0, 1: 6})
+    assert time.time() - t < 1.0  # was ~38 s
+
+    # bool collection elements are one byte each
+    s, _ = read_struct(bytes([0x19, (3 << 4) | 1, 1, 2, 1, 0x00]), 0)
+    assert s[1] == [True, False, True]
+    s2, _ = read_struct(bytes([0x1B, 2, (5 << 4) | 1, 0x00, 1, 0x02, 2, 0x00]), 0)
+    assert s2[1] == {0: True, 1: False}
