@@ -40,7 +40,7 @@ def _zigzag(v: int) -> int:
     return (v >> 1) ^ -(v & 1)
 
 
-def _read_value(buf, pos: int, vtype: int):
+def _read_value(buf, pos: int, vtype: int, depth: int = 0):
     if vtype == T_TRUE:
         return True, pos
     if vtype == T_FALSE:
@@ -75,11 +75,11 @@ def _read_value(buf, pos: int, vtype: int):
             return out, pos + size
         out = []
         for _ in range(size):
-            v, pos = _read_elem(buf, pos, etype)
+            v, pos = _read_elem(buf, pos, etype, depth)
             out.append(v)
         return out, pos
     if vtype == T_STRUCT:
-        return read_struct(buf, pos)
+        return read_struct(buf, pos, depth + 1)
     if vtype == T_MAP:
         size, pos = read_uvarint(buf, pos)
         if size == 0:
@@ -90,8 +90,8 @@ def _read_value(buf, pos: int, vtype: int):
         ktype, vt = kv >> 4, kv & 0x0F
         out = {}
         for _ in range(size):
-            k, pos = _read_elem(buf, pos, ktype)
-            v, pos = _read_elem(buf, pos, vt)
+            k, pos = _read_elem(buf, pos, ktype, depth)
+            v, pos = _read_elem(buf, pos, vt, depth)
             out[k] = v
         return out, pos
     raise ValueError(f"thrift compact: unsupported type {vtype}")
@@ -107,17 +107,25 @@ def _check_size(buf, pos: int, size: int) -> None:
         raise ValueError("thrift compact: implausible collection size")
 
 
-def _read_elem(buf, pos: int, etype: int):
+def _read_elem(buf, pos: int, etype: int, depth: int = 0):
     """Collection-context value read: bools are one byte here (compact
     protocol encodes bool list/set/map elements as 0x01/0x02), unlike
     struct-field context where the value rides the type id."""
     if etype in (T_TRUE, T_FALSE):
         return buf[pos] == T_TRUE, pos + 1
-    return _read_value(buf, pos, etype)
+    return _read_value(buf, pos, etype, depth)
 
 
-def read_struct(buf, pos: int) -> tuple[dict, int]:
+_MAX_DEPTH = 100  # parquet metadata nests ~10 deep; a forged buffer of
+# 0x1C bytes would otherwise recurse once per byte into Python's
+# RecursionError — an uncontrolled failure, unlike the governor's
+# ValueError
+
+
+def read_struct(buf, pos: int, depth: int = 0) -> tuple[dict, int]:
     """-> ({field_id: value}, new_pos). Nested structs become dicts."""
+    if depth > _MAX_DEPTH:
+        raise ValueError("thrift compact: implausible nesting depth")
     out: dict = {}
     fid = 0
     while True:
@@ -132,5 +140,5 @@ def read_struct(buf, pos: int) -> tuple[dict, int]:
         else:
             u, pos = read_uvarint(buf, pos)
             fid = _zigzag(u)
-        v, pos = _read_value(buf, pos, vtype)
+        v, pos = _read_value(buf, pos, vtype, depth)
         out[fid] = v

@@ -358,3 +358,17 @@ def test_thrift_forged_collection_sizes_fail_fast():
     assert s[1] == [True, False, True]
     s2, _ = read_struct(bytes([0x1B, 2, (5 << 4) | 1, 0x00, 1, 0x02, 2, 0x00]), 0)
     assert s2[1] == {0: True, 1: False}
+
+
+def test_thrift_forged_nesting_depth_fails_controlled():
+    """A buffer of 0x1C (field-1/T_STRUCT) bytes recursed once per byte
+    into Python's RecursionError — an uncontrolled failure the callers'
+    except clauses don't cover. Depth now governs at 100 (parquet
+    metadata nests ~10) with the same ValueError contract; legitimate
+    nesting still parses."""
+    from parquet_go_spark.compat.thrift_compact import read_struct
+
+    with pytest.raises(ValueError, match="nesting depth"):
+        read_struct(bytes([0x1C]) * 5000, 0)
+    s, _ = read_struct(bytes([0x1C, 0x15, 0x06, 0x00, 0x00]), 0)
+    assert s == {1: {1: 3}}
