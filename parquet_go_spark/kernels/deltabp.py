@@ -139,6 +139,15 @@ def decode(buf, pos: int, bits: int) -> tuple[np.ndarray, int]:
     mini_blocks, pos = read_uvarint(mv, pos)
     if block_size <= 0 or mini_blocks <= 0 or block_size % mini_blocks != 0:
         raise ValueError("delta-bp: invalid block structure")
+    # allocation governor (forbp's discipline): a forged header claiming
+    # a ~68M-value block with one miniblock drove a ~550 MB unpack
+    # scratch and minutes of work out of an 11-byte buffer before any
+    # bound failed. Real writers use 128/4 (the reference) up to a few
+    # thousand values per block; 2^20 is far past every known writer.
+    if block_size > 1 << 20 or mini_blocks > 4096:
+        raise ValueError(
+            f"delta-bp: implausible block structure {block_size}/{mini_blocks}"
+        )
     mbv = block_size // mini_blocks
     if mbv % 8 != 0:
         raise ValueError("delta-bp: miniblock values not multiple of 8")
@@ -166,9 +175,13 @@ def decode(buf, pos: int, bits: int) -> tuple[np.ndarray, int]:
         present = -(-in_block // mbv)
         for m in range(present):
             w = int(widths[m])
+            if w > bits:
+                raise ValueError(f"delta-bp: width {w} exceeds type bits {bits}")
             mb_widths.append(w)
             mb_offsets.append(pos)
             pos += w * (mbv // 8)
+        if pos > len(mv):
+            raise ValueError("delta-bp: truncated miniblock data")
         min_deltas.append(mind)
         counts.append(in_block)
         got += in_block

@@ -119,3 +119,23 @@ def test_media_container_hostile_battery():
         _fast(decode_wav, buf)
     _fast(decode_bmp, b"BM" + struct.pack("<IHHI", 0, 0, 0, 54) + struct.pack("<Iii", 40, 1 << 30, 1 << 30) + b"\x00" * 64)
     _fast(decode_ppm, b"P6\n" + b"9" * 64 + b"\n255\n")
+
+
+def test_deltabp_hostile_battery():
+    """Second fuzz-surfaced slow-parse: an 11-byte header declaring a
+    ~68M-value block with one miniblock allocated ~550 MB of unpack
+    scratch and ran minutes before an IndexError. Block structure now
+    governs at 2^20 values / 4096 miniblocks (the reference writes
+    128/4), widths beyond the type bits reject, and truncated miniblock
+    data fails at the header walk."""
+    from parquet_go_spark.kernels import deltabp
+
+    batteries = [
+        b"\x88\x86\xe0 \x01\x03Wl\xac\xc2\xeb",                 # the finding
+        _varint(1 << 30) + _varint(1) + _varint(100) + b"\x02" + b"\xff" * 8,
+        _varint(128) + _varint(4) + _varint(1 << 40) + b"\x02" + b"\x00" * 16,
+        _varint(128) + _varint(4) + _varint(100) + b"\x02\x02" + b"\x63" * 4 + b"\x00" * 8,  # width 99
+    ]
+    for buf in batteries:
+        _fast(deltabp.decode, buf, 0, 32)
+        _fast(deltabp.decode, buf, 0, 64)
