@@ -129,6 +129,8 @@ def _scan_key_positions(
     files = spark.read.format("binaryFile").load(paths).select("path")
 
     def scan(it):
+        import mmap as _mmap
+
         import numpy as np
         import pandas as pd
 
@@ -142,25 +144,53 @@ def _scan_key_positions(
             for p in pdf["path"]:
                 pid = _pid_of(p)
                 local = p[len("file:") :] if p.startswith("file:") else p
-                with open(local, "rb") as fh:
-                    payload = fh.read()
-                blobs = parse_partition_file(payload, {key})
-                batch = decode_blobs_to_batch(blobs, [key], set(), logicals, None)
-                if batch is None or not batch.num_rows:
-                    continue
-                n = batch.num_rows
-                yield pd.DataFrame(
-                    {
-                        "pid": np.full(n, pid, dtype="int32"),
-                        "pos": np.arange(n, dtype="int64"),
-                        # the rewrite epoch of the BYTES these ordinals
-                        # index — carried through the join so the sidecar
-                        # is stamped against the scanned coordinate
-                        # system, not whatever is on disk at write time
-                        "ep": np.full(n, partition_file_epoch(payload), dtype="int64"),
-                        "k": batch.column(0).to_pandas(),
-                    }
-                )
+                # mmap, not read(): a projection scan of ONE column must
+                # not pull the whole partition file through memory — the
+                # header walk and the key chunk fault in a few pages
+                # while a wide html column's data pages never leave disk
+                # (the _read_chunk_dict bounded-probe pattern). The
+                # decode materializes to pandas INSIDE the context, so
+                # no view outlives the map.
+                out_pdf = None
+                with open(local, "rb") as fh, _mmap.mmap(
+                    fh.fileno(), 0, access=_mmap.ACCESS_READ
+                ) as mm:
+                    blobs = parse_partition_file(mm, {key})
+                    try:
+                        batch = decode_blobs_to_batch(blobs, [key], set(), logicals, None)
+                        if batch is not None and batch.num_rows:
+                            n = batch.num_rows
+                            out_pdf = pd.DataFrame(
+                                {
+                                    "pid": np.full(n, pid, dtype="int32"),
+                                    "pos": np.arange(n, dtype="int64"),
+                                    # the rewrite epoch of the BYTES
+                                    # these ordinals index — carried
+                                    # through the join so the sidecar is
+                                    # stamped against the scanned
+                                    # coordinate system, not whatever is
+                                    # on disk at write time
+                                    "ep": np.full(
+                                        n, partition_file_epoch(mm), dtype="int64"
+                                    ),
+                                    # to_pandas COPIES, so nothing below
+                                    # outlives the map
+                                    "k": batch.column(0).to_pandas(),
+                                }
+                            )
+                        del batch
+                    finally:
+                        # the zero-copy decode path keeps buffer views
+                        # into the mmap; release them or mm.close()
+                        # raises BufferError('exported pointers exist')
+                        for b in blobs.values():
+                            try:
+                                b.release()
+                            except (AttributeError, BufferError):
+                                pass
+                        del blobs
+                if out_pdf is not None:
+                    yield out_pdf
 
     return files.mapInPandas(scan, schema=f"pid int, pos bigint, ep bigint, k {ddl}")
 
