@@ -139,3 +139,18 @@ def test_deltabp_hostile_battery():
     for buf in batteries:
         _fast(deltabp.decode, buf, 0, 32)
         _fast(deltabp.decode, buf, 0, 64)
+
+
+def test_forbp_width0_large_count_is_fast_and_constant():
+    """A width-0 FOR stream legitimately encodes a huge constant column
+    in a handful of bytes; the decode must fill directly (the generic
+    zeros+add+cast path took ~10 s at 139M values). Budget is generous
+    because the 0.5 GB output allocation is real."""
+    import numpy as np
+
+    from parquet_go_spark.kernels import forbp
+
+    t = time.time()
+    out, _pos = forbp.decode(b"\x90\xe2\xc8B\xe8\xcf@\x00", 0, 32)
+    assert time.time() - t < 8.0
+    assert len(out) == 139_604_240 and (out[:1000] == out[0]).all() and (out[-1000:] == out[0]).all()
